@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Spark-native replacement for the reference's DataFusion
+  * `SessionContext` (reference: src/data_source/context.rs:17-24).
+  * One place to pin the configs that matter at scale: AQE (runtime
+  * re-planning, skew-join handling, partition coalescing), a shuffle
+  * partition count sized to the local core count (the 200 default is
+  * wrong for local mode and is re-derived by AQE on a cluster), and a
+  * UTC session timezone so timestamp semantics match the oracle.
+  */
+object GraftSession {
+
+  /** Runtime-settable confs applied to any session (including ones the
+    * driver built for us in Verify/Bench). Safe to call repeatedly.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Dims at TPC-H-ish ratios stay far below this even at SF ≫ 1;
+    // 64m keeps region/nation/supplier/part joins broadcast at scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    spark
+  }
+
+  def builder(master: String = "local[*]", app: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions",
+        math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  def apply(master: String = "local[*]", app: String = "graft"): SparkSession = {
+    val spark = builder(master, app).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
