@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.{Formats, DataSourceFormat, Writers}
+import graft.sql.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine/API surface + source-format roundtrips (SURVEY.md §2B/§2C).
+  *
+  * Each entry exercises an end-to-end path of the reference's surface:
+  * direct-path SQL, glob reads, the /fetch row cap, CREATE TABLE …
+  * LOCATION through the persistent catalog, and the CSV/TSV/NdJSON
+  * writers read back by their paired readers.
+  */
+object EngineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(dir: String, leaf: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/$key/$leaf"
+  }
+
+  private def engine(spark: SparkSession, dir: String): Engine =
+    new Engine(spark, dataDir = dir, catalogDir = scratch(dir, "catalog"))
+
+  /** `select … from '<path>'` — quoted path in FROM position
+    * (reference: src/data_source/context.rs:83-152).
+    */
+  def fmt_direct_path(spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).sqlDf(
+      s"""SELECT l_returnflag, count(*) AS n,
+         | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+         |FROM '$dir/lineitem.parquet'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Glob path over a multi-file table — customer split across two CSV
+    * shards, read back with `'…/customer_shard_*.csv'`.
+    */
+  def fmt_glob_path(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val base = scratch(dir, "glob")
+    Writers.exportFile(cust.filter(col("c_custkey") % 2 === 0),
+      s"$base/customer_shard_0.csv", Writers.ExportFormat.Csv)
+    Writers.exportFile(cust.filter(col("c_custkey") % 2 === 1),
+      s"$base/customer_shard_1.csv", Writers.ExportFormat.Csv)
+    engine(spark, dir).sqlDf(
+      s"""SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
+         | cast(c_acctbal as double) AS c_acctbal
+         |FROM '$base/customer_shard_*.csv' ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** /fetch semantics: SELECT wrapped with a row cap; result < cap here
+    * so the output set is deterministic (the cap itself is spec-tested).
+    */
+  def eng_fetch_limit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    engine(spark, dir).fetchDf(
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin, limit = 200)
+  }
+
+  /** CREATE TABLE … LOCATION with a *relative* path, then query the
+    * registered name — the full catalog round trip
+    * (reference: src/controllers.rs:92-135 + context.rs:38-43).
+    */
+  def eng_create_table(spark: SparkSession, dir: String): DataFrame = {
+    val eng = engine(spark, dir)
+    eng.execute("CREATE TABLE cust_ext () LOCATION 'customer.parquet'")
+    eng.sqlDf(
+      """SELECT c_custkey, c_name, c_mktsegment FROM cust_ext
+        |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)
+  }
+
+  private def roundtrip(spark: SparkSession, dir: String, table: String,
+      file: String, fmt: Writers.ExportFormat, readFmt: DataSourceFormat,
+      selectBack: DataFrame => DataFrame): DataFrame = {
+    val path = scratch(dir, file)
+    Writers.exportFile(Tables(spark, dir, table), path, fmt)
+    selectBack(Formats.read(spark, path, readFmt))
+  }
+
+  /** CSV writer → CSV reader (header + schema inference). */
+  def fmt_csv_roundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "nation", "nation.csv",
+      Writers.ExportFormat.Csv, DataSourceFormat.Csv,
+      _.select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int")).orderBy(col("n_nationkey")))
+
+  /** TSV writer → TSV reader (tab delimiter, reference utils.rs:23). */
+  def fmt_tsv_roundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "supplier", "supplier.tsv",
+      Writers.ExportFormat.Tsv, DataSourceFormat.Tsv,
+      _.select(col("s_suppkey").cast("bigint"), col("s_name"),
+        col("s_nationkey").cast("int"), col("s_acctbal").cast("double"))
+        .orderBy(col("s_suppkey")))
+
+  /** NdJSON writer → NdJSON reader (.log extension, reference
+    * utils.rs:12-21 treats .log/.txt as newline-delimited JSON).
+    */
+  def fmt_ndjson_roundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "part", "part_rows.log",
+      Writers.ExportFormat.NdJson, DataSourceFormat.NdJson(".log"),
+      _.select(col("p_partkey").cast("bigint"), col("p_name"), col("p_brand"),
+        col("p_size").cast("int"), col("p_retailprice").cast("double"))
+        .orderBy(col("p_partkey")))
+
+  /** JSON array-of-objects document reader (multiLine mode) —
+    * rejected by the reference (context.rs:58-61) but on its roadmap.
+    */
+  def fmt_json_array(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "region_array.json")
+    val rows = Tables(spark, dir, "region").orderBy(col("r_regionkey")).collect()
+    val json = rows.map { r =>
+      s"""{"r_regionkey": ${r.getInt(0)}, "r_name": "${r.getString(1)}"}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    Formats.read(spark, path, DataSourceFormat.JsonArray)
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fmt_direct_path" -> (fmt_direct_path _),
+    "fmt_glob_path" -> (fmt_glob_path _),
+    "eng_fetch_limit" -> (eng_fetch_limit _),
+    "eng_create_table" -> (eng_create_table _),
+    "fmt_csv_roundtrip" -> (fmt_csv_roundtrip _),
+    "fmt_tsv_roundtrip" -> (fmt_tsv_roundtrip _),
+    "fmt_ndjson_roundtrip" -> (fmt_ndjson_roundtrip _),
+    "fmt_json_array" -> (fmt_json_array _))
+
+  val oracles: Map[String, String] = Map(
+    "fmt_direct_path" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fmt_glob_path" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "eng_fetch_limit" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "eng_create_table" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+    "fmt_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "fmt_tsv_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "fmt_ndjson_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
+    "fmt_json_array" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+}

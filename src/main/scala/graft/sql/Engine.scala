@@ -1,0 +1,101 @@
+package graft.sql
+
+import graft.GraftSession
+import graft.catalog.Catalog
+import graft.sources.{Formats, Writers}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** What POST /fetch returns (reference: src/response/schema.rs
+  * FetchResult — header, stringified rows, sql_type, query_time).
+  */
+case class FetchResult(
+    header: Seq[String],
+    rows: Seq[Seq[String]],
+    sqlType: String,
+    queryTimeMs: Long)
+
+/** The query engine behind the API surface — the Spark-native
+  * equivalent of the reference's controller + DataFusion context
+  * (reference: src/controllers.rs:25-150, src/data_source/context.rs).
+  *
+  * - SELECT: direct-path refs become temp views, remaining unresolved
+  *   names are resolved through the persistent [[Catalog]], then the
+  *   statement runs through Spark SQL (Catalyst plans it).
+  * - CREATE TABLE … LOCATION: persisted to the catalog only — reads
+  *   happen lazily at query time, exactly like the reference.
+  * - fetch caps rows with LIMIT, applied *inside* the plan (Spark
+  *   plans a CollectLimit — the full result is never materialized).
+  */
+class Engine(
+    val spark: SparkSession,
+    val dataDir: String = sys.env.getOrElse("DATA_DIR", "/tmp/graft/data"),
+    val catalogDir: String = sys.env.getOrElse("GRAFT_CATALOG_DIR", "/tmp/graft/catalog")) {
+
+  val catalog = new Catalog(catalogDir)
+  GraftSession.tune(spark)
+
+  /** Relative paths resolve against the data dir (reference:
+    * src/data_source/context.rs:38-43).
+    */
+  def resolvePath(p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$dataDir/$p"
+
+  /** Build the DataFrame for a SELECT: rewrite direct paths, resolve
+    * catalog tables, hand to Spark SQL.
+    */
+  def sqlDf(sql: String): DataFrame = {
+    val rewritten = DirectPath.rewrite(spark, sql, resolvePath)
+    DirectPath.unresolvedTables(spark, rewritten).foreach { name =>
+      if (!spark.catalog.tableExists(name)) {
+        catalog.lookup(name).foreach { e =>
+          Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
+        }
+      }
+    }
+    spark.sql(rewritten)
+  }
+
+  /** The /fetch DataFrame: SELECT wrapped with a row cap
+    * (reference: src/controllers.rs:33 `select * from (…) limit 200`).
+    */
+  def fetchDf(sql: String, limit: Int = 200): DataFrame =
+    sqlDf(sql).limit(limit)
+
+  /** Execute any supported statement; SELECTs return stringified rows
+    * with nulls rendered as "null" (reference: src/controllers.rs:52
+    * FormatOptions::default().with_null("null")).
+    */
+  def execute(sql: String, limit: Int = 200): FetchResult = {
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1000000
+    try {
+      val result = SqlClassify.classify(sql) match {
+        case DmlStatement(s) =>
+          val df = fetchDf(s, limit)
+          val header = df.columns.toSeq
+          val rows = df.collect().toSeq.map(r =>
+            (0 until r.length).map(i => if (r.isNullAt(i)) "null" else r.get(i).toString))
+          FetchResult(header, rows, "DML", ms)
+        case CreateTableStatement(name, cols, location, comment) =>
+          catalog.register(name, location, cols, comment)
+          FetchResult(Seq("summary"), Seq(Seq("successful")), "DDL", ms)
+      }
+      catalog.recordQuery(sql, "successful")
+      result
+    } catch {
+      case e: Throwable =>
+        catalog.recordQuery(sql, "fail")
+        throw e
+    }
+  }
+
+  /** /query/export — run the SELECT and write a single downloadable
+    * file; returns its path (reference: src/controllers.rs:188-257).
+    */
+  def exportFile(sql: String, format: String, outPath: String): String =
+    SqlClassify.classify(sql) match {
+      case DmlStatement(s) =>
+        Writers.exportFile(sqlDf(s), outPath, Writers.ExportFormat.of(format)).toString
+      case _ => throw new GraftSqlException("Only supports Select SQL")
+    }
+}

@@ -1,0 +1,52 @@
+package graft.sql
+
+import graft.catalog.TableField
+
+/** SQL statement classification (reference: src/sql/parse.rs:136-153
+  * `get_sql_type` — Query → DML, CreateTable → DDL, anything else
+  * rejected) and the reference's hive-style DDL form:
+  *
+  *   CREATE TABLE name (col type, …) [COMMENT '…'] LOCATION 'path'
+  *
+  * (reference: src/controllers.rs:92-135 — columns may be empty, the
+  * schema is then inferred at read time; LOCATION is mandatory.)
+  */
+sealed trait SqlStatement
+case class DmlStatement(sql: String) extends SqlStatement
+case class CreateTableStatement(
+    tableRef: String,
+    columns: Seq[TableField],
+    location: String,
+    comment: Option[String]) extends SqlStatement
+
+class GraftSqlException(msg: String) extends RuntimeException(msg)
+
+object SqlClassify {
+
+  private val CreateTableRe =
+    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*?)\)\s*(?:comment\s+'([^']*)'\s*)?location\s+'([^']+)'\s*;?\s*$""".r
+
+  def classify(sql: String): SqlStatement = {
+    val trimmed = sql.trim.stripSuffix(";").trim
+    val head = trimmed.take(16).toLowerCase
+    if (head.startsWith("select") || head.startsWith("with") || head.startsWith("values")) {
+      DmlStatement(trimmed)
+    } else if (head.startsWith("create")) {
+      trimmed match {
+        case CreateTableRe(name, cols, comment, location) =>
+          CreateTableStatement(name, parseColumns(cols), location, Option(comment))
+        case _ => throw new GraftSqlException(
+          "Unsupported CREATE syntax — expected: CREATE TABLE name (col type, ...) [COMMENT '...'] LOCATION 'path'")
+      }
+    } else {
+      throw new GraftSqlException(
+        "Currently, only the Select and Create statements are supported.")
+    }
+  }
+
+  private def parseColumns(cols: String): Seq[TableField] =
+    cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+      val parts = c.split("\\s+", 2)
+      TableField(parts(0), if (parts.length > 1) parts(1) else "string")
+    }
+}
