@@ -125,7 +125,26 @@ object EngineOps {
       .orderBy(col("r_regionkey"))
   }
 
+  /** XLSX writer → distributed XLSX reader, two workbook shards read
+    * through a direct-path glob (`'…/part_*.xlsx'`), exercising the
+    * `binaryFiles`-per-workbook scale path (reference: excel.rs merges
+    * files on one thread; here each file is an executor task).
+    */
+  def fmt_xlsx_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.XlsxWriter
+    val base = scratch(dir, "xlsx")
+    val part = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"), col("p_retailprice"))
+    XlsxWriter.write(part.filter(col("p_partkey") % 2 === 0), s"$base/part_0.xlsx")
+    XlsxWriter.write(part.filter(col("p_partkey") % 2 === 1), s"$base/part_1.xlsx")
+    engine(spark, dir).sqlDf(
+      s"""SELECT cast(p_partkey as bigint) AS p_partkey, p_name, p_brand,
+         | cast(p_size as int) AS p_size, cast(p_retailprice as double) AS p_retailprice
+         |FROM '$base/part_*.xlsx' ORDER BY p_partkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "fmt_xlsx_roundtrip" -> (fmt_xlsx_roundtrip _),
     "fmt_direct_path" -> (fmt_direct_path _),
     "fmt_glob_path" -> (fmt_glob_path _),
     "eng_fetch_limit" -> (eng_fetch_limit _),
@@ -136,6 +155,8 @@ object EngineOps {
     "fmt_json_array" -> (fmt_json_array _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_xlsx_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "fmt_direct_path" ->
       """SELECT l_returnflag, count(*) AS n,
         | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty

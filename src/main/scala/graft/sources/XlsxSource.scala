@@ -1,11 +1,87 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
-/** Distributed XLSX reader — implemented in the Sources milestone
-  * (SURVEY.md §7 step 4). Placeholder so Formats compiles.
+/** Distributed XLSX source.
+  *
+  * The reference reads workbooks on a single thread with calamine and
+  * merges multiple files into one in-memory batch
+  * (reference: src/data_source/excel.rs:12-60, `path#Sheet` selector).
+  * Here the *schema* is inferred on the driver from the first matching
+  * file's header + first data row, and the *data* is parsed inside
+  * executors over `sparkContext.binaryFiles` — each executor unzips
+  * and StAX-streams its own files, so a directory of thousands of
+  * workbooks scales horizontally (one task per file; workbook zip
+  * format isn't splittable within a file, like gzip).
+  *
+  * Type mapping (reference excel.rs:109-126): shared/inline strings →
+  * string, numbers → double, booleans → boolean, date-styled numbers →
+  * timestamp. Header row supplies column names.
   */
 object XlsxSource {
-  def read(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException("XLSX reader not yet wired")
+
+  /** Split a `path#Sheet` selector (reference excel.rs:13-16). */
+  def splitSheet(path: String): (String, Option[String]) =
+    path.indexOf('#') match {
+      case -1 => (path, None)
+      case i => (path.substring(0, i), Some(path.substring(i + 1)))
+    }
+
+  private def cellToField(name: String, v: Any): StructField = v match {
+    case _: java.lang.Double => StructField(name, DoubleType, nullable = true)
+    case _: java.lang.Boolean => StructField(name, BooleanType, nullable = true)
+    case _: java.sql.Timestamp => StructField(name, TimestampType, nullable = true)
+    case _ => StructField(name, StringType, nullable = true)
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: java.sql.Timestamp, TimestampType) => x
+    case (x: java.lang.Double, DoubleType) => x
+    case (x: java.lang.Boolean, BooleanType) => x
+    case (x: java.lang.Double, StringType) =>
+      // whole numbers render without the trailing ".0" Excel never shows
+      if (x == math.floor(x) && !x.isInfinite) x.toLong.toString else x.toString
+    case (x, StringType) => x.toString
+    case (x: String, DoubleType) => try { x.toDouble: java.lang.Double } catch { case _: Exception => null }
+    case (x, DoubleType) => try { x.toString.toDouble: java.lang.Double } catch { case _: Exception => null }
+    case (x, _) => x.toString
+  }
+
+  def read(spark: SparkSession, rawPath: String): DataFrame = {
+    val (path, sheet) = splitSheet(rawPath)
+
+    // Driver-side: schema from the first matching file only.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(hconf)
+    val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+    if (matches.isEmpty)
+      throw new IllegalArgumentException(s"Path does not exist or matches no files: $path")
+
+    val firstParts = XlsxParse.readParts(() => fs.open(matches.head), sheet)
+    val firstRows = XlsxParse.rows(firstParts).take(2).toSeq
+    if (firstRows.isEmpty)
+      throw new IllegalArgumentException(s"Empty worksheet in ${matches.head}")
+    val header = firstRows.head.map(c => if (c == null) "" else c.toString)
+    val sample = if (firstRows.size > 1) firstRows(1) else Array.empty[Any]
+    val schema = StructType(header.zipWithIndex.map { case (name, i) =>
+      cellToField(if (name.nonEmpty) name else s"_c$i",
+        if (i < sample.length) sample(i) else null)
+    })
+    val width = schema.length
+    val types = schema.fields.map(_.dataType)
+
+    // Executor-side: one task per workbook file.
+    val rowsRdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, stream) =>
+        val parts = XlsxParse.readParts(() => stream.open(), sheet)
+        XlsxParse.rows(parts, width).drop(1).map { cells =>
+          Row.fromSeq(cells.zip(types).map { case (c, t) => coerce(c, t) })
+        }
+      }
+    spark.createDataFrame(rowsRdd, schema)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Minimal XLSX writer — enough SpreadsheetML for the reader (and any
+  * mainstream spreadsheet tool) to open: one sheet, inline strings
+  * (no sharedStrings part), ISO strings for timestamps.
+  *
+  * Driver-side by design: like the reference's export endpoint this
+  * produces a single human-downloadable file (reference:
+  * src/controllers.rs:188-257). Results at cluster scale should use
+  * [[Writers.exportDir]] formats instead.
+  */
+object XlsxWriter {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  def write(df: DataFrame, filePath: String, sheetName: String = "Sheet1"): java.nio.file.Path = {
+    val schema = df.schema
+    val rows = df.collect()
+    val target = Paths.get(filePath)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+
+    val zos = new ZipOutputStream(Files.newOutputStream(target))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def strCell(v: String): Unit =
+      sb.append(s"""<c t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+    // header row
+    sb.append("<row>")
+    schema.fields.foreach(f => strCell(f.name))
+    sb.append("</row>")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    rows.foreach { r =>
+      sb.append("<row>")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (r.isNullAt(i)) sb.append("<c/>")
+        else f.dataType match {
+          case _: NumericType => sb.append(s"<c><v>${r.get(i)}</v></c>")
+          case BooleanType => sb.append(s"""<c t="b"><v>${if (r.getBoolean(i)) 1 else 0}</v></c>""")
+          case TimestampType => strCell(fmt.format(r.getTimestamp(i).toInstant))
+          case _ => strCell(r.get(i).toString)
+        }
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+    part("xl/worksheets/sheet1.xml", sb.toString)
+    zos.close()
+    target
+  }
+}

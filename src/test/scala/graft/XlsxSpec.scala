@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{XlsxSource, XlsxWriter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class XlsxSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val tmp = Files.createTempDirectory("graft-xlsx").toString
+
+  test("writer → reader roundtrip preserves values and types") {
+    val df = Tables(spark, sfDir, "nation")
+    XlsxWriter.write(df, s"$tmp/nation.xlsx")
+    val back = XlsxSource.read(spark, s"$tmp/nation.xlsx")
+    assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.schema("n_nationkey").dataType == DoubleType) // numbers read as double
+    assert(back.count() == df.count())
+    val got = back.select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    val want = df.orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    assert(got.sameElements(want))
+  }
+
+  test("#Sheet selector picks the named sheet and errors on unknown") {
+    val df = Tables(spark, sfDir, "region")
+    XlsxWriter.write(df, s"$tmp/region.xlsx", sheetName = "Regions")
+    assert(XlsxSource.read(spark, s"$tmp/region.xlsx#Regions").count() == 5)
+    val e = intercept[Exception](XlsxSource.read(spark, s"$tmp/region.xlsx#Nope").count())
+    assert(e.getMessage.contains("Nope"))
+  }
+
+  test("timestamps write as ISO strings; booleans survive") {
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), true, "a"),
+      (java.sql.Timestamp.valueOf("2024-06-07 08:09:10"), false, "b"))
+      .toDF("ts", "flag", "s")
+    XlsxWriter.write(df, s"$tmp/mixed.xlsx")
+    val back = XlsxSource.read(spark, s"$tmp/mixed.xlsx").orderBy("s").collect()
+    assert(back(0).getString(0) == "2024-01-02 03:04:05")
+    assert(back(0).getBoolean(1) === true)
+    assert(back(1).getBoolean(1) === false)
+  }
+
+  test("empty path errors cleanly") {
+    val e = intercept[IllegalArgumentException](XlsxSource.read(spark, s"$tmp/none_*.xlsx"))
+    assert(e.getMessage.contains("matches no files"))
+  }
+}
