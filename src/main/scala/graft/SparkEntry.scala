@@ -12,11 +12,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ EngineOps.queries
+    SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ EngineOps.queries ++ LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ EngineOps.oracles
+    SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ EngineOps.oracles ++ LlmOps.oracles
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2D).
+  *
+  * Everything here is pure `functions._` / lambda higher-order
+  * expressions (codegen'd, no Scala UDFs in the row loop) except the
+  * fingerprint, which uses the custom codegen'd Fnv1a64/SimHash64
+  * Catalyst expressions. All operators are embarrassingly parallel
+  * scans — no shuffle — so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens + a BPE-ish `\w+|[^\w\s]` regex tokenization. */
+  def withTokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_ws_tokens", size(split(text, "\\s+")))
+      .withColumn("n_bpe_tokens", size(expr(s"regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)")))
+
+  /** Heuristic quality signals: char/word counts, mean word length,
+    * punctuation & stopword & repetition ratios. The formulas are
+    * deliberately SQL-parity-friendly (DuckDB oracle runs the same
+    * arithmetic).
+    */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val words = split(text, " ")
+    val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    df.withColumn("n_chars", length(text))
+      .withColumn("n_words", size(words))
+      .withColumn("mean_word_len",
+        (length(text) - size(words) + 1).cast("double") / size(words))
+      .withColumn("punct_ratio",
+        (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / length(text))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(split(text, ' '), w -> w IN ($stopList)))").cast("double") / size(words))
+      .withColumn("distinct_ratio",
+        size(array_distinct(words)).cast("double") / size(words))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          col("distinct_ratio") * 0.5 +
+            when(col("n_words") >= 20 && col("n_words") <= 1000, 0.3).otherwise(0.0) +
+            when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)), 4))
+  }
+
+  /** n-gram-profile language ID: score = fraction of tokens in each
+    * language's tiny stopword profile; argmax wins, 'und' if nothing
+    * scores. Cheap, shuffle-free, and the standard first-pass filter
+    * in web-scale corpus cleaning.
+    */
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une"),
+      "es" -> Seq("el", "la", "que", "de", "y", "es", "un", "una"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+    val scored = profiles.foldLeft(df.withColumn("_words", split(lower(text), "\\s+"))) {
+      case (acc, (lang, words)) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        acc.withColumn(s"_score_$lang",
+          expr(s"size(filter(_words, w -> w IN ($list)))").cast("double") / size(col("_words")))
+    }
+    val scores = array(profiles.map { case (l, _) =>
+      struct(col(s"_score_$l").as("score"), lit(l).as("lang"))
+    }: _*)
+    scored
+      .withColumn("_best", array_max(scores))
+      .withColumn("pred_lang",
+        when(col("_best.score") > 0.0, col("_best.lang")).otherwise(lit("und")))
+      .withColumn("lang_score", round(col("_best.score"), 4))
+      .drop((Seq("_words", "_best") ++ profiles.map(p => s"_score_${p._1}")): _*)
+  }
+
+  /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
+    * fingerprint (min/max over word-5-gram hashes) robust to small
+    * edits. Uses the codegen'd fnv1a64 SQL function.
+    */
+  def withFingerprint(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("fp_exact", GraftFunctions.fnv1a64(text))
+      .withColumn("_grams", expr(
+        """transform(sequence(0, greatest(size(split(text,' ')) - 5, 0)),
+          |  i -> fnv1a64(concat_ws(' ', slice(split(text,' '), i + 1, 5))))""".stripMargin))
+      .withColumn("fp_min", array_min(col("_grams")))
+      .withColumn("fp_max", array_max(col("_grams")))
+      .withColumn("fp_sim", GraftFunctions.simhash64(text))
+      .drop("_grams")
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators bound to the driver contract
+  * (SURVEY.md §2D). Oracle SQL provided wherever the semantics are
+  * ANSI-expressible; locality-sensitive ops (minhash/simhash/LSH) are
+  * rows-only by design and covered by property specs instead.
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+  }
+
+  def text_token_count(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenCounts(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def text_quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("distinct_ratio"), 4).as("distinct_ratio"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  def text_langid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("lang_score"))
+      .orderBy(col("doc_id"))
+
+  def text_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprint(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
+      .orderBy(col("doc_id"))
+
+  def dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("keep_id"))
+
+  def dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  def dedup_simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  def dedup_ngram_jaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  def dedup_embed_cosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(Tables(spark, dir, "embeddings"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def sim_topk_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.topKLsh(emb, emb.filter(col("vec_id") < 64), k = 5, bits = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def mm_decode_meta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "text_token_count" -> (text_token_count _),
+    "text_quality" -> (text_quality _),
+    "text_langid" -> (text_langid _),
+    "text_fingerprint" -> (text_fingerprint _),
+    "dedup_exact" -> (dedup_exact _),
+    "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
+    "dedup_simhash" -> (dedup_simhash _),
+    "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
+    "dedup_embed_cosine" -> (dedup_embed_cosine _),
+    "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
+    "sim_topk_lsh" -> (sim_topk_lsh _),
+    "mm_decode_meta" -> (mm_decode_meta _))
+
+  private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,
+        | cast(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) as int) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | cast(length(text) as int) AS n_chars,
+         | cast(len(string_split(text, ' ')) as int) AS n_words,
+         | round((length(text) - len(string_split(text, ' ')) + 1)::double / len(string_split(text, ' ')), 4) AS mean_word_len,
+         | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double / length(text), 4) AS punct_ratio,
+         | round(len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')), 4) AS stop_ratio,
+         | round(len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')), 4) AS distinct_ratio,
+         | round(least(1.0,
+         |   len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |   CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |   CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        | cast(strlen(text) % 640 as int) AS width,
+        | cast(ord(substr(text, 1, 1)) % 480 as int) AS height,
+        | strlen(text) AS n_bytes,
+        | cast(ord(substr(text, 1, 1)) as int) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("minhash-LSH and exact ngram-jaccard agree on near-dup pairs") {
+    val lsh = queries.LlmOps.dedup_minhash_lsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = queries.LlmOps.dedup_ngram_jaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    // LSH at 16x4 bands has >99.99% recall at j>=0.8; require full recall here
+    assert(exact.subsetOf(lsh), s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("exact dedup partitions the corpus") {
+    val d = queries.LlmOps.dedup_exact(spark, sfDir)
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(d.agg(sum("n_dupes")).head.getLong(0) == total)
+  }
+
+  test("identical texts collapse: simhash hamming 0, same fingerprint") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(docs, maxHamming = 0).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    val fp = operators.TextAnalysis.withFingerprint(docs, col("text"))
+      .select("doc_id", "fp_exact").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("brute-force top-k: ranks contiguous, cosine descending and bounded") {
+    val rows = queries.LlmOps.sim_topk_bruteforce(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length))
+      val cosines = ranked.map(_.getDouble(3))
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001), s"query $q cosine out of range")
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, s"query $q not descending")
+    }
+  }
+
+  test("LSH top-k cosines match brute-force for shared (query, neighbor) pairs") {
+    val bf = queries.LlmOps.sim_topk_bruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = queries.LlmOps.sim_topk_lsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = bf.keySet intersect lsh.keySet
+    shared.foreach(k => assert(math.abs(bf(k) - lsh(k)) < 1e-9))
+  }
+
+  test("langid predicts a known language code") {
+    val langs = queries.LlmOps.text_langid(spark, sfDir)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+}
