@@ -12,11 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ EngineOps.queries ++ LlmOps.queries
+    SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ EngineOps.queries ++
+      LlmOps.queries ++ EventsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ EngineOps.oracles ++ LlmOps.oracles
+    SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ EngineOps.oracles ++
+      LlmOps.oracles ++ EventsOps.oracles
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Events/streaming surface bound to the driver contract (§2E). The
+  * batch shapes here are the oracle-checked equivalents of the
+  * streaming queries exercised in StreamingSpec.
+  */
+object EventsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def evt_window_agg(spark: SparkSession, dir: String): DataFrame =
+    Events.hourlyAgg(Tables(spark, dir, "events"))
+      .orderBy(col("hour"), col("event_type"))
+
+  def evt_sessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, Q] = Map(
+    "evt_window_agg" -> (evt_window_agg _),
+    "evt_sessionize" -> (evt_sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        | event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  cast(sum(n) as bigint) AS n_events,
+        |  cast(max(n) as bigint) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,125 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sql.Engine
+
+import scala.jdk.CollectionConverters._
+
+/** The reference's HTTP surface on the JDK's built-in HttpServer
+  * (reference: src/main.rs + src/controllers.rs):
+  *
+  *   POST /fetch          {"sql": …}                → wrapped rows
+  *   GET  /catalog                                  → registered tables
+  *   POST /query/export   {"sql": …, "file_type":…} → file download
+  *   GET  /query/history                            → last 30 queries
+  *   GET  /health
+  *
+  * Response envelope mirrors the reference exactly
+  * (reference: src/response/schema.rs — resp_msg/data/resp_code, and
+  * FetchResult header/rows/sql_type/query_time).
+  */
+class HttpApi(engine: Engine, port: Int = 8080) {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  /** "123ms" / "4s" / "2m" style durations (reference utils.rs:85-99). */
+  private def fmtDuration(ms: Long): String =
+    if (ms < 1000) s"${ms}ms"
+    else if (ms < 60000) s"${ms / 1000}s"
+    else if (ms < 3600000) s"${ms / 60000}m"
+    else s"${ms / 3600000}h"
+
+  private def envelope(data: Any, msg: String = "", code: Int = 0): Array[Byte] =
+    mapper.writeValueAsString(Map(
+      "resp_msg" -> msg, "data" -> data, "resp_code" -> code))
+      .getBytes(StandardCharsets.UTF_8)
+
+  private def respond(ex: HttpExchange, status: Int, body: Array[Byte],
+      contentType: String = "application/json"): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def readBody(ex: HttpExchange): Map[String, String] = {
+    val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val node = mapper.readTree(raw)
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def handle(ex: HttpExchange)(f: => Unit): Unit =
+    try f catch {
+      case e: Throwable =>
+        respond(ex, 422, envelope(null,
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName), 1))
+    }
+
+  server.createContext("/health", ex => handle(ex) {
+    respond(ex, 200, envelope(""))
+  })
+
+  server.createContext("/fetch", ex => handle(ex) {
+    val sql = readBody(ex).getOrElse("sql",
+      throw new IllegalArgumentException("missing field: sql"))
+    val r = engine.execute(sql)
+    respond(ex, 200, envelope(Map(
+      "header" -> r.header, "rows" -> r.rows,
+      "sql_type" -> r.sqlType, "query_time" -> fmtDuration(r.queryTimeMs))))
+  })
+
+  server.createContext("/catalog", ex => handle(ex) {
+    val tables = engine.catalog.listTables.map(e => Map(
+      "id" -> e.id, "table_ref" -> e.tableRef, "table_path" -> e.tablePath,
+      "table_schema" -> e.schema.map(f => Map(
+        "field" -> f.field, "field_type" -> f.fieldType, "comment" -> f.comment.orNull))))
+    respond(ex, 200, envelope(tables))
+  })
+
+  server.createContext("/query/export", ex => handle(ex) {
+    val body = readBody(ex)
+    val sql = body.getOrElse("sql", throw new IllegalArgumentException("missing field: sql"))
+    val fileType = body.getOrElse("file_type", "CSV")
+    val ext = fileType.toUpperCase match {
+      case "TSV" => ".tsv"
+      case "JSON" | "DNJSON" | "NDJSON" => ".json"
+      case _ => ".csv"
+    }
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val out = s"${sys.props("java.io.tmpdir")}/graft-export/query-$stamp$ext"
+    val path = engine.exportFile(sql, fileType, out)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    ex.getResponseHeaders.set("attachment",
+      s"filename=${java.net.URLEncoder.encode(new java.io.File(path).getName, "UTF-8")}")
+    respond(ex, 200, bytes, "application/octet-stream")
+  })
+
+  server.createContext("/query/history", ex => handle(ex) {
+    val hist = engine.catalog.history(30).map(h => Map(
+      "sql" -> h.sql, "status" -> h.status, "created_at" -> h.createdAt))
+    respond(ex, 200, envelope(hist))
+  })
+
+  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** Standalone server entry point (reference: src/main.rs binds :8080). */
+object HttpApi {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val spark = graft.GraftSession(sys.env.getOrElse("SPARK_MASTER", "local[*]"), "graft-server")
+    val api = new HttpApi(new Engine(spark), port).start()
+    println(s"graft server listening on :${api.boundPort}")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.server.HttpApi
+import graft.sql.Engine
+import org.scalatest.funsuite.AnyFunSuite
+
+class HttpApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val api = new HttpApi(
+    new Engine(spark, dataDir = sfDir,
+      catalogDir = Files.createTempDirectory("graft-http-cat").toString),
+    port = 0).start()
+  private lazy val base = s"http://127.0.0.1:${api.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("/health responds with the success envelope") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"resp_code\":0"))
+  }
+
+  test("/fetch runs SELECT over a direct path and wraps rows") {
+    val r = post("/fetch", s"""{"sql": "select count(*) as n from '$sfDir/nation.parquet'"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"header\":[\"n\"]"))
+    assert(r.body().contains("\"rows\":[[\"25\"]]"))
+    assert(r.body().contains("\"sql_type\":\"DML\""))
+    assert(r.body().contains("\"query_time\""))
+  }
+
+  test("/fetch DDL then named query; /catalog lists the table") {
+    val ddl = post("/fetch", """{"sql": "create table api_nation (n_nationkey int) comment 'api test' location 'nation.parquet'"}""")
+    assert(ddl.body().contains("\"sql_type\":\"DDL\""))
+    val sel = post("/fetch", """{"sql": "select count(*) as n from api_nation"}""")
+    assert(sel.body().contains("\"rows\":[[\"25\"]]"))
+    val cat = get("/catalog")
+    assert(cat.body().contains("\"table_ref\":\"api_nation\""))
+    assert(cat.body().contains("\"field\":\"n_nationkey\""))
+  }
+
+  test("/fetch rejects non-SELECT/CREATE with resp_code 1") {
+    val r = post("/fetch", """{"sql": "drop table x"}""")
+    assert(r.statusCode() == 422)
+    assert(r.body().contains("\"resp_code\":1"))
+  }
+
+  test("/query/export downloads CSV bytes") {
+    val r = post("/query/export",
+      s"""{"sql": "select r_regionkey, r_name from '$sfDir/region.parquet' order by r_regionkey", "file_type": "CSV"}""")
+    assert(r.statusCode() == 200)
+    val lines = r.body().linesIterator.toSeq
+    assert(lines.head == "r_regionkey,r_name")
+    assert(lines.size == 6)
+    assert(r.headers().firstValue("attachment").isPresent)
+  }
+
+  test("/query/history returns recent queries newest-first") {
+    post("/fetch", """{"sql": "select 42 as answer"}""")
+    val r = get("/query/history")
+    assert(r.body().contains("select 42 as answer"))
+    assert(r.body().contains("\"status\":\"successful\""))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.streaming.Events
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming hourly agg over events matches the batch result") {
+    val stream = Events.stream(spark, sfDir)
+    assert(stream.isStreaming)
+    val q = Events.streamingHourlyAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName("evt_out").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    // append mode only emits windows closed by the watermark; every emitted
+    // row must match the batch aggregate exactly.
+    val streamed = spark.table("evt_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.hourlyAgg(Tables(spark, sfDir, "events")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty, "watermark should close at least one window")
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k mismatch") }
+  }
+
+  test("sessionization: single user with two bursts yields two sessions") {
+    import spark.implicits._
+    val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(60000)), (1L, ts(120000)),      // burst 1
+      (1L, ts(200000000)), (1L, ts(200060000))             // burst 2, >1day later
+    ).toDF("user_id", "ts")
+    val stats = Events.sessionStats(df).collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    assert(r.getLong(1) == 2, "n_sessions")
+    assert(r.getLong(2) == 5, "n_events")
+    assert(r.getLong(3) == 3, "max_session_events")
+  }
+}
