@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, Fnv1a64, SimHash64}
+import org.apache.spark.sql.graftglue.{Bridge, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, SimHash64, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -24,6 +24,148 @@ object TextHashes {
   }
 
   def fnv1a64(s: UTF8String): Long = fnv1a64(s.getBytes)
+
+  /** splitmix64 — cheap, high-quality 64-bit mixer used to derive the
+    * per-function seeds of the minhash family and hyperplane signs.
+    */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature kernel: one base hash per shingle, then `num`
+    * universal-hash variants (a_i*h + b_i) minimized across shingles.
+    * O(shingles + shingles*num) multiply-adds — no string building per
+    * hash function (the naive nested-lambda formulation is interpreted
+    * per element by Spark's HigherOrderFunction and ~1000x slower).
+    */
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData, num: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) { base(i) = fnv1a64(arr.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](num)
+    var f = 0
+    while (f < num) {
+      val a = splitmix64(2L * f + 1) | 1L
+      val b = splitmix64(2L * f + 2)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = a * base(j) + b
+        if (v < m) m = v
+        j += 1
+      }
+      out(f) = m
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Random-hyperplane sign signature over a float vector: bit i is
+    * the sign of Σ_j v(j)·plane(i,j) with plane(i,j) = ±1 from
+    * splitmix64 parity. Deterministic, no stored planes.
+    */
+  def hyperplaneSig(arr: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val sign = if ((splitmix64(i * 1315423911L + j) & 1L) == 0L) 1.0 else -1.0
+        acc += arr.getFloat(j) * sign
+        j += 1
+      }
+      sig = (sig << 1) | (if (acc >= 0) 1L else 0L)
+      i += 1
+    }
+    sig
+  }
+
+  /** Dot product of two float vectors, accumulated in double. */
+  def vecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** L2 norm of a float vector (double accumulation). */
+  def vecNorm(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Distinct word-k-gram shingle set of a string — the single-pass
+    * kernel behind the Shingles expression (the transform/slice/
+    * concat_ws SQL formulation is interpreted per element).
+    */
+  def shingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    val out = new java.util.LinkedHashSet[String]()
+    if (words.length <= k) {
+      out.add(words.mkString(" "))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Winnowed fingerprint kernel: [min, max] of fnv1a64 over the
+    * word-`n`-grams of `s` (single pass, no shingle materialization).
+    */
+  def winnowMinMax(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    if (words.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val h = fnv1a64(sb.toString.getBytes("UTF-8"))
+        if (h < mn) mn = h
+        if (h > mx) mx = h
+        i += 1
+      }
+    } else {
+      val h = fnv1a64(s)
+      mn = h; mx = h
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(mn, mx))
+  }
 
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
@@ -66,6 +208,17 @@ object TextHashes {
 object GraftFunctions {
   def fnv1a64(c: Column): Column = Bridge.column(Fnv1a64(Bridge.expression(c)))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def minhashSig(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+  def hyperplaneSig(c: Column, bits: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), bits))
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  def vecNorm(c: Column): Column = Bridge.column(VecNorm(Bridge.expression(c)))
+  def winnowMinMax(c: Column, n: Int): Column =
+    Bridge.column(WinnowMinMax(Bridge.expression(c), n))
+  def shingles(c: Column, k: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(c), k))
 
   /** Make `fnv1a64(...)` / `simhash64(...)` usable from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

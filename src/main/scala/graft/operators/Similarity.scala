@@ -21,29 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double
-    * (fixed left-to-right order → deterministic).
+  /** Dot product of two float-array columns, accumulated in double in
+    * fixed order (deterministic) — codegen'd VecDot kernel; the
+    * zip_with/aggregate formulation is interpreted per element.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.vecDot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(a: Column): Column = graft.functions.GraftFunctions.vecNorm(a)
 
   /** `bits`-bit random-hyperplane signature. Plane component (i, j) is
-    * ±1 by the parity of xxhash64(i, ':', j) — deterministic pseudo-
-    * randomness with no stored plane matrix.
+    * ±1 by splitmix64 parity — deterministic pseudo-randomness with no
+    * stored plane matrix (codegen'd HyperplaneSig kernel).
     */
-  def signature(vec: Column, bits: Int): Column = {
-    val c = expr(
-      s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, i) ->
-         |  acc * 2 + if(
-         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |      (x, j) -> cast(x as double) * (cast(xxhash64(concat(cast(i as string), ':', cast(j as string))) % 2 as double) * 2 + 1)),
-         |      cast(0 as double), (a, x) -> a + x) >= 0, 1, 0))""".stripMargin)
-    c
-  }
+  def signature(vec: Column, bits: Int): Column =
+    graft.functions.GraftFunctions.hyperplaneSig(vec, bits)
 
   /** Exact cosine top-k: every query vector against the full corpus.
     * `queries` must be small (it is broadcast).

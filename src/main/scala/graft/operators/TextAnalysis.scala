@@ -80,11 +80,9 @@ object TextAnalysis {
     */
   def withFingerprint(df: DataFrame, text: Column): DataFrame =
     df.withColumn("fp_exact", GraftFunctions.fnv1a64(text))
-      .withColumn("_grams", expr(
-        """transform(sequence(0, greatest(size(split(text,' ')) - 5, 0)),
-          |  i -> fnv1a64(concat_ws(' ', slice(split(text,' '), i + 1, 5))))""".stripMargin))
-      .withColumn("fp_min", array_min(col("_grams")))
-      .withColumn("fp_max", array_max(col("_grams")))
+      .withColumn("_mm", GraftFunctions.winnowMinMax(text, 5))
+      .withColumn("fp_min", element_at(col("_mm"), 1))
+      .withColumn("fp_max", element_at(col("_mm"), 2))
       .withColumn("fp_sim", GraftFunctions.simhash64(text))
-      .drop("_grams")
+      .drop("_mm")
 }
