@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** SQL operator surface, part C (SURVEY.md §2A extensions): exact
+  * percentiles, grouping sets/cube, pivot, inline VALUES, full outer
+  * join, explode/lateral, JSON functions, as-of join, approx distinct.
+  */
+object SqlSurfaceC {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact percentiles (linear interpolation) per group. */
+  def q26_percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("_q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("_q"), 1), 4).as("p25"),
+        round(element_at(col("_q"), 2), 4).as("p50"),
+        round(element_at(col("_q"), 3), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUP BY GROUPING SETS with grouping markers. */
+  def q27_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** GROUP BY CUBE over two dimensions. */
+  def q28_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(money(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** PIVOT (wide conditional aggregation). */
+  def q29_pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Inline VALUES relation joined to a table. */
+  def q30_values(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT v.code, n.n_name
+        |FROM (VALUES (0, 'ZERO'), (1, 'ONE'), (2, 'TWO')) AS v(nk, code)
+        |JOIN nation n ON n.n_nationkey = v.nk
+        |ORDER BY v.nk""".stripMargin)
+  }
+
+  /** Full outer join with nulls on both sides. */
+  def q31_full_outer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_acctbal") > 9990.0)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("c_cnt"))
+    val s = Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("s_cnt"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+        col("c_cnt"), col("s_cnt"))
+      .orderBy(col("nk"))
+  }
+
+  /** explode / lateral unnest: global word frequencies. */
+  def q32_explode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  /** JSON extraction from a string column. */
+  def q33_json(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val").cast("long")).as("k_sum"),
+        count(when(col("k_val") > 50, 1)).as("k_gt50"))
+      .orderBy(col("event_type"))
+
+  /** As-of join: each event gets the user's most recent order at or
+    * before the event time (AsOfJoin operator — one shuffle, no
+    * expansion).
+    */
+  def q34_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .filter(col("event_id") < 5000)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.asOf(
+      events, col("user_id"), col("ts"),
+      orders, col("o_custkey"), col("o_orderdate"),
+      rightPayload = Seq("o_orderkey", "o_totalprice"), rightTiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        col("o_totalprice").cast("double").as("last_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
+  def approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "q26_percentile" -> (q26_percentile _),
+    "q27_grouping_sets" -> (q27_grouping_sets _),
+    "q28_cube" -> (q28_cube _),
+    "q29_pivot" -> (q29_pivot _),
+    "q30_values" -> (q30_values _),
+    "q31_full_outer" -> (q31_full_outer _),
+    "q32_explode" -> (q32_explode _),
+    "q33_json" -> (q33_json _),
+    "q34_asof_join" -> (q34_asof_join _),
+    "approx_distinct" -> (approx_distinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_percentile" ->
+      """SELECT l_returnflag,
+        | round((quantile_cont(l_quantity, [0.25, 0.5, 0.75]))[1], 4) AS p25,
+        | round((quantile_cont(l_quantity, [0.25, 0.5, 0.75]))[2], 4) AS p50,
+        | round((quantile_cont(l_quantity, [0.25, 0.5, 0.75]))[3], 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q28_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         | ${oDecSum(oMoney("o_totalprice"))} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q29_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q30_values" ->
+      """SELECT v.code, n.n_name
+        |FROM (VALUES (0, 'ZERO'), (1, 'ONE'), (2, 'TWO')) AS v(nk, code)
+        |JOIN nation n ON n.n_nationkey = v.nk
+        |ORDER BY v.nk""".stripMargin,
+    "q31_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, count(*) AS c_cnt FROM customer
+        |  WHERE c_acctbal > 9990.0 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nk, c_cnt, s_cnt
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nk""".stripMargin,
+    "q32_explode" ->
+      """SELECT u.word, count(*) AS cnt
+        |FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |GROUP BY u.word ORDER BY cnt DESC, u.word LIMIT 20""".stripMargin,
+    "q33_json" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS k_sum,
+        | count(CASE WHEN cast(json_extract_string(props, '$.k') as int) > 50 THEN 1 END) AS k_gt50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | o.o_orderkey AS last_orderkey,
+        | cast(o.o_totalprice as double) AS last_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |WHERE e.event_id < 5000
+        |ORDER BY e.event_id""".stripMargin)
+}
