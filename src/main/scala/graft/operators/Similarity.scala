@@ -52,6 +52,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k. Index build: every vector
+    * is assigned to its nearest of `nCentroids` seed centroids (one
+    * map-side-combinable `max_by` aggregate — the only corpus shuffle).
+    * Search: each query probes its `nProbe` nearest centroids and
+    * scores only vectors in those cells. Seeds are the first
+    * `nCentroids` corpus vectors (deterministic; production would
+    * k-means-refine them — the dataflow is identical).
+    */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
+        l2norm(col("embedding")).as("_cnorm"))
+
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(centroids))
+        .withColumn("_cscore", dot(col(emb), col("_cent")) / col("_cnorm"))
+      if (keep == 1)
+        scored.groupBy(col(id)).agg(expr("max_by(cid, _cscore)").as("cid"))
+      else {
+        val w = Window.partitionBy(col(id)).orderBy(col("_cscore").desc, col("cid"))
+        scored.withColumn("_crank", row_number().over(w))
+          .filter(col("_crank") <= keep).select(col(id), col("cid"))
+      }
+    }
+
+    val corpusCells = assign(corpus, "vec_id", "embedding", 1)
+      .join(corpus, "vec_id")
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("_ce"))
+    val queryCells = assign(queries, "vec_id", "embedding", nProbe)
+      .join(queries, "vec_id")
+      .select(col("cid"), col("vec_id").as("query_id"), col("embedding").as("_qe"))
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Approximate top-k: score only within matching hyperplane-sign
     * buckets. Recall trades off with `bits`; at scale the bucket join
     * replaces the full cross product.

@@ -143,7 +143,35 @@ object EngineOps {
          |FROM '$base/part_*.xlsx' ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Bucketed co-located join: both fact tables written bucketed+sorted
+    * on the join key, so the sort-merge join runs with NO shuffle
+    * exchange (spec-asserted) — the pre-partitioning strategy that, at
+    * 100 TB, turns every repeated key-equijoin on these tables from a
+    * full-corpus shuffle into a local merge.
+    */
+  def opt_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "bucketed")
+    def bucketize(table: String, name: String, key: String, cols: Seq[String]): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        Tables(spark, dir, table).select(cols.map(col): _*)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name").saveAsTable(name)
+      }
+    bucketize("lineitem", "li_bucketed", "l_orderkey",
+      Seq("l_orderkey", "l_quantity", "l_extendedprice"))
+    bucketize("orders", "ord_bucketed", "o_orderkey",
+      Seq("o_orderkey", "o_orderpriority"))
+    spark.table("li_bucketed").hint("merge")
+      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        QueryUtil.decSum(QueryUtil.money(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "opt_bucketed_join" -> (opt_bucketed_join _),
     "fmt_xlsx_roundtrip" -> (fmt_xlsx_roundtrip _),
     "fmt_direct_path" -> (fmt_direct_path _),
     "fmt_glob_path" -> (fmt_glob_path _),
@@ -155,6 +183,11 @@ object EngineOps {
     "fmt_json_array" -> (fmt_json_array _))
 
   val oracles: Map[String, String] = Map(
+    "opt_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "fmt_xlsx_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "fmt_direct_path" ->

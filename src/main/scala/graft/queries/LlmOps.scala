@@ -68,6 +68,12 @@ object LlmOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def sim_topk_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.topKIvf(emb, emb.filter(col("vec_id") < 64), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def sim_topk_lsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKLsh(emb, emb.filter(col("vec_id") < 64), k = 5, bits = 6)
@@ -90,6 +96,7 @@ object LlmOps {
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
+    "sim_topk_ivf" -> (sim_topk_ivf _),
     "mm_decode_meta" -> (mm_decode_meta _))
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row for typed stateful processing. */
+case class UserEvent(user_id: Long, event_type: String, value: Double)
+
+/** Per-user running aggregate carried in stream state. */
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Custom stateful streaming via KeyValueGroupedDataset state APIs
+  * (SURVEY.md §2E): a per-user running counter that survives across
+  * micro-batches — the shape used for custom sessionization, dedup
+  * windows, or rate tracking when session_window/window can't express
+  * the state machine. State is partitioned by key across executors.
+  */
+object Stateful {
+
+  def updateRunning(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserRunning]): UserRunning = {
+    val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+    var n = prev.n_events
+    var tot = prev.total_value
+    events.foreach { e => n += 1; tot += e.value }
+    val next = UserRunning(userId, n, tot)
+    state.update(next)
+    next
+  }
+
+  /** Attach the running per-user aggregate to a stream of events. */
+  def runningPerUser(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateRunning)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.{Stateful, UserEvent}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bucketed join plans with zero shuffle exchanges") {
+    val df = queries.EngineOps.opt_bucketed_join(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(
+      // the final orderBy adds a rangepartitioning exchange; only the JOIN must be shuffle-free
+      plan.substring(plan.indexOf("SortMergeJoin"))).size
+    assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+    assert(shuffles == 0, s"join subtree must have no hash exchanges:\n$plan")
+  }
+
+  test("IVF top-k cosines match brute-force for shared pairs") {
+    val bf = queries.LlmOps.sim_topk_bruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = queries.LlmOps.sim_topk_ivf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = bf.keySet intersect ivf.keySet
+    assert(ivf.nonEmpty, "IVF should return results")
+    shared.foreach(k => assert(math.abs(bf(k) - ivf(k)) < 1e-9))
+  }
+
+  test("stateful streaming: running per-user counters accumulate across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stateful")
+    val evDf = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    evDf.write.mode("overwrite").parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(evDf.schema).parquet(dir.toString + "/in")
+      .as[UserEvent]
+    val q = Stateful.runningPerUser(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("running_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user must equal the batch totals
+    val got = spark.table("running_out")
+      .groupBy("user_id").agg(max("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = evDf.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
