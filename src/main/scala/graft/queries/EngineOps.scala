@@ -170,7 +170,30 @@ object EngineOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Partitioned layout + partition pruning: events written
+    * `partitionBy(event_date)`, then a single-day query — the scan
+    * must touch only that day's directory (PartitionFilters prune;
+    * spec-asserted). The layout strategy for time-series data at
+    * 100 TB: pruning happens at file-listing time, before any IO.
+    */
+  def opt_partition_pruning(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "events_partitioned")
+    val marker = new java.io.File(s"$base/_SUCCESS")
+    if (!marker.exists()) {
+      Tables(spark, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(base)
+    }
+    spark.read.parquet(base)
+      .filter(col("event_date") === lit("2024-01-05"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        QueryUtil.decSum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "opt_partition_pruning" -> (opt_partition_pruning _),
     "opt_bucketed_join" -> (opt_bucketed_join _),
     "fmt_xlsx_roundtrip" -> (fmt_xlsx_roundtrip _),
     "fmt_direct_path" -> (fmt_direct_path _),
@@ -183,6 +206,11 @@ object EngineOps {
     "fmt_json_array" -> (fmt_json_array _))
 
   val oracles: Map[String, String] = Map(
+    "opt_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+        |FROM events WHERE cast(ts as date) = DATE '2024-01-05'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "opt_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty

@@ -117,6 +117,19 @@ object SqlSurfaceC {
       .orderBy(col("event_id"))
   }
 
+  /** INTERSECT / EXCEPT set operations (distinct semantics). */
+  def q35_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_nationkey").as("nk"))
+    val suppNations = Tables(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nk"))
+    custNations.intersect(suppNations).withColumn("op", lit("intersect"))
+      .unionByName(custNations.except(suppNations).withColumn("op", lit("except")))
+      .select(col("op"), col("nk"))
+      .orderBy(col("op"), col("nk"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -135,6 +148,7 @@ object SqlSurfaceC {
     "q32_explode" -> (q32_explode _),
     "q33_json" -> (q33_json _),
     "q34_asof_join" -> (q34_asof_join _),
+    "q35_set_ops" -> (q35_set_ops _),
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +208,12 @@ object SqlSurfaceC {
         |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
         |WHERE e.event_id < 5000
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q35_set_ops" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0),
+        |sn AS (SELECT s_nationkey AS nk FROM supplier)
+        |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |UNION ALL
+        |SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        |ORDER BY op, nk""".stripMargin)
 }

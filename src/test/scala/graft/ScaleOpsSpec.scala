@@ -27,6 +27,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     shared.foreach(k => assert(math.abs(bf(k) - ivf(k)) < 1e-9))
   }
 
+  test("partition-pruned scan touches only the filtered partition") {
+    val df = queries.EngineOps.opt_partition_pruning(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s"expected partition filter on event_date: $pf")
+    assert(df.count() > 0)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = graft.operators.SkewJoin.saltedJoin(
+      li, col("l_orderkey"), ord, col("o_orderkey"), salts = 4).count()
+    assert(plain == salted)
+  }
+
   test("stateful streaming: running per-user counters accumulate across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful")
