@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~60 queries x whole-stage-codegen classes overflow the default
+  // 240m JIT code cache mid-bench, silently de-optimizing later
+  // queries (observed: q01 1.7s -> 23s depending on run order).
+  "-XX:ReservedCodeCacheSize=1g",
 )

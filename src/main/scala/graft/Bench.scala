@@ -19,11 +19,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the 100-entry default evicts the big generated
+      // classes mid-suite and re-pays multi-second codegen per query
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Double = {
+      // JMH-style hygiene: measure each query against a quiet heap —
+      // without this, allocation-heavy queries (decimal aggregates)
+      // absorb the previous queries' garbage collection debt (observed
+      // q01 1.7s clean vs 13s mid-suite).
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -31,7 +39,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop per-query persisted intermediates (dedup signature
+      // relations) so later queries aren't squeezed by stale cache
+      spark.catalog.clearCache()
+      t
     }
 
     // warmup: one mid-weight query end-to-end (JIT, codegen, IO paths)

@@ -40,6 +40,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // static conf: default 100-entry codegen class cache evicts and
+      // re-pays multi-second compilation in many-query workloads
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def apply(master: String = "local[*]", app: String = "graft"): SparkSession = {

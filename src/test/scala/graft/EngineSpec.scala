@@ -67,6 +67,17 @@ class EngineSpec extends AnyFunSuite {
     assert(lines.size == 26)
   }
 
+  test("direct-path with alias joins a catalog table in one statement") {
+    val eng = freshEngine()
+    eng.execute("create table ord_cat () location 'orders.parquet'")
+    val res = eng.execute(
+      s"""select count(*) as n
+         |from '$sfDir/lineitem.parquet' as li
+         |join ord_cat o on li.l_orderkey = o.o_orderkey
+         |where o.o_totalprice > 450000.0""".stripMargin)
+    assert(res.rows.head.head.toLong > 0)
+  }
+
   test("direct-path quoted string in a predicate is NOT treated as a table") {
     val eng = freshEngine()
     val res = eng.execute("select 'x.csv' as lit_col")
