@@ -117,6 +117,27 @@ object SqlSurfaceC {
       .orderBy(col("event_id"))
   }
 
+  /** Banded time-range join (RangeJoin operator): for each error
+    * event, the count and value-sum of click events by the same user
+    * within ±2 hours.
+    */
+  def q36_range_join(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val events = Tables(spark, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    RangeJoin.timeRangeJoin(
+      errors, col("user_id"), col("ts"),
+      clicks, col("c_user"), col("c_ts"), windowSec = 7200)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** INTERSECT / EXCEPT set operations (distinct semantics). */
   def q35_set_ops(spark: SparkSession, dir: String): DataFrame = {
     val custNations = Tables(spark, dir, "customer")
@@ -149,6 +170,7 @@ object SqlSurfaceC {
     "q33_json" -> (q33_json _),
     "q34_asof_join" -> (q34_asof_join _),
     "q35_set_ops" -> (q35_set_ops _),
+    "q36_range_join" -> (q36_range_join _),
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +237,13 @@ object SqlSurfaceC {
         |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
         |UNION ALL
         |SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
-        |ORDER BY op, nk""".stripMargin)
+        |ORDER BY op, nk""".stripMargin,
+    "q36_range_join" ->
+      """SELECT e.event_id, e.user_id, count(*) AS n_clicks,
+        | cast(sum(cast(c.value as decimal(18,6))) as double) AS click_value
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= cast(7200 as bigint) * 1000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin)
 }

@@ -109,7 +109,12 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     respond(ex, 200, envelope(hist))
   })
 
-  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
+  def start(): HttpApi = {
+    // concurrent request handling; Spark sessions are thread-safe for
+    // concurrent query execution (each request plans independently)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.start(); this
+  }
   def stop(): Unit = server.stop(0)
 }
 
