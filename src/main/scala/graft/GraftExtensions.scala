@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftglue.{Fnv1a64, SimHash64}
+
+/** SparkSessionExtensions entry point, so a cluster deployment can
+  * enable the graft SQL functions with config alone:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (the runtime alternative is GraftFunctions.register(spark)).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, usage: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      es => {
+        require(es.length == 1, s"$name expects exactly 1 argument, got ${es.length}")
+        f(es.head)
+      })
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(unary("fnv1a64",
+      "fnv1a64(str) - 64-bit FNV-1a fingerprint of a string", Fnv1a64.apply))
+    e.injectFunction(unary("simhash64",
+      "simhash64(str) - 64-bit token-level SimHash of a string", SimHash64.apply))
+  }
+}

@@ -56,11 +56,29 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
+  /** Error taxonomy mirroring the reference (src/response/http_error.rs:
+    * 28-70): 400 bad request, 404 file-not-found, 422 unprocessable
+    * SQL/data, 500 anything else. Error bodies carry resp_msg +
+    * resp_code only (no data field), like HttpResponseError.
+    */
+  private def statusFor(e: Throwable): Int = {
+    val msg = Option(e.getMessage).getOrElse("")
+    e match {
+      case _ if msg.contains("PATH_NOT_FOUND") || msg.contains("matches no files") => 404
+      case _: IllegalArgumentException => 400
+      case _: graft.sql.GraftSqlException => 422
+      case _ if e.getClass.getName.contains("Parse") || e.getClass.getName.contains("Analysis") => 422
+      case _ => 500
+    }
+  }
+
   private def handle(ex: HttpExchange)(f: => Unit): Unit =
     try f catch {
       case e: Throwable =>
-        respond(ex, 422, envelope(null,
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName), 1))
+        val body = mapper.writeValueAsString(Map(
+          "resp_msg" -> Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+          "resp_code" -> 1)).getBytes(StandardCharsets.UTF_8)
+        respond(ex, statusFor(e), body)
     }
 
   server.createContext("/health", ex => handle(ex) {
@@ -91,6 +109,7 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     val ext = fileType.toUpperCase match {
       case "TSV" => ".tsv"
       case "JSON" | "DNJSON" | "NDJSON" => ".json"
+      case "XLSX" => ".xlsx"
       case _ => ".csv"
     }
     val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")

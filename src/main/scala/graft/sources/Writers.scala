@@ -23,11 +23,14 @@ object Writers {
     case object Csv extends ExportFormat { val extension = ".csv" }
     case object Tsv extends ExportFormat { val extension = ".tsv" }
     case object NdJson extends ExportFormat { val extension = ".json" }
+    /** beyond the reference's CSV/TSV/JSON (single-file only) */
+    case object Xlsx extends ExportFormat { val extension = ".xlsx" }
 
     def of(name: String): ExportFormat = name.trim.toUpperCase match {
       case "CSV" => Csv
       case "TSV" => Tsv
       case "JSON" | "NDJSON" | "DNJSON" => NdJson
+      case "XLSX" => Xlsx
       case other => throw new IllegalArgumentException(s"Unknown export format: $other")
     }
   }
@@ -39,6 +42,9 @@ object Writers {
       df.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(dir)
     case ExportFormat.NdJson =>
       df.write.mode("overwrite").json(dir)
+    case ExportFormat.Xlsx =>
+      throw new IllegalArgumentException(
+        "XLSX is a single-file download format; use exportFile")
   }
 
   /** Distributed partitioned export — the 100 TB path. */
@@ -47,6 +53,7 @@ object Writers {
 
   /** Single-file export for download; returns the file path. */
   def exportFile(df: DataFrame, filePath: String, format: ExportFormat): Path = {
+    if (format == ExportFormat.Xlsx) return XlsxWriter.write(df, filePath)
     val target = Paths.get(filePath)
     val tmpDir = target.resolveSibling(target.getFileName.toString + ".staging")
     write(df.coalesce(1), tmpDir.toString, format)
