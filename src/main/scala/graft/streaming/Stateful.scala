@@ -36,4 +36,28 @@ object Stateful {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateRunning)
   }
+
+  /** flatMapGroupsWithState variant: emit an alert row only when a
+    * user's cumulative value first crosses `threshold` — the 0-or-1
+    * output shape mapGroupsWithState can't express (it must emit one
+    * row per key per batch).
+    */
+  def thresholdAlerts(
+      spark: SparkSession,
+      events: Dataset[UserEvent],
+      threshold: Double): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val crossedBefore = prev.total_value >= threshold
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, tot)
+          state.update(next)
+          if (!crossedBefore && tot >= threshold) Iterator(next) else Iterator.empty
+        })
+  }
 }

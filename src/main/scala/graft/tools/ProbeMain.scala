@@ -1,18 +1,23 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    // fresh JVM (sbt fork): withExtensions applies at session creation
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new graft.GraftExtensions)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    println("PROBE ext-sql => " + spark.sql("select fnv1a64('hello') as f, simhash64('a b c') as s").collect().mkString)
-    println("PROBE ext-describe => " + spark.sql("describe function fnv1a64").collect().map(_.getString(0)).mkString(" | ").take(120))
-    try spark.sql("select fnv1a64('a','b')").collect()
-    catch { case e: Throwable => println("PROBE ext-arity => " + Option(e.getMessage).getOrElse("").linesIterator.next().take(100)) }
+    val spark = GraftSession("local[4]", "probe")
+    import spark.implicits._
+    // drive flatMapGroupsWithState alerts end-to-end as a streaming query
+    val dir = java.nio.file.Files.createTempDirectory("probe-alerts")
+    val evDf = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    evDf.write.mode("overwrite").parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(evDf.schema).parquet(dir.toString + "/in")
+      .as[graft.streaming.UserEvent]
+    val q = graft.streaming.Stateful.thresholdAlerts(spark, stream, threshold = 100.0)
+      .writeStream.outputMode("append").format("memory").queryName("alerts").start()
+    q.processAllAvailable(); q.stop()
+    val alerts = spark.table("alerts").collect()
+    println(s"PROBE alerts => ${alerts.length} alerts, sample=${alerts.take(2).mkString(", ")}")
+    println(s"PROBE alerts-distinct-users => ${alerts.map(_.getLong(0)).distinct.length == alerts.length}")
     spark.stop()
   }
 }

@@ -44,6 +44,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("flatMapGroupsWithState emits exactly one alert per user crossing the threshold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-alerts")
+    val evDf = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    evDf.write.mode("overwrite").parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(evDf.schema).parquet(dir.toString + "/in")
+      .as[graft.streaming.UserEvent]
+    val q = graft.streaming.Stateful.thresholdAlerts(spark, stream, threshold = 100.0)
+      .writeStream.outputMode("append").format("memory").queryName("alerts_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val alerts = spark.table("alerts_out").collect()
+    // at most one alert per user, and each alert's total >= threshold
+    assert(alerts.map(_.getLong(0)).distinct.length == alerts.length)
+    assert(alerts.forall(_.getDouble(2) >= 100.0))
+    // every user whose batch total crosses the threshold must alert
+    val shouldAlert = evDf.groupBy("user_id").sum("value").collect()
+      .filter(_.getDouble(1) >= 100.0).map(_.getLong(0)).toSet
+    assert(alerts.map(_.getLong(0)).toSet == shouldAlert)
+  }
+
   test("stateful streaming: running per-user counters accumulate across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful")
