@@ -220,6 +220,11 @@ object GraftFunctions {
   def shingles(c: Column, k: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), k))
 
+  /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
+  def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftglue.SpaceSavingTopK(
+      Bridge.expression(c), k, capacity).toAggregateExpression())
+
   /** Make `fnv1a64(...)` / `simhash64(...)` usable from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     def unary(name: String, f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(

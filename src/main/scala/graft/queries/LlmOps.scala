@@ -80,6 +80,20 @@ object LlmOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Corpus heavy hitters via the custom SpaceSaving
+    * TypedImperativeAggregate. capacity (256) exceeds the corpus
+    * vocabulary, so counts are exact here and the DuckDB word-count
+    * oracle applies; at real scale the same aggregate keeps only 256
+    * counters per partial.
+    */
+  def text_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(GraftFunctions.spaceSavingTopK(col("word"), 15, 256).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("word"), col("t.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
   def mm_decode_meta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
@@ -97,6 +111,7 @@ object LlmOps {
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
+    "text_heavy_hitters" -> (text_heavy_hitters _),
     "mm_decode_meta" -> (mm_decode_meta _))
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
@@ -120,6 +135,10 @@ object LlmOps {
          |   CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
          |   CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT u.word, count(*) AS cnt
+        |FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |GROUP BY u.word ORDER BY cnt DESC, u.word LIMIT 15""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

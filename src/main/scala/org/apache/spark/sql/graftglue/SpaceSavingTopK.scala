@@ -1,0 +1,106 @@
+package org.apache.spark.sql.graftglue
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Mutable SpaceSaving (Metwally et al.) summary: tracks at most
+  * `capacity` counters; an unseen item evicts the current minimum and
+  * inherits its count (+1), so every true heavy hitter of frequency
+  * > N/capacity is guaranteed present. While distinct items ≤
+  * capacity, counts are exact.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+  val counts: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty
+
+  def add(item: String, by: Long = 1L): Unit =
+    counts.get(item) match {
+      case Some(c) => counts.update(item, c + by)
+      case None if counts.size < capacity => counts.update(item, by)
+      case None =>
+        val (minK, minV) = counts.minBy(_._2)
+        counts.remove(minK)
+        counts.update(item, minV + by)
+    }
+
+  def mergeIn(other: SpaceSavingBuffer): Unit =
+    other.counts.foreach { case (k, v) => add(k, v) }
+}
+
+/** Approximate top-k heavy hitters as a custom
+  * [[TypedImperativeAggregate]] — the mergeable-sketch aggregation
+  * extension point (partial aggregates merge across partitions, so
+  * the full pass over a 100 TB corpus shuffles only `capacity`
+  * counters per partial).
+  *
+  * Output: array<struct<item string, cnt long>> of the `k` largest,
+  * ordered by (cnt desc, item) for determinism.
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "spacesaving_topk"
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(buf: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingBuffer, other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: SpaceSavingBuffer): Any = {
+    val top = buf.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }.take(k)
+    new GenericArrayData(top.map { case (item, cnt) =>
+      InternalRow(UTF8String.fromString(item), cnt)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (kk, v) => out.writeUTF(kk); out.writeLong(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(in.readInt())
+    val n = in.readInt()
+    (0 until n).foreach(_ => buf.counts.update(in.readUTF(), in.readLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}

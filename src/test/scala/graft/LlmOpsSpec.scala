@@ -57,6 +57,18 @@ class LlmOpsSpec extends AnyFunSuite {
     shared.foreach(k => assert(math.abs(bf(k) - lsh(k)) < 1e-9))
   }
 
+  test("SpaceSaving sketch: exact when capacity >= vocabulary, overcounts never undercount") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val words = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold_$i")).toDF("word").repartition(7)
+    // tiny capacity: the heavy hitter must survive and never be undercounted
+    val top = words.agg(graft.functions.GraftFunctions.spaceSavingTopK(col("word"), 3, 4).as("t"))
+      .select(explode(col("t")).as("s")).select(col("s.item"), col("s.cnt")).collect()
+    assert(top.head.getString(0) == "hot")
+    assert(top.head.getLong(1) >= 50, "SpaceSaving must not undercount a heavy hitter")
+  }
+
   test("langid predicts a known language code") {
     val langs = queries.LlmOps.text_langid(spark, sfDir)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
