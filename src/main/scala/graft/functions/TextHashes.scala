@@ -69,7 +69,8 @@ object TextHashes {
     * the sign of Σ_j v(j)·plane(i,j) with plane(i,j) = ±1 from
     * splitmix64 parity. Deterministic, no stored planes.
     */
-  def hyperplaneSig(arr: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+  def hyperplaneSig(arr: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int,
+      planeOffset: Int = 0): Long = {
     val n = arr.numElements()
     var sig = 0L
     var i = 0
@@ -77,7 +78,7 @@ object TextHashes {
       var acc = 0.0
       var j = 0
       while (j < n) {
-        val sign = if ((splitmix64(i * 1315423911L + j) & 1L) == 0L) 1.0 else -1.0
+        val sign = if ((splitmix64((planeOffset + i) * 1315423911L + j) & 1L) == 0L) 1.0 else -1.0
         acc += arr.getFloat(j) * sign
         j += 1
       }
@@ -210,8 +211,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def minhashSig(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
-  def hyperplaneSig(c: Column, bits: Int): Column =
-    Bridge.column(HyperplaneSig(Bridge.expression(c), bits))
+  def hyperplaneSig(c: Column, bits: Int, planeOffset: Int = 0): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), bits, planeOffset))
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def vecNorm(c: Column): Column = Bridge.column(VecNorm(Bridge.expression(c)))

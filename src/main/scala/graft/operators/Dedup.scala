@@ -129,6 +129,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Resolve near-dup pairs into kept documents: connected components
+    * over the pair graph (a near-dup of a near-dup is the same
+    * document family), keeping the minimum id per component.
+    *
+    * Distributed min-label propagation: every doc starts labeled with
+    * itself; each iteration pushes the smaller label across edges
+    * until fixpoint. Converges in O(diameter) rounds — near-dup
+    * components are tiny (pairs, clusters of a handful), so 2-4
+    * rounds; each round is one join on the (small) edge set, never
+    * touching the full corpus except the final keep-set anti-join.
+    */
+  def resolveComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only docs that appear in any edge can change label
+    var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      // propose the min label reachable over one hop (both directions)
+      val viaA = edges.join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "lb"), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("lb").as("proposal"))
+      val viaB = edges.join(labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("label", "la"), "doc_a")
+        .select(col("doc_b").as("doc_id"), col("la").as("proposal"))
+      val next = labels.join(
+        viaA.unionAll(viaB).groupBy("doc_id").agg(min("proposal").as("best")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("best"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    // kept = all docs minus non-representative members of components
+    val dropped = labels.filter(col("doc_id") =!= col("label")).select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
     * sign buckets (see [[Similarity.signature]]), cosine verified on
     * candidate pairs only.

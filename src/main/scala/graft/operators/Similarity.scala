@@ -32,9 +32,10 @@ object Similarity {
   /** `bits`-bit random-hyperplane signature. Plane component (i, j) is
     * ±1 by splitmix64 parity — deterministic pseudo-randomness with no
     * stored plane matrix (codegen'd HyperplaneSig kernel).
+    * `table` selects a disjoint plane family for multi-table LSH.
     */
-  def signature(vec: Column, bits: Int): Column =
-    graft.functions.GraftFunctions.hyperplaneSig(vec, bits)
+  def signature(vec: Column, bits: Int, table: Int = 0): Column =
+    graft.functions.GraftFunctions.hyperplaneSig(vec, bits, table * bits)
 
   /** Exact cosine top-k: every query vector against the full corpus.
     * `queries` must be small (it is broadcast).
@@ -96,19 +97,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Approximate top-k: score only within matching hyperplane-sign
-    * buckets. Recall trades off with `bits`; at scale the bucket join
-    * replaces the full cross product.
+  /** Multi-table approximate top-k: `tables` independent
+    * hyperplane-sign hash tables of `bits` bits each; candidates are
+    * the union of same-bucket matches over any table (deduped), then
+    * exact cosine + top-k. Recall ≈ 1-(1-p^bits)^tables where p is
+    * the per-plane agreement probability — single-table recall decays
+    * exponentially in `bits` (measured 0.06 at bits=6 on the test
+    * embeddings; 8 tables lift it dramatically at 8× candidate cost).
+    * At scale the (table, bucket) join replaces the cross product and
+    * its key space is `tables`× larger — shuffle stays uniform.
     */
-  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val q = queries
-      .withColumn("_sig", signature(col("embedding"), bits))
-      .select(col("vec_id").as("query_id"), col("embedding").as("_qe"), col("_sig"))
-    val c = corpus
-      .withColumn("_sig", signature(col("embedding"), bits))
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"), col("_sig"))
-    val scored = c.join(broadcast(q), Seq("_sig"))
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      tables: Int = 8): DataFrame = {
+    def sigs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), signature(col("embedding"), bits, t).as("sig"))): _*)).as("ts"))
+        .select(col(idCol), col("embedding"), col("ts.t"), col("ts.sig"))
+    val q = sigs(queries, "query_id").withColumnRenamed("embedding", "_qe")
+    val c = sigs(corpus, "neighbor_id").withColumnRenamed("embedding", "_ce")
+    val candidates = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qe"), col("_ce"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -58,6 +58,14 @@ object LlmOps {
   def dedup_ngram_jaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  /** End-to-end dedup: minhash-LSH pairs resolved into connected
+    * components, keeping the min doc per family — the kept corpus.
+    */
+  def dedup_resolve(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.resolveComponents(d, Dedup.minhashLsh(d)).orderBy(col("doc_id"))
+  }
+
   def dedup_embed_cosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -66,6 +74,26 @@ object LlmOps {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Self-reporting ANN quality: recall@5 of the LSH and IVF variants
+    * against exact brute force, per method (rows-only — documents the
+    * approximation quality in every verify run).
+    */
+  def sim_recall_report(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 64)
+    val bf = Similarity.topKBruteForce(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame = {
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      hits.agg((count(lit(1)).cast("double") / lit(320.0)).as("recall_at_5"))
+        .select(lit(name).as("method"), round(col("recall_at_5"), 4).as("recall_at_5"))
+    }
+    recallOf("lsh", Similarity.topKLsh(emb, queries, k = 5, bits = 6))
+      .unionByName(recallOf("ivf", Similarity.topKIvf(emb, queries, k = 5)))
+      .orderBy(col("method"))
   }
 
   def sim_topk_ivf(spark: SparkSession, dir: String): DataFrame = {
@@ -108,10 +136,12 @@ object LlmOps {
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
+    "dedup_resolve" -> (dedup_resolve _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
+    "sim_recall_report" -> (sim_recall_report _),
     "mm_decode_meta" -> (mm_decode_meta _))
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"

@@ -65,18 +65,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** Codegen'd random-hyperplane sign signature of a float vector. */
-case class HyperplaneSig(child: Expression, bits: Int)
+/** Codegen'd random-hyperplane sign signature of a float vector.
+  * `planeOffset` selects a disjoint plane family per LSH table.
+  */
+case class HyperplaneSig(child: Expression, bits: Int, planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashes.hyperplaneSig(input.asInstanceOf[ArrayData], bits)
+    TextHashes.hyperplaneSig(input.asInstanceOf[ArrayData], bits, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.hyperplaneSig($c, $bits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.hyperplaneSig($c, $bits, $planeOffset)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)

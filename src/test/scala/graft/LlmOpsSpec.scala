@@ -69,6 +69,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.head.getLong(1) >= 50, "SpaceSaving must not undercount a heavy hitter")
   }
 
+  test("component resolution keeps exactly one doc per near-dup family") {
+    val total = Tables(spark, sfDir, "documents").count()
+    val pairs = queries.LlmOps.dedup_minhash_lsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = queries.LlmOps.dedup_resolve(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty)
+    assert(kept.size < total)
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"pair ($a,$b) must not both survive")
+      assert(kept(a) || kept(b) || !kept(math.max(a, b)), s"family of ($a,$b) lost all members")
+    }
+    // representatives are family minima: the smaller of each pair is kept
+    // unless an even smaller doc shares its component
+    assert(pairs.count { case (a, b) => kept(math.min(a, b)) } >= pairs.length / 2)
+  }
+
+  test("recall report: both ANN variants return sane recall in (0, 1]") {
+    val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == Set("lsh", "ivf"))
+    r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+  }
+
   test("langid predicts a known language code") {
     val langs = queries.LlmOps.text_langid(spark, sfDir)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet

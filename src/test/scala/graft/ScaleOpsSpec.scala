@@ -17,6 +17,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(shuffles == 0, s"join subtree must have no hash exchanges:\n$plan")
   }
 
+  test("q05 degrades gracefully to shuffle joins when broadcast is disabled") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val baseline = queries.SqlSurfaceA.q05_multijoin(spark, sfDir).collect().map(_.toString).sorted
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = queries.SqlSurfaceA.q05_multijoin(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "without broadcast the joins must become shuffle joins")
+      // explicit broadcast() hints still force the dims; the plan must
+      // still produce identical results either way
+      assert(df.collect().map(_.toString).sorted.sameElements(baseline))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("IVF top-k cosines match brute-force for shared pairs") {
     val bf = queries.LlmOps.sim_topk_bruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
