@@ -47,13 +47,24 @@ object Formats {
     else None
   }
 
-  /** Read `path` (glob patterns allowed) as the given format. */
-  def read(spark: SparkSession, path: String, format: DataSourceFormat): DataFrame =
+  /** Read `path` (glob patterns allowed) as the given format.
+    *
+    * CSV/TSV read with multiLine=true so RFC-4180 quoted fields
+    * containing newlines parse correctly (they are what our own
+    * writer emits). Scale note: multiLine makes a file non-splittable
+    * (parallelism = number of files, like gzip/xlsx); corpora known
+    * to be newline-free inside fields can pass splittable=true to
+    * restore intra-file splits.
+    */
+  def read(spark: SparkSession, path: String, format: DataSourceFormat,
+      splittable: Boolean = false): DataFrame =
     format match {
       case Csv =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("multiLine", (!splittable).toString).csv(path)
       case Tsv =>
         spark.read.option("header", "true").option("inferSchema", "true")
+          .option("multiLine", (!splittable).toString)
           .option("sep", "\t").csv(path)
       case NdJson(_) => spark.read.json(path)
       case JsonArray => spark.read.option("multiLine", "true").json(path)

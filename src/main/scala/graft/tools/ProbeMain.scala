@@ -1,12 +1,14 @@
 package graft.tools
-import graft.{GraftSession, SparkEntry}
+import graft.GraftSession
+import graft.sql.Engine
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession("local[8]", "probe")
-    val df = SparkEntry.queries("text_heavy_hitters")(spark, "/root/testdata/sf0.01")
-    val plan = df.queryExecution.executedPlan.toString
-    println("PROBE agg-nodes => " + plan.linesIterator.filter(_.contains("Aggregate")).map(_.trim.take(90)).mkString(" || "))
-    println("PROBE result-head => " + df.collect().take(3).mkString(", "))
+    val spark = GraftSession("local[4]", "probe")
+    val eng = new Engine(spark, dataDir = "/tmp/probe",
+      catalogDir = java.nio.file.Files.createTempDirectory("probe-cat").toString)
+    val r = eng.execute("select id, note from '/tmp/probe/multiline.csv' order by id")
+    println("PROBE multiline-rows => " + r.rows.map(_.mkString("[", "|", "]")).mkString(" ; "))
+    println("PROBE multiline-count => " + r.rows.size)
     spark.stop()
   }
 }
