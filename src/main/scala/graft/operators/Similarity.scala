@@ -53,6 +53,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Lloyd's k-means refinement of IVF centroids, fully declarative:
+    * assign (broadcast centroids + max_by), recompute means via
+    * posexplode over dimensions (one shuffle keyed by (cid, dim) —
+    * cardinality k×dims, uniform), rebuild centroid vectors. Seeds
+    * are the first k corpus vectors; `iters` rounds suffice for cell
+    * balance (exact convergence isn't needed for an ANN index).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
+        l2norm(col("embedding")).as("_cnorm"))
+    var i = 0
+    while (i < iters) {
+      val assigned = corpus.join(broadcast(centroids))
+        .withColumn("_cscore", dot(col("embedding"), col("_cent")) / col("_cnorm"))
+        .groupBy(col("vec_id")).agg(expr("max_by(cid, _cscore)").as("cid"))
+        .join(corpus, "vec_id")
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"),
+          expr("transform(dm, s -> cast(s.m as float))").as("_cent"))
+      centroids = means.withColumn("_cnorm", l2norm(col("_cent")))
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k. Index build: every vector
     * is assigned to its nearest of `nCentroids` seed centroids (one
     * map-side-combinable `max_by` aggregate — the only corpus shuffle).
@@ -62,10 +93,14 @@ object Similarity {
     * k-means-refine them — the dataflow is identical).
     */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
-        l2norm(col("embedding")).as("_cnorm"))
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nCentroids, kmeansIters)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
+          l2norm(col("embedding")).as("_cnorm"))
 
     def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
       val scored = df.join(broadcast(centroids))

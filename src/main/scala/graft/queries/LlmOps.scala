@@ -93,6 +93,8 @@ object LlmOps {
     }
     recallOf("lsh", Similarity.topKLsh(emb, queries, k = 5, bits = 6))
       .unionByName(recallOf("ivf", Similarity.topKIvf(emb, queries, k = 5)))
+      .unionByName(recallOf("ivf_kmeans",
+        Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)))
       .orderBy(col("method"))
   }
 
