@@ -49,7 +49,20 @@ object XlsxSource {
     case (x, _) => x.toString
   }
 
+  /** Read through the V2 source (column pruning, catalog-integrated);
+    * `path#Sheet` selectors supported.
+    */
   def read(spark: SparkSession, rawPath: String): DataFrame = {
+    val (p, s) = splitSheet(rawPath)
+    val reader = spark.read.format("graft-xlsx")
+    s.foreach(sheet => reader.option("sheet", sheet))
+    reader.load(p)
+  }
+
+  /** The original RDD-based reader (kept as the no-V2 fallback and for
+    * comparison in specs).
+    */
+  def readRdd(spark: SparkSession, rawPath: String): DataFrame = {
     val (path, sheet) = splitSheet(rawPath)
 
     // Driver-side: schema from the first matching file only.

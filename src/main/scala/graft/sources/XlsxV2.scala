@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** XLSX as a DataSource V2 (`spark.read.format("graft-xlsx")`), the
+  * catalog-integrated sibling of [[XlsxSource]]:
+  *
+  *  - schema inference once on the driver (header + first data row of
+  *    the first matching file);
+  *  - one InputPartition per workbook file (xlsx zips aren't
+  *    splittable within a file), so a directory of workbooks fans out
+  *    across executors;
+  *  - COLUMN PRUNING pushed into the reader
+  *    (SupportsPushDownRequiredColumns): only requested columns are
+  *    coerced and emitted, so `select one_col from xlsx` doesn't pay
+  *    conversion for the rest.
+  *
+  * Options: `path` (glob ok), `sheet` (name; default first).
+  */
+class XlsxTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-xlsx"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): (String, Option[String]) = {
+    val raw = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx requires a path"))
+    val (p, s) = XlsxSource.splitSheet(raw)
+    (p, Option(options.get("sheet")).orElse(s))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, sheet) = pathOf(options)
+    XlsxV2Util.inferSchema(path, sheet)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, sheet) = pathOf(opts)
+    XlsxTable(path, sheet, schema)
+  }
+}
+
+object XlsxV2Util {
+  /** Driver-side: expand the glob, return matching file paths. */
+  def listFiles(path: String): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).map(_.getPath.toString).sorted
+    if (matches.isEmpty)
+      throw new IllegalArgumentException(s"Path does not exist or matches no files: $path")
+    matches
+  }
+
+  def inferSchema(path: String, sheet: Option[String]): StructType = {
+    val first = listFiles(path).head
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(first)
+    val fs = hPath.getFileSystem(conf)
+    val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
+    val rows = XlsxParse.rows(parts).take(2).toSeq
+    if (rows.isEmpty) throw new IllegalArgumentException(s"Empty worksheet in $first")
+    val header = rows.head.map(c => if (c == null) "" else c.toString)
+    val sample = if (rows.size > 1) rows(1) else Array.empty[Any]
+    StructType(header.zipWithIndex.map { case (name, i) =>
+      val v = if (i < sample.length) sample(i) else null
+      val dt = v match {
+        case _: java.lang.Double => DoubleType
+        case _: java.lang.Boolean => BooleanType
+        case _: java.sql.Timestamp => TimestampType
+        case _ => StringType
+      }
+      StructField(if (name.nonEmpty) name else s"_c$i", dt, nullable = true)
+    })
+  }
+}
+
+case class XlsxTable(path: String, sheet: Option[String], tableSchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-xlsx:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    XlsxScanBuilder(path, sheet, tableSchema)
+}
+
+case class XlsxScanBuilder(path: String, sheet: Option[String], full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = XlsxScan(path, sheet, full, required)
+}
+
+case class XlsxScan(path: String, sheet: Option[String], full: StructType, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx $path pruned=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    XlsxV2Util.listFiles(path).map(f => XlsxFilePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    XlsxReaderFactory(sheet, full, required)
+}
+
+case class XlsxFilePartition(file: String) extends InputPartition
+
+case class XlsxReaderFactory(sheet: Option[String], full: StructType, required: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[XlsxFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val hPath = new org.apache.hadoop.fs.Path(file)
+      private val fs = hPath.getFileSystem(conf)
+      private val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
+      // map required fields to source column positions once
+      private val srcIdx = required.fields.map(f => full.fieldIndex(f.name))
+      private val iter = XlsxParse.rows(parts, full.length).drop(1)
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (!iter.hasNext) false
+        else {
+          val cells = iter.next()
+          val out = new Array[Any](srcIdx.length)
+          var i = 0
+          while (i < srcIdx.length) {
+            out(i) = convert(cells(srcIdx(i)), required.fields(i).dataType)
+            i += 1
+          }
+          current = new GenericInternalRow(out)
+          true
+        }
+
+      private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (x: java.lang.Double, DoubleType) => x.doubleValue()
+        case (x: java.lang.Boolean, BooleanType) => x.booleanValue()
+        case (x: java.sql.Timestamp, TimestampType) => x.getTime * 1000L + (x.getNanos / 1000) % 1000
+        case (x: java.lang.Double, StringType) =>
+          val d = x.doubleValue()
+          UTF8String.fromString(
+            if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString)
+        case (x, StringType) => UTF8String.fromString(x.toString)
+        case (x: String, DoubleType) =>
+          try x.toDouble catch { case _: Exception => null }
+        case (x, _) => UTF8String.fromString(x.toString)
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

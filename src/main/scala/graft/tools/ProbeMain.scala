@@ -1,17 +1,11 @@
 package graft.tools
-import graft.{GraftSession, Tables}
-import graft.operators.Similarity
-import org.apache.spark.sql.functions._
+import graft.GraftSession
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession("local[8]", "probe")
-    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
-    val c0 = Similarity.kmeansCentroids(emb, 16, 0+1)
-    val c3 = Similarity.kmeansCentroids(emb, 16, 3)
-    println("PROBE centroids-after-1-iter => " + c0.count())
-    println("PROBE centroids-after-3-iters => " + c3.count())
-    val dims = c3.select(size(col("_cent")).as("d")).distinct().collect().map(_.getInt(0)).toSeq
-    println("PROBE centroid-dims => " + dims)
+    val spark = GraftSession("local[4]", "probe")
+    val df = spark.read.format("graft-xlsx").load("/tmp/probe/foreign.xlsx")
+    println("PROBE v2-foreign => " + df.collect().mkString(" ; "))
+    println("PROBE v2-foreign-schema => " + df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
     spark.stop()
   }
 }
