@@ -1,11 +1,18 @@
 package graft.tools
-import graft.GraftSession
+
+import graft.{GraftSession, SparkEntry}
+
+/** Minimal smoke driver: runs the flagship entry query and prints its
+  * result — handy for quick sanity checks (`sbt "runMain
+  * graft.tools.ProbeMain [sfDir]"`). The verify recipe in
+  * .claude/skills/verify drives the full surface.
+  */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession("local[4]", "probe")
-    val df = spark.read.format("graft-xlsx").load("/tmp/probe/foreign.xlsx")
-    println("PROBE v2-foreign => " + df.collect().mkString(" ; "))
-    println("PROBE v2-foreign-schema => " + df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    val spark = GraftSession("local[4]", "graft-smoke")
+    val rows = SparkEntry.entry(spark).collect()
+    println(s"entry() rows=${rows.length}")
+    rows.foreach(r => println("  " + r))
     spark.stop()
   }
 }
