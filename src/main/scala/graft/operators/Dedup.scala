@@ -150,7 +150,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 64 // one-hop propagation: diameter-many rounds needed
+    while (changed > 0 && rounds < maxRounds) {
       // propose the min label reachable over one hop (both directions)
       val viaA = edges.join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "lb"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("lb").as("proposal"))
@@ -167,6 +168,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"Component resolution did not converge within $maxRounds rounds " +
+          "(near-dup chain longer than the round budget) — raise maxRounds " +
+          "or pre-cluster; refusing to return a silently-partial dedup.")
     // kept = all docs minus non-representative members of components
     val dropped = labels.filter(col("doc_id") =!= col("label")).select(col("doc_id"))
     docs.select(col("doc_id"))

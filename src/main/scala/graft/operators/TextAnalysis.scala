@@ -14,28 +14,39 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The expr()-based metrics need a named column; project the caller's
+    * text expression to a private name so any source column works.
+    */
+  private def withTextCol(df: DataFrame, text: Column)(
+      f: DataFrame => DataFrame): DataFrame =
+    f(df.withColumn("__graft_text", text)).drop("__graft_text")
+
   /** Whitespace tokens + a BPE-ish `\w+|[^\w\s]` regex tokenization. */
   def withTokenCounts(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("n_ws_tokens", size(split(text, "\\s+")))
-      .withColumn("n_bpe_tokens", size(expr(s"regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)")))
+    withTextCol(df, text) { d =>
+      d.withColumn("n_ws_tokens", size(split(col("__graft_text"), "\\s+")))
+        .withColumn("n_bpe_tokens", size(expr(
+          s"regexp_extract_all(__graft_text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)")))
+    }
 
   /** Heuristic quality signals: char/word counts, mean word length,
     * punctuation & stopword & repetition ratios. The formulas are
     * deliberately SQL-parity-friendly (DuckDB oracle runs the same
     * arithmetic).
     */
-  def withQuality(df: DataFrame, text: Column): DataFrame = {
-    val words = split(text, " ")
+  def withQuality(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
+    val t = col("__graft_text")
+    val words = split(t, " ")
     val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
     val stopList = stop.map(s => s"'$s'").mkString(", ")
-    df.withColumn("n_chars", length(text))
+    d.withColumn("n_chars", length(t))
       .withColumn("n_words", size(words))
       .withColumn("mean_word_len",
-        (length(text) - size(words) + 1).cast("double") / size(words))
+        (length(t) - size(words) + 1).cast("double") / size(words))
       .withColumn("punct_ratio",
-        (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / length(text))
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t))
       .withColumn("stop_ratio",
-        expr(s"size(filter(split(text, ' '), w -> w IN ($stopList)))").cast("double") / size(words))
+        expr(s"size(filter(split(__graft_text, ' '), w -> w IN ($stopList)))").cast("double") / size(words))
       .withColumn("distinct_ratio",
         size(array_distinct(words)).cast("double") / size(words))
       .withColumn("quality_score",

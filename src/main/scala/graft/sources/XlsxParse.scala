@@ -53,7 +53,8 @@ object XlsxParse {
     * for the requested sheet (by name, or head of workbook order)).
     */
   def readParts(open: () => InputStream, wantedSheet: Option[String]): XlsxParts = {
-    var sheetNames = Vector.empty[String]
+    var sheetMeta = Vector.empty[(String, String)] // (name, r:id) in workbook order
+    var rels = Map.empty[String, String] // r:id -> part target
     var shared = Vector.empty[String]
     var dateStyles = Set.empty[Int]
     val sheetBytes = mutable.Map.empty[String, Array[Byte]] // part name -> bytes
@@ -62,18 +63,18 @@ object XlsxParse {
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { entry =>
         entry.getName match {
-          case "xl/workbook.xml" => sheetNames = parseSheetNames(readAll(zin))
+          case "xl/workbook.xml" => sheetMeta = parseSheetMeta(readAll(zin))
+          case "xl/_rels/workbook.xml.rels" => rels = parseRels(readAll(zin))
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zin))
           case "xl/styles.xml" => dateStyles = parseDateStyles(readAll(zin))
-          case n if n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") =>
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
             sheetBytes(n) = readAll(zin)
           case _ =>
         }
       }
     } finally zin.close()
 
-    // Sheet order in workbook.xml matches worksheets/sheetN.xml numbering
-    // in files produced by mainstream writers; map name -> index.
+    val sheetNames = sheetMeta.map(_._1)
     val wanted = wantedSheet match {
       case Some(name) =>
         val i = sheetNames.indexOf(name)
@@ -82,10 +83,19 @@ object XlsxParse {
         i
       case None => 0
     }
-    val part = s"xl/worksheets/sheet${wanted + 1}.xml"
+    // Resolve the sheet's part through the workbook relationships
+    // (sheet order does NOT imply sheetN.xml numbering once sheets have
+    // been deleted/reordered); fall back to positional numbering only
+    // when the rels part is absent.
+    val part = sheetMeta.lift(wanted).map(_._2).flatMap(rels.get) match {
+      case Some(target) =>
+        val t = target.stripPrefix("/").stripPrefix("xl/")
+        s"xl/$t"
+      case None => s"xl/worksheets/sheet${wanted + 1}.xml"
+    }
     val bytes = sheetBytes.getOrElse(part,
-      sheetBytes.toSeq.sortBy(_._1).headOption.map(_._2).getOrElse(
-        throw new IllegalArgumentException("Workbook has no worksheets")))
+      throw new IllegalArgumentException(
+        s"Worksheet part $part not found in workbook (sheets: ${sheetNames.mkString(", ")})"))
     XlsxParts(sheetNames, shared, dateStyles, bytes)
   }
 
@@ -96,28 +106,59 @@ object XlsxParse {
     buf.toByteArray
   }
 
-  private def parseSheetNames(bytes: Array[Byte]): Vector[String] = {
+  private def parseSheetMeta(bytes: Array[Byte]): Vector[(String, String)] = {
     val r = newReader(new java.io.ByteArrayInputStream(bytes))
-    val names = Vector.newBuilder[String]
+    val out = Vector.newBuilder[(String, String)]
     while (r.hasNext) {
-      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
-        names += Option(r.getAttributeValue(null, "name")).getOrElse("")
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+        val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+        // r:id is namespaced; scan attributes by local name
+        var rid = ""
+        var i = 0
+        while (i < r.getAttributeCount) {
+          if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+          i += 1
+        }
+        out += ((name, rid))
+      }
     }
     r.close()
-    names.result()
+    out.result()
+  }
+
+  private def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val r = newReader(new java.io.ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, String]
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+        val id = Option(r.getAttributeValue(null, "Id")).getOrElse("")
+        val target = Option(r.getAttributeValue(null, "Target")).getOrElse("")
+        if (id.nonEmpty) out += id -> target
+      }
+    }
+    r.close()
+    out.result()
   }
 
   private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
     val r = newReader(new java.io.ByteArrayInputStream(bytes))
     val out = Vector.newBuilder[String]
     var inSi = false
+    var phoneticDepth = 0 // skip <rPh>/<phoneticPr> furigana runs
     val sb = new StringBuilder
     while (r.hasNext) r.next() match {
-      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-        inSi = true; sb.clear()
-      case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
-        inSi = false; out += sb.toString
-      case XMLStreamConstants.CHARACTERS if inSi => sb.append(r.getText)
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "si" => inSi = true; sb.clear()
+        case "rPh" | "phoneticPr" if inSi => phoneticDepth += 1
+        case _ =>
+      }
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "si" => inSi = false; out += sb.toString
+        case "rPh" | "phoneticPr" if inSi && phoneticDepth > 0 => phoneticDepth -= 1
+        case _ =>
+      }
+      case XMLStreamConstants.CHARACTERS if inSi && phoneticDepth == 0 =>
+        sb.append(r.getText)
       case _ =>
     }
     r.close()
@@ -183,14 +224,19 @@ object XlsxParse {
         while (row.size < cellCol) row += null
         val raw = text.toString
         val v: Cell = cellType match {
-          case "s" => parts.sharedStrings(raw.trim.toInt)
+          case _ if raw.isEmpty && cellType != "inlineStr" && cellType != "str" => null
+          case "s" =>
+            val i = raw.trim.toInt
+            if (i >= 0 && i < parts.sharedStrings.length) parts.sharedStrings(i) else null
           case "str" => raw
           case "inlineStr" => raw
           case "b" => raw.trim == "1"
+          case "e" => null // formula error cell (#DIV/0! etc.) → SQL null
           case _ => // numeric (or date-styled numeric)
-            if (raw.isEmpty) null
-            else if (parts.dateStyles(cellStyle)) serialToTimestamp(raw.toDouble)
-            else raw.toDouble
+            try {
+              if (parts.dateStyles(cellStyle)) serialToTimestamp(raw.toDouble)
+              else raw.toDouble
+            } catch { case _: NumberFormatException => null }
         }
         row += v
       }

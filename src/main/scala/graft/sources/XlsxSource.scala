@@ -46,7 +46,7 @@ object XlsxSource {
     case (x, StringType) => x.toString
     case (x: String, DoubleType) => try { x.toDouble: java.lang.Double } catch { case _: Exception => null }
     case (x, DoubleType) => try { x.toString.toDouble: java.lang.Double } catch { case _: Exception => null }
-    case (x, _) => x.toString
+    case _ => null // type drift vs inferred schema → null, never a mistyped value
   }
 
   /** Read through the V2 source (column pruning, catalog-integrated);

@@ -120,19 +120,27 @@ case class XlsxScan(path: String, sheet: Option[String], full: StructType, requi
   override def planInputPartitions(): Array[InputPartition] =
     XlsxV2Util.listFiles(path).map(f => XlsxFilePartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    XlsxReaderFactory(sheet, full, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop configuration to executors so fs.*
+    // settings (s3a credentials, endpoints, ...) reach partition reads
+    val spark = org.apache.spark.sql.SparkSession.active
+    val confBc = org.apache.spark.graftglue.CoreBridge.broadcastHadoopConf(
+      spark.sparkContext, spark.sparkContext.hadoopConfiguration)
+    XlsxReaderFactory(sheet, full, required, confBc)
+  }
 }
 
 case class XlsxFilePartition(file: String) extends InputPartition
 
-case class XlsxReaderFactory(sheet: Option[String], full: StructType, required: StructType)
+case class XlsxReaderFactory(
+    sheet: Option[String], full: StructType, required: StructType,
+    confBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.graftglue.CoreBridge.SerializableConf])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsxFilePartition].file
     new PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val conf = org.apache.spark.graftglue.CoreBridge.confOf(confBc)
       private val hPath = new org.apache.hadoop.fs.Path(file)
       private val fs = hPath.getFileSystem(conf)
       private val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
@@ -167,7 +175,10 @@ case class XlsxReaderFactory(sheet: Option[String], full: StructType, required: 
         case (x, StringType) => UTF8String.fromString(x.toString)
         case (x: String, DoubleType) =>
           try x.toDouble catch { case _: Exception => null }
-        case (x, _) => UTF8String.fromString(x.toString)
+        // type drift vs the inferred schema (boolean/date cell in a
+        // numeric column, etc.) → null, matching the RDD path — never
+        // store a mistyped value into an InternalRow slot
+        case _ => null
       }
 
       override def get(): InternalRow = current

@@ -1,7 +1,5 @@
 package graft.sql
 
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.sources.Formats
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -24,28 +22,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object DirectPath {
 
-  private val counter = new AtomicLong()
-
-  /** Matches `FROM 'path'` / `JOIN 'path'` (and a following
-    * `, 'path'` in a FROM list).
-    */
-  private val PathRef = """(?i)\b(from|join)\s+'([^']+)'""".r
+  /** Matches `FROM 'path'` / `JOIN 'path'`. */
+  private val PathRef = """(?i)\b(from|join)(\s+)'([^']+)'""".r
 
   /** Rewrite direct-path refs to registered temp views; returns the
-    * rewritten SQL.
+    * rewritten SQL. Replacement happens only at the matched FROM/JOIN
+    * positions — an identical quoted string elsewhere (a SELECT-list
+    * or predicate literal) is left untouched. View names derive from
+    * the resolved path, so repeated queries over the same file REPLACE
+    * one view instead of accumulating new ones in a long-lived session
+    * (the reference registers TEMP catalog rows per query,
+    * src/data_source/context.rs:100-128; a server can't afford that).
     */
-  def rewrite(spark: SparkSession, sql: String, resolvePath: String => String): String = {
-    val found = PathRef.findAllMatchIn(sql).map(_.group(2)).toSeq.distinct
-    found.foldLeft(sql) { (acc, raw) =>
+  def rewrite(spark: SparkSession, sql: String, resolvePath: String => String): String =
+    PathRef.replaceAllIn(sql, m => {
+      val raw = m.group(3)
       Formats.infer(raw) match {
         case Some(fmt) =>
-          val name = s"temp_${System.currentTimeMillis() / 1000}_${counter.incrementAndGet()}"
-          Formats.read(spark, resolvePath(raw), fmt).createOrReplaceTempView(name)
-          acc.replace(s"'$raw'", name)
-        case None => acc // quoted string that isn't a file ref — leave it
+          val resolved = resolvePath(raw)
+          val name = f"graft_path_${graft.functions.TextHashes.fnv1a64(resolved.getBytes("UTF-8"))}%016x"
+          Formats.read(spark, resolved, fmt).createOrReplaceTempView(name)
+          java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}${m.group(2)}$name")
+        case None =>
+          java.util.regex.Matcher.quoteReplacement(m.matched) // not a file ref
       }
-    }
-  }
+    })
 
   /** Table names referenced by `sql` that are not yet resolvable —
     * the set the reference looks up in its catalog

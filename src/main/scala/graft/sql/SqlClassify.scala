@@ -45,7 +45,9 @@ object SqlClassify {
   }
 
   private def parseColumns(cols: String): Seq[TableField] =
-    cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+    // split only on commas OUTSIDE parentheses so parameterized types
+    // like decimal(10,2) stay intact
+    cols.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
       val parts = c.split("\\s+", 2)
       TableField(parts(0), if (parts.length > 1) parts(1) else "string")
     }
