@@ -53,9 +53,15 @@ class Catalog(dir: String) {
   }
 
   /** Non-TEMP tables, as listed by GET /catalog (reference:
-    * src/controllers.rs:152-186).
+    * src/controllers.rs:152-186). The file is an append-only log;
+    * re-registrations keep only the LATEST entry per table_ref
+    * (mirrors the reference's UNIQUE(table_ref) semantics).
     */
-  def listTables: Seq[CatalogEntry] = entries.filter(_.entryType != "TEMP")
+  def listTables: Seq[CatalogEntry] = {
+    val all = entries.filter(_.entryType != "TEMP")
+    val latest = all.groupBy(_.tableRef).view.mapValues(_.last).toMap
+    all.map(_.tableRef).distinct.map(latest)
+  }
 
   def lookup(tableRef: String): Option[CatalogEntry] =
     entries.reverse.find(_.tableRef == tableRef)

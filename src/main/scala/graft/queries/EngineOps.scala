@@ -69,7 +69,8 @@ object EngineOps {
     */
   def eng_create_table(spark: SparkSession, dir: String): DataFrame = {
     val eng = engine(spark, dir)
-    eng.execute("CREATE TABLE cust_ext () LOCATION 'customer.parquet'")
+    if (eng.catalog.lookup("cust_ext").isEmpty)
+      eng.execute("CREATE TABLE cust_ext () LOCATION 'customer.parquet'")
     eng.sqlDf(
       """SELECT c_custkey, c_name, c_mktsegment FROM cust_ext
         |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)
@@ -151,6 +152,9 @@ object EngineOps {
     */
   def opt_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch(dir, "bucketed")
+    // table names carry the source-dir key: one session touching two
+    // scale factors must not silently reuse the other's bucketed copy
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
     def bucketize(table: String, name: String, key: String, cols: Seq[String]): Unit =
       if (!spark.catalog.tableExists(name)) {
         Tables(spark, dir, table).select(cols.map(col): _*)
@@ -158,12 +162,14 @@ object EngineOps {
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$name").saveAsTable(name)
       }
-    bucketize("lineitem", "li_bucketed", "l_orderkey",
+    val liName = s"li_bucketed_$dirKey"
+    val ordName = s"ord_bucketed_$dirKey"
+    bucketize("lineitem", liName, "l_orderkey",
       Seq("l_orderkey", "l_quantity", "l_extendedprice"))
-    bucketize("orders", "ord_bucketed", "o_orderkey",
+    bucketize("orders", ordName, "o_orderkey",
       Seq("o_orderkey", "o_orderpriority"))
-    spark.table("li_bucketed").hint("merge")
-      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    spark.table(liName).hint("merge")
+      .join(spark.table(ordName), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         QueryUtil.decSum(QueryUtil.money(col("l_quantity"))).as("sum_qty"))

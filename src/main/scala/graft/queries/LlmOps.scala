@@ -88,8 +88,11 @@ object LlmOps {
     def recallOf(name: String, approx: DataFrame): DataFrame = {
       val hits = approx.select(col("query_id"), col("neighbor_id"))
         .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
-      hits.agg((count(lit(1)).cast("double") / lit(320.0)).as("recall_at_5"))
-        .select(lit(name).as("method"), round(col("recall_at_5"), 4).as("recall_at_5"))
+      // denominator = actual brute-force pair count, never a constant
+      hits.agg(count(lit(1)).cast("double").as("_hits"))
+        .crossJoin(bf.agg(count(lit(1)).cast("double").as("_total")))
+        .select(lit(name).as("method"),
+          round(col("_hits") / col("_total"), 4).as("recall_at_5"))
     }
     recallOf("lsh", Similarity.topKLsh(emb, queries, k = 5, bits = 6))
       .unionByName(recallOf("ivf", Similarity.topKIvf(emb, queries, k = 5)))

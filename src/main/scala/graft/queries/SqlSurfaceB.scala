@@ -16,11 +16,11 @@ object SqlSurfaceB {
 
   /** rank/dense_rank over a partition (ties are value-deterministic). */
   def q14_window_rank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val byBal = Window.partitionBy(col("c_nationkey")).orderBy(col("acctbal").desc)
     Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), money(col("c_acctbal")).cast("double").as("acctbal"))
-      .withColumn("rnk", rank().over(Window.partitionBy(col("c_nationkey")).orderBy(col("acctbal").desc)))
-      .withColumn("drnk", dense_rank().over(Window.partitionBy(col("c_nationkey")).orderBy(col("acctbal").desc)))
+      .withColumn("rnk", rank().over(byBal))
+      .withColumn("drnk", dense_rank().over(byBal))
       .filter(col("rnk") <= 3)
       .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
   }

@@ -106,15 +106,14 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     val body = readBody(ex)
     val sql = body.getOrElse("sql", throw new IllegalArgumentException("missing field: sql"))
     val fileType = body.getOrElse("file_type", "CSV")
-    val ext = fileType.toUpperCase match {
-      case "TSV" => ".tsv"
-      case "JSON" | "DNJSON" | "NDJSON" => ".json"
-      case "XLSX" => ".xlsx"
-      case _ => ".csv"
-    }
+    // one source of truth for format names/extensions (Writers owns it)
+    val ext = graft.sources.Writers.ExportFormat.of(fileType).extension
     val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-    val out = s"${sys.props("java.io.tmpdir")}/graft-export/query-$stamp$ext"
+    // unique suffix: concurrent same-millisecond exports must not share
+    // an output path or staging directory
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val out = s"${sys.props("java.io.tmpdir")}/graft-export/query-$stamp-$unique$ext"
     val path = engine.exportFile(sql, fileType, out)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     ex.getResponseHeaders.set("attachment",

@@ -41,7 +41,10 @@ object Formats {
     else if (p.endsWith(".txt")) Some(NdJson(".txt"))
     else if (p.endsWith(".ndjson")) Some(NdJson(".ndjson"))
     else if (p.endsWith(".jsonl")) Some(NdJson(".jsonl"))
-    else if (p.endsWith(".json")) Some(JsonArray)
+    // .json defaults to newline-delimited — it's what our own export
+    // endpoint produces (and the dominant data-engineering format);
+    // array-of-objects documents read via an explicit JsonArray
+    else if (p.endsWith(".json")) Some(NdJson(".json"))
     else if (p.endsWith(".xlsx")) Some(Xlsx)
     else if (p.endsWith(".parquet")) Some(Parquet)
     else None

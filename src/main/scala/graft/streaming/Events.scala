@@ -47,8 +47,11 @@ object Events {
     // table file into one via symlink (a real deployment streams a
     // landing directory to begin with)
     val dir = java.nio.file.Files.createTempDirectory("graft-evt-stream")
-    java.nio.file.Files.createSymbolicLink(
+    val link = java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    // staging artifacts die with the JVM instead of accumulating
+    link.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
     spark.readStream.schema(rawSchema).parquet(dir.toString)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))

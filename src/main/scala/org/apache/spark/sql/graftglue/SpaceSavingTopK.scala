@@ -79,12 +79,19 @@ case class SpaceSavingTopK(
     }.toArray[Any])
   }
 
+  // length-prefixed UTF-8 bytes, not writeUTF: items may exceed the
+  // 64 KiB modified-UTF-8 limit (e.g. whole-document keys)
   override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.capacity)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (kk, v) => out.writeUTF(kk); out.writeLong(v) }
+    buf.counts.foreach { case (kk, v) =>
+      val b = kk.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -93,7 +100,12 @@ case class SpaceSavingTopK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new SpaceSavingBuffer(in.readInt())
     val n = in.readInt()
-    (0 until n).foreach(_ => buf.counts.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.update(new String(b, "UTF-8"), in.readLong())
+    }
     buf
   }
 
