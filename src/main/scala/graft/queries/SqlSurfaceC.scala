@@ -151,6 +151,39 @@ object SqlSurfaceC {
       .orderBy(col("op"), col("nk"))
   }
 
+  /** Disjunctive multi-clause predicate (TPC-H Q19 shape): OR of ANDs
+    * across two tables — exercises CNF conversion / partial pushdown.
+    */
+  def q37_disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(decSum(money(col("l_extendedprice")) * factor(lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q22 shape: scalar-subquery threshold + anti join + substring
+    * grouping (customers with above-average balance and no orders).
+    */
+  def q38_q22_shape(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((decSum(money(col("c_acctbal"))) / count(lit(1))).as("thr"))
+    val orders = Tables(spark, dir, "orders").select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(orders.filter(col("o_custkey") % 3 === 0), // sparse order set → anti join keeps rows
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 10, 1).as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        decSum(money(col("c_acctbal"))).as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -171,6 +204,8 @@ object SqlSurfaceC {
     "q34_asof_join" -> (q34_asof_join _),
     "q35_set_ops" -> (q35_set_ops _),
     "q36_range_join" -> (q36_range_join _),
+    "q37_disjunctive" -> (q37_disjunctive _),
+    "q38_q22_shape" -> (q38_q22_shape _),
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
@@ -245,5 +280,21 @@ object SqlSurfaceC {
         |  ON c.user_id = e.user_id AND c.event_type = 'click'
         | AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= cast(7200 as bigint) * 1000000
         |WHERE e.event_type = 'error'
-        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin)
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
+    "q37_disjunctive" ->
+      s"""SELECT ${oDecSum(s"${oMoney("l_extendedprice")} * ${oFactor("1 - l_discount")}")} AS revenue,
+         | count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q38_q22_shape" ->
+      s"""SELECT substr(c_name, 10, 1) AS cntry, count(*) AS numcust,
+         | ${oDecSum(oMoney("c_acctbal"))} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (
+         |  SELECT ${oDecSum(oMoney("c_acctbal"))} / count(*) FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_custkey % 3 = 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
