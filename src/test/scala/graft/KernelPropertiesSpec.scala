@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.TextHashes
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based checks for the hash kernels behind the codegen'd
+  * expressions — pure functions, so ScalaCheck can hammer them without
+  * a SparkSession.
+  */
+object KernelPropertiesSpec extends Properties("graft.kernels") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("fnv1a64 deterministic, byte-sensitive") = Prop.forAll(text) { s =>
+    val u = UTF8String.fromString(s)
+    TextHashes.fnv1a64(u) == TextHashes.fnv1a64(UTF8String.fromString(s)) &&
+      TextHashes.fnv1a64(u) != TextHashes.fnv1a64(UTF8String.fromString(s + "x"))
+  }
+
+  property("simhash64: identical→0, one-word edit moves few bits") = Prop.forAll(text) { s =>
+    val a = TextHashes.simhash64(UTF8String.fromString(s))
+    val stable = a == TextHashes.simhash64(UTF8String.fromString(s))
+    val words = s.split(" ")
+    val local = if (words.length < 20) true else {
+      val edited = (words.take(words.length - 1) :+ "zzzedit").mkString(" ")
+      val b = TextHashes.simhash64(UTF8String.fromString(edited))
+      java.lang.Long.bitCount(a ^ b) <= 32
+    }
+    stable && local
+  }
+
+  property("shingles: distinct and exactly the k-gram sequence") =
+    Prop.forAll(text, Gen.chooseNum(1, 4)) { (s, k) =>
+      val arr = TextHashes.shingles(UTF8String.fromString(s), k)
+      val out = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      val words = s.split(" ")
+      val expected =
+        if (words.length <= k) Seq(words.mkString(" "))
+        else words.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      out.distinct == out && out == expected
+    }
+
+  property("minhashSig: invariant under shingle-set permutation") =
+    Prop.forAll(Gen.nonEmptyListOf(word).map(_.distinct), Gen.chooseNum(1, 32)) { (ws, num) =>
+      def sig(xs: Seq[String]): Seq[Long] = {
+        val a = TextHashes.minhashSig(
+          new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]), num)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      ws.isEmpty || sig(ws) == sig(scala.util.Random.shuffle(ws))
+    }
+
+  property("winnowMinMax: min <= max") = Prop.forAll(text) { s =>
+    val a = TextHashes.winnowMinMax(UTF8String.fromString(s), 3)
+    a.getLong(0) <= a.getLong(1)
+  }
+
+  private val vec = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+
+  property("vecDot/vecNorm: Cauchy-Schwarz") = Prop.forAll(vec, vec) { (x, y) =>
+    val ax = new GenericArrayData(x.toArray[Any])
+    val ay = new GenericArrayData(y.toArray[Any])
+    math.abs(TextHashes.vecDot(ax, ay)) <=
+      TextHashes.vecNorm(ax) * TextHashes.vecNorm(ay) + 1e-6
+  }
+
+  property("hyperplaneSig: deterministic, bounded by bit width") =
+    Prop.forAll(vec, Gen.chooseNum(1, 16)) { (x, bits) =>
+      val ax = new GenericArrayData(x.toArray[Any])
+      val s1 = TextHashes.hyperplaneSig(ax, bits)
+      s1 == TextHashes.hyperplaneSig(ax, bits) && s1 >= 0 && s1 < (1L << bits)
+    }
+}
