@@ -85,6 +85,28 @@ object TextAnalysis {
       .drop((Seq("_words", "_best") ++ profiles.map(p => s"_score_${p._1}")): _*)
   }
 
+  /** PII scrubbing: regex-redact emails, phone-like sequences, IPv4
+    * addresses and URLs, with per-category match counts — the standard
+    * pre-training hygiene pass. Patterns deliberately use RE2-safe
+    * syntax so the DuckDB oracle applies the same semantics.
+    */
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
+
+  def withRedaction(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
+    val redacted = piiPatterns.foldLeft(col("__graft_text")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    piiPatterns.foldLeft(d.withColumn("redacted", redacted)) {
+      case (acc, (name, pat, _)) =>
+        acc.withColumn(s"n_$name",
+          size(expr(s"regexp_extract_all(__graft_text, '${pat.replace("\\", "\\\\")}', 0)")))
+    }
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

@@ -40,6 +40,12 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("lang_score"))
       .orderBy(col("doc_id"))
 
+  def text_redact(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRedaction(docs(spark, dir), col("text"))
+      .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+        col("n_email"), col("n_url"), col("n_ipv4"), col("n_phone"))
+      .orderBy(col("doc_id"))
+
   def text_fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
@@ -136,6 +142,7 @@ object LlmOps {
     "text_quality" -> (text_quality _),
     "text_langid" -> (text_langid _),
     "text_fingerprint" -> (text_fingerprint _),
+    "text_redact" -> (text_redact _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -170,6 +177,18 @@ object LlmOps {
          |   CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
          |   CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+        | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) AS n_email,
+        | cast(len(regexp_extract_all(text, 'https?://[^ ]+')) as int) AS n_url,
+        | cast(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) as int) AS n_ipv4,
+        | cast(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) as int) AS n_phone
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT u.word, count(*) AS cnt
         |FROM documents, unnest(string_split(text, ' ')) AS u(word)

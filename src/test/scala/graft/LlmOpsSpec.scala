@@ -93,6 +93,21 @@ class LlmOpsSpec extends AnyFunSuite {
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
   }
 
+  test("PII redaction scrubs emails, urls, IPs and phones with correct counts") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "contact bob@example.com or visit https://example.com/x from 192.168.1.10 call +1 (555) 123-4567 done"))
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.withRedaction(df, col("text")).collect().head
+    val red = r.getString(r.fieldIndex("redacted"))
+    assert(red.contains("<EMAIL>") && red.contains("<URL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.contains("bob@") && !red.contains("192.168") && !red.contains("555"))
+    assert(r.getInt(r.fieldIndex("n_email")) == 1)
+    assert(r.getInt(r.fieldIndex("n_url")) == 1)
+    assert(r.getInt(r.fieldIndex("n_ipv4")) == 1)
+    assert(r.getInt(r.fieldIndex("n_phone")) == 1)
+  }
+
   test("langid predicts a known language code") {
     val langs = queries.LlmOps.text_langid(spark, sfDir)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
