@@ -68,7 +68,16 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une"),
       "es" -> Seq("el", "la", "que", "de", "y", "es", "un", "una"),
       "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
-    val scored = profiles.foldLeft(df.withColumn("_words", split(lower(text), "\\s+"))) {
+    val scored = profiles.foldLeft(
+      df.withColumn("_lower", lower(text))
+        .withColumn("_words", split(col("_lower"), "\\s+"))) {
+      case (acc, ("zh", chars)) =>
+        // Chinese is unsegmented — token matching can never fire; score
+        // by the fraction of characters from the zh profile instead
+        val charset = chars.mkString
+        acc.withColumn("_score_zh",
+          (length(col("_lower")) - length(translate(col("_lower"), charset, "")))
+            .cast("double") / length(col("_lower")))
       case (acc, (lang, words)) =>
         val list = words.map(w => s"'$w'").mkString(", ")
         acc.withColumn(s"_score_$lang",
@@ -82,7 +91,7 @@ object TextAnalysis {
       .withColumn("pred_lang",
         when(col("_best.score") > 0.0, col("_best.lang")).otherwise(lit("und")))
       .withColumn("lang_score", round(col("_best.score"), 4))
-      .drop((Seq("_words", "_best") ++ profiles.map(p => s"_score_${p._1}")): _*)
+      .drop((Seq("_lower", "_words", "_best") ++ profiles.map(p => s"_score_${p._1}")): _*)
   }
 
   /** PII scrubbing: regex-redact emails, phone-like sequences, IPv4
@@ -96,15 +105,21 @@ object TextAnalysis {
     ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
     ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
 
+  /** Counts are computed SEQUENTIALLY on the progressively-redacted
+    * text, so each n_* reports redactions actually performed by that
+    * stage — an IP inside an already-redacted URL is not double-counted.
+    */
   def withRedaction(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
-    val redacted = piiPatterns.foldLeft(col("__graft_text")) { case (c, (_, pat, repl)) =>
-      regexp_replace(c, pat, repl)
+    val (out, _) = piiPatterns.foldLeft((d, col("__graft_text"))) {
+      case ((acc, current), (name, pat, repl)) =>
+        val staged = acc.withColumn(s"_pre_$name", current)
+        val counted = staged.withColumn(s"n_$name",
+          size(expr(s"regexp_extract_all(_pre_$name, '${pat.replace("\\", "\\\\")}', 0)")))
+        (counted, regexp_replace(col(s"_pre_$name"), pat, repl))
     }
-    piiPatterns.foldLeft(d.withColumn("redacted", redacted)) {
-      case (acc, (name, pat, _)) =>
-        acc.withColumn(s"n_$name",
-          size(expr(s"regexp_extract_all(__graft_text, '${pat.replace("\\", "\\\\")}', 0)")))
-    }
+    val (lastName, lastPat, lastRepl) = piiPatterns.last
+    out.withColumn("redacted", regexp_replace(col(s"_pre_$lastName"), lastPat, lastRepl))
+      .drop(piiPatterns.map(p => s"_pre_${p._1}"): _*)
   }
 
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling

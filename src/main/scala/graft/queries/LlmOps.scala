@@ -178,17 +178,20 @@ object LlmOps {
          |   CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact" ->
-      """SELECT doc_id,
-        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   'https?://[^ ]+', '<URL>', 'g'),
-        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
-        | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) AS n_email,
-        | cast(len(regexp_extract_all(text, 'https?://[^ ]+')) as int) AS n_url,
-        | cast(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) as int) AS n_ipv4,
-        | cast(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) as int) AS n_phone
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+        |s1 AS (SELECT doc_id, t0,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
+        |s2 AS (SELECT doc_id, t0, t1,
+        |  regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, t0, t1, t2,
+        |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t3 FROM s2)
+        |SELECT doc_id,
+        | md5(regexp_replace(t3, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+        | cast(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) AS n_email,
+        | cast(len(regexp_extract_all(t1, 'https?://[^ ]+')) as int) AS n_url,
+        | cast(len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) as int) AS n_ipv4,
+        | cast(len(regexp_extract_all(t3, '\+?[0-9][0-9()\- ]{7,}[0-9]')) as int) AS n_phone
+        |FROM s3 ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT u.word, count(*) AS cnt
         |FROM documents, unnest(string_split(text, ' ')) AS u(word)

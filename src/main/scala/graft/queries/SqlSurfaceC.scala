@@ -172,7 +172,7 @@ object SqlSurfaceC {
   def q38_q22_shape(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
-      .agg((decSum(money(col("c_acctbal"))) / count(lit(1))).as("thr"))
+      .agg(decAvg(money(col("c_acctbal"))).as("thr"))
     val orders = Tables(spark, dir, "orders").select(col("o_custkey"))
     cust.join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("thr"))

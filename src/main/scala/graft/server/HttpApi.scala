@@ -65,6 +65,8 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     val msg = Option(e.getMessage).getOrElse("")
     e match {
       case _ if msg.contains("PATH_NOT_FOUND") || msg.contains("matches no files") => 404
+      // malformed request body (jackson) is a client error, not SQL 422
+      case _ if e.getClass.getName.startsWith("com.fasterxml.jackson") => 400
       case _: IllegalArgumentException => 400
       case _: graft.sql.GraftSqlException => 422
       case _ if e.getClass.getName.contains("Parse") || e.getClass.getName.contains("Analysis") => 422
@@ -72,8 +74,18 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     }
   }
 
-  private def handle(ex: HttpExchange)(f: => Unit): Unit =
-    try f catch {
+  /** Exact-path + method routing on top of HttpServer's prefix
+    * contexts (reference routes are exact and method-scoped:
+    * src/controllers.rs #[post]/#[get]).
+    */
+  private def handle(ex: HttpExchange, path: String, method: String)(f: => Unit): Unit =
+    try {
+      if (ex.getRequestURI.getPath != path)
+        respond(ex, 404, envelope(null, "not found", 1))
+      else if (ex.getRequestMethod != method)
+        respond(ex, 405, envelope(null, s"method not allowed; use $method", 1))
+      else f
+    } catch {
       case e: Throwable =>
         val body = mapper.writeValueAsString(Map(
           "resp_msg" -> Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
@@ -81,11 +93,11 @@ class HttpApi(engine: Engine, port: Int = 8080) {
         respond(ex, statusFor(e), body)
     }
 
-  server.createContext("/health", ex => handle(ex) {
+  server.createContext("/health", ex => handle(ex, "/health", "GET") {
     respond(ex, 200, envelope(""))
   })
 
-  server.createContext("/fetch", ex => handle(ex) {
+  server.createContext("/fetch", ex => handle(ex, "/fetch", "POST") {
     val sql = readBody(ex).getOrElse("sql",
       throw new IllegalArgumentException("missing field: sql"))
     val r = engine.execute(sql)
@@ -94,7 +106,7 @@ class HttpApi(engine: Engine, port: Int = 8080) {
       "sql_type" -> r.sqlType, "query_time" -> fmtDuration(r.queryTimeMs))))
   })
 
-  server.createContext("/catalog", ex => handle(ex) {
+  server.createContext("/catalog", ex => handle(ex, "/catalog", "GET") {
     val tables = engine.catalog.listTables.map(e => Map(
       "id" -> e.id, "table_ref" -> e.tableRef, "table_path" -> e.tablePath,
       "table_schema" -> e.schema.map(f => Map(
@@ -102,7 +114,7 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     respond(ex, 200, envelope(tables))
   })
 
-  server.createContext("/query/export", ex => handle(ex) {
+  server.createContext("/query/export", ex => handle(ex, "/query/export", "POST") {
     val body = readBody(ex)
     val sql = body.getOrElse("sql", throw new IllegalArgumentException("missing field: sql"))
     val fileType = body.getOrElse("file_type", "CSV")
@@ -116,24 +128,33 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     val out = s"${sys.props("java.io.tmpdir")}/graft-export/query-$stamp-$unique$ext"
     val path = engine.exportFile(sql, fileType, out)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // download is served from memory; don't let export files pile up
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     ex.getResponseHeaders.set("attachment",
       s"filename=${java.net.URLEncoder.encode(new java.io.File(path).getName, "UTF-8")}")
     respond(ex, 200, bytes, "application/octet-stream")
   })
 
-  server.createContext("/query/history", ex => handle(ex) {
+  server.createContext("/query/history", ex => handle(ex, "/query/history", "GET") {
     val hist = engine.catalog.history(30).map(h => Map(
       "sql" -> h.sql, "status" -> h.status, "created_at" -> h.createdAt))
     respond(ex, 200, envelope(hist))
   })
 
+  private var pool: java.util.concurrent.ExecutorService = _
+
   def start(): HttpApi = {
     // concurrent request handling; Spark sessions are thread-safe for
     // concurrent query execution (each request plans independently)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    server.setExecutor(pool)
     server.start(); this
   }
-  def stop(): Unit = server.stop(0)
+
+  def stop(): Unit = {
+    server.stop(0)
+    if (pool != null) pool.shutdown() // non-daemon workers must not pin the JVM
+  }
 }
 
 /** Standalone server entry point (reference: src/main.rs binds :8080). */

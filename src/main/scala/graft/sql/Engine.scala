@@ -46,10 +46,11 @@ class Engine(
   def sqlDf(sql: String): DataFrame = {
     val rewritten = DirectPath.rewrite(spark, sql, resolvePath)
     DirectPath.unresolvedTables(spark, rewritten).foreach { name =>
-      if (!spark.catalog.tableExists(name)) {
-        catalog.lookup(name).foreach { e =>
-          Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
-        }
+      // always re-resolve catalog names: a re-registered table (new
+      // LOCATION) must not keep serving a stale first-read temp view.
+      // Names without a catalog entry (plain temp views) are untouched.
+      catalog.lookup(name).foreach { e =>
+        Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
       }
     }
     spark.sql(rewritten)

@@ -13,21 +13,49 @@ import scala.collection.mutable
 
 /** Mutable SpaceSaving (Metwally et al.) summary: tracks at most
   * `capacity` counters; an unseen item evicts the current minimum and
-  * inherits its count (+1), so every true heavy hitter of frequency
+  * inherits its count (+by), so every true heavy hitter of frequency
   * > N/capacity is guaranteed present. While distinct items ≤
   * capacity, counts are exact.
+  *
+  * A count→items bucket index (TreeMap) makes eviction O(log capacity)
+  * instead of a full counter scan — the Stream-Summary structure — so
+  * per-row update cost stays flat on high-cardinality streams.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
-  val counts: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty
+  require(capacity > 0, s"SpaceSaving capacity must be positive, got $capacity")
+
+  val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  private val byCount = new java.util.TreeMap[Long, mutable.LinkedHashSet[String]]()
+
+  private def bucketAdd(item: String, c: Long): Unit =
+    byCount.computeIfAbsent(c, _ => mutable.LinkedHashSet.empty) += item
+
+  private def bucketRemove(item: String, c: Long): Unit = {
+    val b = byCount.get(c)
+    b -= item
+    if (b.isEmpty) byCount.remove(c)
+  }
+
+  /** Direct insert for deserialization — no eviction semantics. */
+  def insertRaw(item: String, c: Long): Unit = {
+    counts.update(item, c)
+    bucketAdd(item, c)
+  }
 
   def add(item: String, by: Long = 1L): Unit =
     counts.get(item) match {
-      case Some(c) => counts.update(item, c + by)
-      case None if counts.size < capacity => counts.update(item, by)
+      case Some(c) =>
+        bucketRemove(item, c)
+        counts.update(item, c + by)
+        bucketAdd(item, c + by)
+      case None if counts.size < capacity =>
+        insertRaw(item, by)
       case None =>
-        val (minK, minV) = counts.minBy(_._2)
-        counts.remove(minK)
-        counts.update(item, minV + by)
+        val minEntry = byCount.firstEntry()
+        val victim = minEntry.getValue.head
+        bucketRemove(victim, minEntry.getKey)
+        counts.remove(victim)
+        insertRaw(item, minEntry.getKey + by)
     }
 
   def mergeIn(other: SpaceSavingBuffer): Unit =
@@ -50,6 +78,9 @@ case class SpaceSavingTopK(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SpaceSavingBuffer] with ExpectsInputTypes {
+
+  require(k > 0, s"spacesaving_topk: k must be positive, got $k")
+  require(capacity >= k, s"spacesaving_topk: capacity ($capacity) must be >= k ($k)")
 
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -104,7 +135,7 @@ case class SpaceSavingTopK(
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.counts.update(new String(b, "UTF-8"), in.readLong())
+      buf.insertRaw(new String(b, "UTF-8"), in.readLong())
     }
     buf
   }

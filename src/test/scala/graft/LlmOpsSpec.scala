@@ -113,4 +113,16 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
   }
+
+  test("langid detects unsegmented Chinese and English correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "我是学生我不喜欢下雨的天气"),
+      (2L, "the cat is on the mat and it is happy")).toDF("doc_id", "text")
+    val preds = operators.TextAnalysis.withLangId(df, col("text"))
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "zh", s"expected zh, got ${preds(1L)}")
+    assert(preds(2L) == "en", s"expected en, got ${preds(2L)}")
+  }
 }
