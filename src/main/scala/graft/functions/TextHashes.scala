@@ -226,6 +226,13 @@ object GraftFunctions {
     Bridge.column(org.apache.spark.sql.graftglue.SpaceSavingTopK(
       Bridge.expression(c), k, capacity).toAggregateExpression())
 
+  /** Exact bounded-heap top-k aggregate: array<struct<score,id>> of
+    * the k largest, (score desc, id asc) — no per-key sort.
+    */
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftglue.TopKAgg(
+      Bridge.expression(score), Bridge.expression(id), k).toAggregateExpression())
+
   /** Make `fnv1a64(...)` / `simhash64(...)` usable from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     def unary(name: String, f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(

@@ -38,13 +38,34 @@ object Similarity {
     graft.functions.GraftFunctions.hyperplaneSig(vec, bits, table * bits)
 
   /** Exact cosine top-k: every query vector against the full corpus.
-    * `queries` must be small (it is broadcast).
+    * `queries` must be small (it is broadcast). The per-query top-k
+    * uses the bounded-heap TopKAgg aggregate — O(n log k) with
+    * map-side partial combining, instead of the window row_number
+    * form that sorts every query's full candidate set.
     */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
+    heapTopK(scored, k)
+  }
+
+  /** (query_id, cosine, neighbor_id) → ranked top-k per query via the
+    * bounded-heap aggregate; output matches
+    * `row_number() OVER (ORDER BY cosine DESC, neighbor_id)` exactly.
+    */
+  private[graft] def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKAgg(
+        col("cosine"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as("neighbor_id"), round(col("_t.score"), 4).as("cosine"))
+
+  /** Window-based formulation kept for cross-checking the aggregate. */
+  private[graft] def windowTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -125,11 +146,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    heapTopK(scored, k)
   }
 
   /** Multi-table approximate top-k: `tables` independent
@@ -157,11 +174,6 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    heapTopK(scored, k)
   }
 }

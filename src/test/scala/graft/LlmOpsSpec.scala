@@ -36,6 +36,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("bounded-heap top-k aggregate matches the window row_number formulation exactly") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 16)
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        q.select(col("vec_id").as("query_id"), col("embedding").as("_qe"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.dot(col("_qe"), col("_ce")) /
+        (Similarity.l2norm(col("_qe")) * Similarity.l2norm(col("_ce"))))
+    val viaHeap = Similarity.heapTopK(scored, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = Similarity.windowTopK(scored, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.nonEmpty)
+  }
+
   test("brute-force top-k: ranks contiguous, cosine descending and bounded") {
     val rows = queries.LlmOps.sim_topk_bruteforce(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
