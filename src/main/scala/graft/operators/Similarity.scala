@@ -44,10 +44,13 @@ object Similarity {
     * form that sorts every query's full candidate set.
     */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"))
+    // norms precomputed once per row, not inside the O(n*m) pair loop
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"),
+      l2norm(col("embedding")).as("_qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"),
+      l2norm(col("embedding")).as("_cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
+      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     heapTopK(scored, k)
   }
 
@@ -137,15 +140,20 @@ object Similarity {
 
     val corpusCells = assign(corpus, "vec_id", "embedding", 1)
       .join(corpus, "vec_id")
-      .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("_ce"))
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("_ce"),
+        l2norm(col("embedding")).as("_cn"))
     val queryCells = assign(queries, "vec_id", "embedding", nProbe)
       .join(queries, "vec_id")
-      .select(col("cid"), col("vec_id").as("query_id"), col("embedding").as("_qe"))
+      .select(col("cid"), col("vec_id").as("query_id"), col("embedding").as("_qe"),
+        l2norm(col("embedding")).as("_qn"))
 
+    // no dedup needed: each corpus vector lives in exactly one cell and
+    // a query probes distinct cells, so (query, neighbor) pairs are
+    // unique by construction — a dedup here would shuffle every scored
+    // candidate for nothing
     val scored = corpusCells.join(broadcast(queryCells), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
-      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     heapTopK(scored, k)
   }
 
@@ -161,19 +169,20 @@ object Similarity {
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       tables: Int = 8): DataFrame = {
-    def sigs(df: DataFrame, idCol: String): DataFrame =
+    def sigs(df: DataFrame, idCol: String, normCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding"),
+        l2norm(col("embedding")).as(normCol),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), signature(col("embedding"), bits, t).as("sig"))): _*)).as("ts"))
-        .select(col(idCol), col("embedding"), col("ts.t"), col("ts.sig"))
-    val q = sigs(queries, "query_id").withColumnRenamed("embedding", "_qe")
-    val c = sigs(corpus, "neighbor_id").withColumnRenamed("embedding", "_ce")
+        .select(col(idCol), col("embedding"), col(normCol), col("ts.t"), col("ts.sig"))
+    val q = sigs(queries, "query_id", "_qn").withColumnRenamed("embedding", "_qe")
+    val c = sigs(corpus, "neighbor_id", "_cn").withColumnRenamed("embedding", "_ce")
     val candidates = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qe"), col("_ce"))
+      .select(col("query_id"), col("neighbor_id"), col("_qe"), col("_ce"), col("_qn"), col("_cn"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
-      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (l2norm(col("_qe")) * l2norm(col("_ce"))))
+      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     heapTopK(scored, k)
   }
 }

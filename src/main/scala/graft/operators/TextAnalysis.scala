@@ -110,15 +110,14 @@ object TextAnalysis {
     * stage — an IP inside an already-redacted URL is not double-counted.
     */
   def withRedaction(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
-    val (out, _) = piiPatterns.foldLeft((d, col("__graft_text"))) {
+    val (out, fullyRedacted) = piiPatterns.foldLeft((d, col("__graft_text"))) {
       case ((acc, current), (name, pat, repl)) =>
         val staged = acc.withColumn(s"_pre_$name", current)
         val counted = staged.withColumn(s"n_$name",
           size(expr(s"regexp_extract_all(_pre_$name, '${pat.replace("\\", "\\\\")}', 0)")))
         (counted, regexp_replace(col(s"_pre_$name"), pat, repl))
     }
-    val (lastName, lastPat, lastRepl) = piiPatterns.last
-    out.withColumn("redacted", regexp_replace(col(s"_pre_$lastName"), lastPat, lastRepl))
+    out.withColumn("redacted", fullyRedacted)
       .drop(piiPatterns.map(p => s"_pre_${p._1}"): _*)
   }
 

@@ -62,6 +62,24 @@ class Engine(
   def fetchDf(sql: String, limit: Int = 200): DataFrame =
     sqlDf(sql).limit(limit)
 
+  /** Arrow-style cell rendering (reference: src/controllers.rs:52
+    * ArrayFormatter): arrays as "[a, b]", maps/structs as "{…}" —
+    * Scala collection toString ("ArraySeq(…)") would break clients
+    * that parse the reference's row format.
+    */
+  private def formatCell(v: Any): String = v match {
+    // note: Spark returns mutable.ArraySeq, which is NOT the default
+    // (immutable) Seq alias in Scala 2.13 — match the collection root
+    case s: scala.collection.Seq[_] =>
+      s.map(x => if (x == null) "null" else formatCell(x)).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] => m.map { case (k, x) =>
+      s"${formatCell(k)}: ${if (x == null) "null" else formatCell(x)}" }.mkString("{", ", ", "}")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) "null" else formatCell(r.get(i)))
+        .mkString("{", ", ", "}")
+    case other => other.toString
+  }
+
   /** Execute any supported statement; SELECTs return stringified rows
     * with nulls rendered as "null" (reference: src/controllers.rs:52
     * FormatOptions::default().with_null("null")).
@@ -75,7 +93,7 @@ class Engine(
           val df = fetchDf(s, limit)
           val header = df.columns.toSeq
           val rows = df.collect().toSeq.map(r =>
-            (0 until r.length).map(i => if (r.isNullAt(i)) "null" else r.get(i).toString))
+            (0 until r.length).map(i => if (r.isNullAt(i)) "null" else formatCell(r.get(i))))
           FetchResult(header, rows, "DML", ms)
         case CreateTableStatement(name, cols, location, comment) =>
           catalog.register(name, location, cols, comment)

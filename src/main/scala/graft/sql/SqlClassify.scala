@@ -34,6 +34,9 @@ object SqlClassify {
     } else if (head.startsWith("create")) {
       trimmed match {
         case CreateTableRe(name, cols, comment, location) =>
+          if (name.contains('.'))
+            throw new GraftSqlException(
+              s"Multi-part table names are not supported: '$name' — use a single-part name")
           CreateTableStatement(name, parseColumns(cols), location, Option(comment))
         case _ => throw new GraftSqlException(
           "Unsupported CREATE syntax — expected: CREATE TABLE name (col type, ...) [COMMENT '...'] LOCATION 'path'")

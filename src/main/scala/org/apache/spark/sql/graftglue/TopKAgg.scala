@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -23,6 +23,10 @@ final class TopKBuffer(val k: Int) {
   val heap: mutable.PriorityQueue[(Double, Long)] = mutable.PriorityQueue.empty(ord)
 
   def add(score: Double, id: Long): Unit = {
+    // NaN scores (e.g. cosine of a zero-norm vector) are excluded:
+    // NaN comparisons would make heap contents depend on arrival
+    // order, i.e. on partitioning — nondeterministic results
+    if (score.isNaN) return
     if (heap.size < k) heap.enqueue((score, id))
     else {
       val (ws, wi) = heap.head // weakest kept entry
@@ -57,7 +61,7 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, s"topk_agg: k must be positive, got $k")
 
