@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale paths:
   *  - brute-force top-k: broadcast the (small) query set against a
-  *    scan of the corpus — zero shuffle for scoring, one shuffle for
-  *    the per-query top-k (TakeOrdered via window row_number).
-  *  - LSH top-k: random-hyperplane signatures bucket the corpus; only
-  *    same-bucket pairs are scored. Signature planes are derived from
-  *    xxhash64(bit, dim) so they are deterministic, identical on every
-  *    executor, and never shipped.
+  *    scan of the corpus — zero shuffle for scoring; the per-query
+  *    top-k is the bounded-heap TopKAgg aggregate (map-side partial
+  *    combining, no Window/Sort).
+  *  - LSH top-k: multi-table random-hyperplane signatures bucket the
+  *    corpus; only same-bucket pairs are scored. Plane components are
+  *    derived from splitmix64(plane, dim) so they are deterministic,
+  *    identical on every executor, and never shipped.
+  *  - IVF top-k: centroid cells (optionally k-means-refined) with
+  *    nProbe search.
   */
 object Similarity {
 
