@@ -53,6 +53,12 @@ class HttpApiSpec extends AnyFunSuite {
     assert(cat.body().contains("\"field\":\"n_nationkey\""))
   }
 
+  test("routing: prefix paths 404, wrong methods 405, bad JSON 400") {
+    assert(post("/fetchanything", "{}").statusCode() == 404)
+    assert(get("/fetch").statusCode() == 405)
+    assert(post("/fetch", """{"sql": "select 1""").statusCode() == 400)
+  }
+
   test("/fetch rejects non-SELECT/CREATE with resp_code 1") {
     val r = post("/fetch", """{"sql": "drop table x"}""")
     assert(r.statusCode() == 422)
