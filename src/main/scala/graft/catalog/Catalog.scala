@@ -86,7 +86,8 @@ class Catalog(dir: String) {
     * src/controllers.rs:259-276 limit 30).
     */
   def history(n: Int = 30): Seq[HistoryEntry] = synchronized {
-    readLines(historyFile).map(l => mapper.readValue(l, classOf[HistoryEntry]))
-      .reverse.take(n)
+    // parse only the last n lines — the log is unbounded
+    readLines(historyFile).takeRight(n).reverse
+      .map(l => mapper.readValue(l, classOf[HistoryEntry]))
   }
 }

@@ -32,7 +32,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payload = struct((rightPayload :+ rightTiebreak).distinct.map(col): _*)
 
-    val rSel = right.select(
+    // null-timestamp right rows would sort FIRST (ASC null ordering)
+    // and become phantom "most recent prior" matches — exclude them
+    val rSel = right.filter(rightTime.isNotNull).select(
       rightKey.as("_k"), rightTime.as("_t"),
       lit(0).as("_origin"),
       col(rightTiebreak).cast("long").as("_tie"),

@@ -22,6 +22,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * At 100 TB step 3's fetch joins touch only candidates; AQE's
   * skew-join splitting covers pathological buckets.
+  *
+  * Lifecycle note: signature relations are persisted MEMORY_AND_DISK
+  * and stay cached until the session ends (Spark offers no safe point
+  * to unpersist a lazy result's inputs). Long-lived sessions running
+  * many dedup passes should call `spark.catalog.clearCache()` after
+  * consuming each result (the bench harness does).
   */
 object Dedup {
 
@@ -93,11 +99,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates share at
-    * least one of 4 16-bit chunks (pigeonhole: hamming ≤ 3 guarantees
-    * a shared chunk; we verify up to `maxHamming`), verified with
-    * bit_count(xor).
+    * least one of 4 16-bit chunks, verified with bit_count(xor).
+    * The pigeonhole guarantee covers hamming ≤ 3 (4 chunks, 3 bit
+    * flips can't touch all of them), hence the default; a larger
+    * `maxHamming` widens the filter but the candidate set is then
+    * incomplete for pairs differing in all four chunks.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       GraftFunctions.simhash64(col("text")).as("_sig"))
       .select(col("doc_id"), col("_sig"),

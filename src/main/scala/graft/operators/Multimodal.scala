@@ -54,7 +54,9 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         // per-partition: a real codec would init once here
-        it.map { case (id, bytes, mtype) =>
+        it.map { case (id, rawBytes, mtype) =>
+          // null blobs (missing media at ingest) decode as empty, not NPE
+          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
           val (w, h) = fakeDecode(bytes)
           MediaMeta(id, mtype, w, h, bytes.length.toLong, if (bytes.isEmpty) 0 else bytes(0) & 0xff)
         }

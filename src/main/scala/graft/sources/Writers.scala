@@ -57,14 +57,20 @@ object Writers {
     val target = Paths.get(filePath)
     val tmpDir = target.resolveSibling(target.getFileName.toString + ".staging")
     write(df.coalesce(1), tmpDir.toString, format)
-    val part = Files.list(tmpDir).iterator().asScala
-      .find(p => p.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"No part file written under $tmpDir"))
+    val listStream = Files.list(tmpDir)
+    val part = try {
+      listStream.iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"No part file written under $tmpDir"))
+    } finally listStream.close()
     Files.createDirectories(target.toAbsolutePath.getParent)
     Files.deleteIfExists(target)
     Files.move(part, target)
-    // clean the staging dir (part file already moved out)
-    Files.walk(tmpDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // clean the staging dir (part file already moved out); NIO streams
+    // hold an open directory handle and must be closed
+    val walkStream = Files.walk(tmpDir)
+    try walkStream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walkStream.close()
     target
   }
 }

@@ -202,6 +202,10 @@ object XlsxParse {
     acc - 1
   }
 
+  // Excel serials are wall-clock values with no timezone; this engine
+  // pins spark.sql.session.timeZone=UTC (GraftSession/Verify/Bench),
+  // under which instant-based conversion renders the same wall-clock.
+  // A non-UTC session would shift displays by its offset.
   private def serialToTimestamp(serial: Double): java.sql.Timestamp =
     new java.sql.Timestamp(ExcelEpochMs + math.round(serial * DayMs))
 

@@ -64,26 +64,8 @@ object XlsxSource {
     */
   def readRdd(spark: SparkSession, rawPath: String): DataFrame = {
     val (path, sheet) = splitSheet(rawPath)
-
-    // Driver-side: schema from the first matching file only.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(hconf)
-    val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
-    if (matches.isEmpty)
-      throw new IllegalArgumentException(s"Path does not exist or matches no files: $path")
-
-    val firstParts = XlsxParse.readParts(() => fs.open(matches.head), sheet)
-    val firstRows = XlsxParse.rows(firstParts).take(2).toSeq
-    if (firstRows.isEmpty)
-      throw new IllegalArgumentException(s"Empty worksheet in ${matches.head}")
-    val header = firstRows.head.map(c => if (c == null) "" else c.toString)
-    val sample = if (firstRows.size > 1) firstRows(1) else Array.empty[Any]
-    val schema = StructType(header.zipWithIndex.map { case (name, i) =>
-      cellToField(if (name.nonEmpty) name else s"_c$i",
-        if (i < sample.length) sample(i) else null)
-    })
+    // one shared inference path with the V2 source — the two must not drift
+    val schema = XlsxV2Util.inferSchema(path, sheet)
     val width = schema.length
     val types = schema.fields.map(_.dataType)
 

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
   */
 object XlsxWriter {
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def esc(s: String): String = {
+    val entities = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+    // control chars (except tab/lf/cr) are illegal in XML 1.0 even
+    // escaped — a single one corrupts the whole workbook; drop them
+    entities.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+  }
 
   def write(df: DataFrame, filePath: String, sheetName: String = "Sheet1"): java.nio.file.Path = {
     val schema = df.schema
