@@ -169,22 +169,32 @@ object Similarity {
     * embeddings; 8 tables lift it dramatically at 8× candidate cost).
     * At scale the (table, bucket) join replaces the cross product and
     * its key space is `tables`× larger — shuffle stays uniform.
+    *
+    * The candidate dedup runs on NARROW (query_id, neighbor_id) pairs —
+    * the embeddings never pass through the dedup exchange (at 8 tables
+    * that exchange would otherwise carry up to 8× the corpus vectors);
+    * they are fetch-joined by id for the candidates only, the same
+    * pattern as [[Dedup]]'s candidatePairs.
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       tables: Int = 8): DataFrame = {
-    def sigs(df: DataFrame, idCol: String, normCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("embedding"),
-        l2norm(col("embedding")).as(normCol),
+    def sigs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), signature(col("embedding"), bits, t).as("sig"))): _*)).as("ts"))
-        .select(col(idCol), col("embedding"), col(normCol), col("ts.t"), col("ts.sig"))
-    val q = sigs(queries, "query_id", "_qn").withColumnRenamed("embedding", "_qe")
-    val c = sigs(corpus, "neighbor_id", "_cn").withColumnRenamed("embedding", "_ce")
-    val candidates = c.join(broadcast(q), Seq("t", "sig"))
+        .select(col(idCol), col("ts.t"), col("ts.sig"))
+    val pairs = sigs(corpus, "neighbor_id")
+      .join(broadcast(sigs(queries, "query_id")), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qe"), col("_ce"), col("_qn"), col("_cn"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"),
+      l2norm(col("embedding")).as("_qn"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"),
+      l2norm(col("embedding")).as("_cn"))
+    val scored = pairs
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     heapTopK(scored, k)
   }

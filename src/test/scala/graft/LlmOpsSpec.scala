@@ -103,6 +103,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.count { case (a, b) => kept(math.min(a, b)) } >= pairs.length / 2)
   }
 
+  test("component resolution converges on a 100-node chain (path halving)") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    // one 100-node chain plus an isolated pair — diameter 99 would need
+    // 99 one-hop rounds; path halving must resolve it within the budget
+    val pairs = ((0L until 99L).map(i => (i, i + 1)) :+ (110L, 111L)).toDF("doc_a", "doc_b")
+    val kept = operators.Dedup.resolveComponents(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    val all = (0L until 120L).toSet
+    val chainMembers = (1L to 99L).toSet + 111L
+    assert(kept == all -- chainMembers, "chain must collapse to doc 0, pair to doc 110")
+  }
+
   test("recall report: both ANN variants return sane recall in (0, 1]") {
     val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getDouble(1)).toMap
