@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * format isn't splittable within a file, like gzip).
   *
   * Type mapping (reference excel.rs:109-126): shared/inline strings →
-  * string, numbers → double, booleans → boolean, date-styled numbers →
-  * timestamp. Header row supplies column names.
+  * string, numbers → double — or BIGINT when every value in the first
+  * file is whole (excel.rs types Int cells as Int32/Int64; an xlsx id
+  * column must join a parquet bigint cleanly) — booleans → boolean,
+  * date-styled numbers and `yyyy-MM-dd HH:mm:ss` strings → timestamp
+  * (excel.rs:81-93). Header row supplies column names.
   */
 object XlsxSource {
 
@@ -38,7 +41,13 @@ object XlsxSource {
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (x: java.sql.Timestamp, TimestampType) => x
+    case (x: String, TimestampType) =>
+      Option(XlsxV2Util.parseTsMicros(x)).map(us => new java.sql.Timestamp(us / 1000L)).orNull
     case (x: java.lang.Double, DoubleType) => x
+    case (x: java.lang.Double, LongType) =>
+      if (x == math.floor(x) && !x.isInfinite) java.lang.Long.valueOf(x.toLong) else null
+    case (x: String, LongType) =>
+      try { x.toLong: java.lang.Long } catch { case _: Exception => null }
     case (x: java.lang.Boolean, BooleanType) => x
     case (x: java.lang.Double, StringType) =>
       // whole numbers render without the trailing ".0" Excel never shows

@@ -70,23 +70,84 @@ object XlsxV2Util {
     matches
   }
 
+  /** Doubles represent integers exactly only up to 2^53 — past that a
+    * "whole-looking" cell value may already be a rounded float, so the
+    * column must stay double.
+    */
+  private val MaxExactLong = 9007199254740992.0 // 2^53
+
+  /** The reference's string-timestamp shape (excel.rs:81-93 parses
+    * `%Y-%m-%d %H:%M:%S` strings into timestamps).
+    */
+  private val TsPattern = java.util.regex.Pattern.compile(
+    """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""")
+  private val TsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  def isTsString(s: String): Boolean = TsPattern.matcher(s).matches()
+
+  /** Parse a `yyyy-MM-dd HH:mm:ss` string to epoch MICROS (UTC, naive —
+    * the reference parses with no zone and stamps UTC); null on
+    * mismatch.
+    */
+  def parseTsMicros(s: String): java.lang.Long =
+    try java.time.LocalDateTime.parse(s, TsFmt).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    catch { case _: Exception => null }
+
+  /** Schema inference streams the ENTIRE first matching file (constant
+    * memory — only per-column evidence is kept):
+    *  - numeric columns whose every value is whole (and exactly
+    *    representable) infer as `bigint`, so an xlsx id column joins a
+    *    parquet bigint without a double/long mismatch (reference
+    *    excel.rs:116-126 types Int cells as Int32/Int64);
+    *  - string columns whose every value matches `yyyy-MM-dd HH:mm:ss`
+    *    infer as `timestamp` (reference excel.rs:81-93);
+    *  - otherwise the first non-null cell picks double/boolean/
+    *    timestamp/string as before.
+    * Only the first file of a glob is inspected, like the reference's
+    * first-workbook schema.
+    */
   def inferSchema(path: String, sheet: Option[String]): StructType = {
     val first = listFiles(path).head
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(first)
     val fs = hPath.getFileSystem(conf)
     val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
-    val rows = XlsxParse.rows(parts).take(2).toSeq
-    if (rows.isEmpty) throw new IllegalArgumentException(s"Empty worksheet in $first")
-    val header = rows.head.map(c => if (c == null) "" else c.toString)
-    val sample = if (rows.size > 1) rows(1) else Array.empty[Any]
+    val it = XlsxParse.rows(parts)
+    if (!it.hasNext) throw new IllegalArgumentException(s"Empty worksheet in $first")
+    val header = it.next().map(c => if (c == null) "" else c.toString)
+    val n = header.length
+    val base = new Array[DataType](n) // first non-null cell's type; null until seen
+    val allWhole = Array.fill(n)(true)
+    val allTs = Array.fill(n)(true)
+    while (it.hasNext) {
+      val cells = it.next()
+      var i = 0
+      while (i < n) {
+        val v = if (i < cells.length) cells(i) else null
+        if (v != null) {
+          if (base(i) == null) base(i) = v match {
+            case _: java.lang.Double => DoubleType
+            case _: java.lang.Boolean => BooleanType
+            case _: java.sql.Timestamp => TimestampType
+            case _ => StringType
+          }
+          v match {
+            case d: java.lang.Double =>
+              val x = d.doubleValue()
+              if (!(x == math.floor(x) && math.abs(x) < MaxExactLong)) allWhole(i) = false
+            case s: String => if (!isTsString(s)) allTs(i) = false
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+    }
     StructType(header.zipWithIndex.map { case (name, i) =>
-      val v = if (i < sample.length) sample(i) else null
-      val dt = v match {
-        case _: java.lang.Double => DoubleType
-        case _: java.lang.Boolean => BooleanType
-        case _: java.sql.Timestamp => TimestampType
-        case _ => StringType
+      val dt = base(i) match {
+        case DoubleType if allWhole(i) => LongType
+        case StringType if allTs(i) => TimestampType
+        case null => StringType
+        case other => other
       }
       StructField(if (name.nonEmpty) name else s"_c$i", dt, nullable = true)
     })
@@ -166,8 +227,12 @@ case class XlsxReaderFactory(
       private def convert(v: Any, dt: DataType): Any = (v, dt) match {
         case (null, _) => null
         case (x: java.lang.Double, DoubleType) => x.doubleValue()
+        case (x: java.lang.Double, LongType) =>
+          val d = x.doubleValue()
+          if (d == math.floor(d) && !d.isInfinite) d.toLong else null
         case (x: java.lang.Boolean, BooleanType) => x.booleanValue()
         case (x: java.sql.Timestamp, TimestampType) => x.getTime * 1000L + (x.getNanos / 1000) % 1000
+        case (x: String, TimestampType) => XlsxV2Util.parseTsMicros(x)
         case (x: java.lang.Double, StringType) =>
           val d = x.doubleValue()
           UTF8String.fromString(
@@ -175,6 +240,8 @@ case class XlsxReaderFactory(
         case (x, StringType) => UTF8String.fromString(x.toString)
         case (x: String, DoubleType) =>
           try x.toDouble catch { case _: Exception => null }
+        case (x: String, LongType) =>
+          try x.toLong catch { case _: Exception => null }
         // type drift vs the inferred schema (boolean/date cell in a
         // numeric column, etc.) → null, matching the RDD path — never
         // store a mistyped value into an InternalRow slot

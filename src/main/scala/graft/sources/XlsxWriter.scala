@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   *
   * Driver-side by design: like the reference's export endpoint this
   * produces a single human-downloadable file (reference:
-  * src/controllers.rs:188-257). Results at cluster scale should use
+  * src/controllers.rs:188-257). Rows STREAM through the driver
+  * (`toLocalIterator` → zip stream, one partition in memory at a
+  * time) — an unbounded SELECT exported to xlsx never materializes on
+  * the driver. Results at cluster scale should still use
   * [[Writers.exportDir]] formats instead.
   */
 object XlsxWriter {
@@ -27,7 +30,6 @@ object XlsxWriter {
 
   def write(df: DataFrame, filePath: String, sheetName: String = "Sheet1"): java.nio.file.Path = {
     val schema = df.schema
-    val rows = df.collect()
     val target = Paths.get(filePath)
     if (target.getParent != null) Files.createDirectories(target.getParent)
 
@@ -62,32 +64,38 @@ object XlsxWriter {
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
         |</Relationships>""".stripMargin)
 
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    // the sheet part streams: rows flow from toLocalIterator straight
+    // into the zip entry, so driver memory is bounded by one upstream
+    // partition, not the result size
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(zos, java.nio.charset.StandardCharsets.UTF_8))
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     def strCell(v: String): Unit =
-      sb.append(s"""<c t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+      w.write(s"""<c t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
     // header row
-    sb.append("<row>")
+    w.write("<row>")
     schema.fields.foreach(f => strCell(f.name))
-    sb.append("</row>")
+    w.write("</row>")
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
       .withZone(java.time.ZoneOffset.UTC)
-    rows.foreach { r =>
-      sb.append("<row>")
+    df.toLocalIterator().forEachRemaining { r =>
+      w.write("<row>")
       schema.fields.zipWithIndex.foreach { case (f, i) =>
-        if (r.isNullAt(i)) sb.append("<c/>")
+        if (r.isNullAt(i)) w.write("<c/>")
         else f.dataType match {
-          case _: NumericType => sb.append(s"<c><v>${r.get(i)}</v></c>")
-          case BooleanType => sb.append(s"""<c t="b"><v>${if (r.getBoolean(i)) 1 else 0}</v></c>""")
+          case _: NumericType => w.write(s"<c><v>${r.get(i)}</v></c>")
+          case BooleanType => w.write(s"""<c t="b"><v>${if (r.getBoolean(i)) 1 else 0}</v></c>""")
           case TimestampType => strCell(fmt.format(r.getTimestamp(i).toInstant))
           case _ => strCell(r.get(i).toString)
         }
       }
-      sb.append("</row>")
+      w.write("</row>")
     }
-    sb.append("</sheetData></worksheet>")
-    part("xl/worksheets/sheet1.xml", sb.toString)
+    w.write("</sheetData></worksheet>")
+    w.flush() // flush, NOT close — closing the writer would close the zip
+    zos.closeEntry()
     zos.close()
     target
   }

@@ -17,12 +17,24 @@ class XlsxSpec extends AnyFunSuite {
     XlsxWriter.write(df, s"$tmp/nation.xlsx")
     val back = XlsxSource.read(spark, s"$tmp/nation.xlsx")
     assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
-    assert(back.schema("n_nationkey").dataType == DoubleType) // numbers read as double
+    // whole-number columns infer as bigint (reference types Int cells
+    // integrally) so they join parquet bigints without a cast
+    assert(back.schema("n_nationkey").dataType == LongType)
     assert(back.count() == df.count())
     val got = back.select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
       .orderBy(col("n_nationkey")).collect().map(_.toSeq)
     val want = df.orderBy(col("n_nationkey")).collect().map(_.toSeq)
     assert(got.sameElements(want))
+  }
+
+  test("numeric columns with any fractional value stay double") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 2.5), (3L, 4.0)).toDF("id", "x")
+    XlsxWriter.write(df, s"$tmp/fracs.xlsx")
+    val back = XlsxSource.read(spark, s"$tmp/fracs.xlsx")
+    assert(back.schema("id").dataType == LongType)
+    assert(back.schema("x").dataType == DoubleType)
+    assert(back.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.5, 4.0))
   }
 
   test("#Sheet selector picks the named sheet and errors on unknown") {
@@ -33,16 +45,20 @@ class XlsxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Nope"))
   }
 
-  test("timestamps write as ISO strings; booleans survive") {
+  test("timestamps roundtrip through ISO strings back to timestamps; booleans survive") {
     import spark.implicits._
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), true, "a"),
       (java.sql.Timestamp.valueOf("2024-06-07 08:09:10"), false, "b"))
       .toDF("ts", "flag", "s")
     XlsxWriter.write(df, s"$tmp/mixed.xlsx")
-    val back = XlsxSource.read(spark, s"$tmp/mixed.xlsx").orderBy("s").collect()
-    assert(back(0).getString(0) == "2024-01-02 03:04:05")
-    assert(back(0).getBoolean(1) === true)
-    assert(back(1).getBoolean(1) === false)
+    val back = XlsxSource.read(spark, s"$tmp/mixed.xlsx")
+    // string cells shaped yyyy-MM-dd HH:mm:ss parse back into timestamps
+    // (reference excel.rs:81-93)
+    assert(back.schema("ts").dataType == TimestampType)
+    val rows = back.orderBy("s").collect()
+    assert(rows(0).getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+    assert(rows(0).getBoolean(1) === true)
+    assert(rows(1).getBoolean(1) === false)
   }
 
   test("empty path errors cleanly") {
