@@ -25,6 +25,13 @@ object GraftSession {
     // Dims at TPC-H-ish ratios stay far below this even at SF ≫ 1;
     // 64m keeps region/nation/supplier/part joins broadcast at scale.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Runtime bloom-filter join pruning: a selective predicate on the
+    // build side of a shuffle equi-join becomes a bloom filter probed
+    // at the other side's SCAN, cutting fact-table rows before the
+    // exchange. Thresholds stay at Spark defaults (creation ≤ 10 MB,
+    // application scan ≥ 10 GB): inert at test SFs, exactly the
+    // selective fact-fact shapes (q03/q04) at 100 TB.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark
   }
 
@@ -40,6 +47,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // static conf: default 100-entry codegen class cache evicts and
       // re-pays multi-second compilation in many-query workloads
       .config("spark.sql.codegen.cache.maxEntries", "5000")

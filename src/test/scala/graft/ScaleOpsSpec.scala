@@ -50,6 +50,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective fact-fact join") {
+    // Thresholds are production-sized (10 MB / 10 GB) so the filter is
+    // inert at test SFs; lower them here to prove the mechanism fires
+    // on the q03/q04 shape: selective orders predicate -> bloom filter
+    // probed at the lineitem scan, ahead of the shuffle.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter in:\n$optimized")
+      // the filter must sit on the lineitem (application) side, above its scan
+      val n = joined.collect().head.getLong(0)
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == plain, "bloom-filtered join must not change the result")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
     val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
