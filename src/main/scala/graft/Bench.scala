@@ -25,6 +25,11 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new graft.tools.ShuffleMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    // name -> (shuffleRead, shuffleWrite, spilled) bytes for the query
+    val shuffleBytes = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
 
     def materialize(name: String): Double = {
       // JMH-style hygiene: measure each query against a quiet heap —
@@ -32,6 +37,7 @@ object Bench {
       // absorb the previous queries' garbage collection debt (observed
       // q01 1.7s clean vs 13s mid-suite).
       System.gc()
+      val (r0, w0, s0) = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -40,6 +46,8 @@ object Bench {
         return -1.0
       }
       val t = (System.nanoTime() - t0) / 1e9
+      val (r1, w1, s1) = metrics.snapshot(spark.sparkContext)
+      shuffleBytes(name) = (r1 - r0, w1 - w0, s1 - s0)
       // drop per-query persisted intermediates (dedup signature
       // relations) so later queries aren't squeezed by stale cache
       spark.catalog.clearCache()
@@ -54,7 +62,13 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query shuffle/spill evidence (scale design: exchanges carry
+    // O(signatures)/O(keys), never the corpus; spill stays 0)
+    val sb = results.map { case (k, _) =>
+      val (r, w, s) = shuffleBytes.getOrElse(k, (0L, 0L, 0L))
+      s""""$k":{"read":$r,"write":$w,"spill":$s}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

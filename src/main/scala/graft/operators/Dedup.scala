@@ -124,15 +124,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** n-gram Jaccard with single-min-hash blocking: documents block on
-    * the minimum shingle hash (near-dups with Jaccard j share it with
-    * probability j), then exact Jaccard within blocks.
+  /** EXACT n-gram Jaccard via prefix filtering (the AllPairs/PPJoin
+    * principle, Bayardo et al., WWW'07): under a global shingle order
+    * (ascending document frequency, ties by value), any two sets with
+    * J >= t must share a shingle within each one's first
+    * `|s| - ceil(t*|s|) + 1` shingles — so blocking on those prefix
+    * shingles has recall EXACTLY 1, unlike min-hash blocking whose
+    * per-pair recall is only ~j (measured: 7 of 256 true pairs missed
+    * at sf0.1). The blocking keys are each document's RAREST shingles,
+    * so bucket sizes stay tiny at scale; candidates are then verified
+    * with exact Jaccard as usual.
+    *
+    * Cost: one shingle-frequency aggregate + one join + one per-doc
+    * sort-and-slice — all keyed by high-cardinality shingles. This is
+    * the exact-result path; minhashLsh remains the probabilistic one.
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sigs = shingled(docs, k)
-      .select(col("doc_id"),
-        element_at(GraftFunctions.minhashSig(col("_shingles"), 1), 1).as("_block"))
-    verifyJaccard(candidatePairs(sigs, Seq("_block")), docs, k)
+    val sh = shingled(docs, k)
+    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("sh"))
+    val counts = ex.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    val prefixes = ex.join(counts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("sh")))).as("_sorted"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(_sorted, 1, cast(size(_sorted) - ceil($threshold * size(_sorted)) + 1 as int))"))
+        .as("_p"))
+      .select(col("doc_id"), col("_p.sh").as("_block"))
+    verifyJaccard(candidatePairs(prefixes, Seq("_block")), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

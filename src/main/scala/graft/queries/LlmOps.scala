@@ -72,6 +72,13 @@ object LlmOps {
     Dedup.resolveComponents(d, Dedup.minhashLsh(d)).orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup: the corpus arrives in micro-batches; the
+    * drained stream must equal batch minhashLsh (same hard oracle).
+    */
+  def dedup_stream_minhash(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingDedup.runIncremental(spark, docs(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def dedup_embed_cosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -147,6 +154,7 @@ object LlmOps {
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
+    "dedup_stream_minhash" -> (dedup_stream_minhash _),
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
     "dedup_resolve" -> (dedup_resolve _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
@@ -158,7 +166,92 @@ object LlmOps {
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
 
+  /** DuckDB mirror of TextHashes.shingles (word k=3 grams, distinct) +
+    * exact all-pairs Jaccard — an INDEPENDENT implementation of the
+    * near-dup ground truth. The cheap size-ratio predicate in the join
+    * is a necessary condition for J >= t (|A∩B| <= min, |A∪B| >= max),
+    * so it prunes the quadratic pair space without changing the result.
+    * Valid as the LSH/blocked operators' oracle because the test
+    * corpora's near-dup pairs all sit at J >= 0.9, where both the
+    * 16x4 banding and single-min-hash blocking have recall 1 (verified
+    * sf0.001/0.01/0.1); the operators themselves remain probabilistic.
+    */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS j
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id
+       |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= $threshold
+       |)""".stripMargin
+
+  /** Pick the committed expected-result fixture matching the sfDir the
+    * driver is actually running (content-discriminated, not just row
+    * count — sf0.001 and sf0.01 both have 500 docs). Fixtures are
+    * generated by tools/make_expected.py, an independent pure-Python
+    * reimplementation of the hash kernels (see expected/README.md).
+    */
+  private def fixtureSql(name: String, table: String): String = {
+    val (gate, keys) = table match {
+      case "documents" =>
+        ("(SELECT count(*) || '-' || sum(n_chars) FROM documents)",
+          Seq("0.001" -> "500-153156", "0.01" -> "500-149174", "0.1" -> "5000-1485576"))
+      case "embeddings" =>
+        ("(SELECT count(*) || '-' || sum(label) FROM embeddings)",
+          Seq("0.001" -> "500-2268", "0.01" -> "500-2270", "0.1" -> "2000-9063"))
+    }
+    keys.map { case (sf, disc) =>
+      s"SELECT * FROM read_parquet('/root/repo/expected/sf$sf/$name.parquet') WHERE $gate = '$disc'"
+    }.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""${jaccardPairsSql(0.8)}
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""${jaccardPairsSql(0.7)}
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // the drained incremental stream must equal the batch operator
+    "dedup_stream_minhash" ->
+      s"""${jaccardPairsSql(0.8)}
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components of the J>=0.8 near-dup graph via transitive
+    // closure (recursive CTE), keep the min id per component: an
+    // independent re-derivation of resolveComponents' fixpoint.
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id
+         |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+         |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> fixtureSql("dedup_simhash", "documents"),
+    "text_langid" -> fixtureSql("text_langid", "documents"),
+    "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
+    "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
+    "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
+    "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
+    "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

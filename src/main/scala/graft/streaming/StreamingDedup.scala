@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Incremental near-dup detection over a document stream (SURVEY.md
+  * §8 / VERDICT round-1 item 8): the streaming counterpart of
+  * [[Dedup.minhashLsh]], producing the SAME verified pair set when the
+  * stream is fully drained.
+  *
+  * Dataflow (all stages incremental):
+  *   1. per micro-batch: shingle → minhash signature → explode to
+  *      (band, bucket) keys — the codegen'd kernels run unchanged on
+  *      the streaming DataFrame;
+  *   2. `flatMapGroupsWithState` keyed by (band, bucket) holds the doc
+  *      ids previously seen in that bucket and emits a candidate pair
+  *      the moment its second endpoint arrives — each pair exactly
+  *      once per bucket;
+  *   3. streaming `dropDuplicates` collapses the same pair surfacing
+  *      from multiple bands;
+  *   4. a stream-static join against the (static) document store
+  *      fetches both shingle sets and verifies exact Jaccard — only
+  *      candidates are ever verified, as in batch.
+  *
+  * Scale notes: state per bucket is just the member id list, and the
+  * band/bucket key space keeps buckets tiny (near-dup families), so
+  * state is O(corpus ids), never O(pairs); the pair-dedup state is
+  * O(emitted candidates). A production deployment bounds both with
+  * state TTL (`GroupStateTimeout`/watermark) under the standard
+  * assumption that near-dups arrive within a time horizon; the test
+  * path keeps state unbounded so the drained stream is byte-equal to
+  * the batch operator.
+  */
+object StreamingDedup {
+
+  case class BucketState(ids: List[Long])
+
+  /** Emit (doc_a, doc_b) for every pair completed in this bucket by
+    * this batch's arrivals; remember the members.
+    */
+  private def emitPairs(
+      key: (Int, Long),
+      rows: Iterator[(Int, Long, Long)],
+      state: GroupState[BucketState]): Iterator[(Long, Long)] = {
+    val prev = state.getOption.map(_.ids).getOrElse(Nil)
+    val fresh = rows.map(_._3).toList.distinct.filterNot(prev.contains)
+    state.update(BucketState(fresh ::: prev))
+    // new×old plus new×new (each unordered pair once, smaller id first)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var remainingNew = fresh
+    while (remainingNew.nonEmpty) {
+      val a = remainingNew.head
+      remainingNew = remainingNew.tail
+      (remainingNew ::: prev).foreach { b =>
+        out += ((math.min(a, b), math.max(a, b)))
+      }
+    }
+    out.iterator
+  }
+
+  /** Candidate-pair stream from a (doc_id, text) stream. */
+  def candidatePairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val sigs = docs
+      .select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_shingles"))
+      .withColumn("_minhash", GraftFunctions.minhashSig(col("_shingles"), bands * rowsPerBand))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> named_struct(
+             |    'band', b,
+             |    'bucket', xxhash64(slice(_minhash, b * $rowsPerBand + 1, $rowsPerBand))))"""
+            .stripMargin)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    sigs
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(emitPairs)
+      .dropDuplicates("_1", "_2")
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair stream against the
+    * static document store (stream-static equi-joins by id — at scale
+    * this is the point lookup into the corpus table, touching only
+    * candidate rows).
+    */
+  def verifiedPairs(
+      spark: SparkSession,
+      pairStream: Dataset[(Long, Long)],
+      staticDocs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = staticDocs
+      .select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_sh"))
+    pairStream.toDF("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("_sh").as("_sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Drive the full incremental pipeline over the documents table in
+    * `batches` micro-batches and return the drained result — the
+    * driver-contract entry proving stream/batch equivalence under the
+    * same hard DuckDB oracle as `dedup_minhash_lsh`.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      docs: DataFrame,
+      batches: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    // stage the corpus as `batches` files and stream them one file per
+    // trigger — genuine distributed micro-batches, no driver collect
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    dir.toFile.deleteOnExit()
+    val staged = docs.select(col("doc_id"), col("text"))
+    staged.repartitionByRange(batches, col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
+    val q = verifiedPairs(spark,
+      candidatePairs(spark, stream), docs, threshold = threshold)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+    spark.table(sinkName)
+  }
+}

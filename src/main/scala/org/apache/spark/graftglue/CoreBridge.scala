@@ -16,4 +16,11 @@ object CoreBridge {
     SerializableConfiguration.broadcast(sc, conf)
 
   def confOf(bc: Broadcast[SerializableConfiguration]): Configuration = bc.value.value
+
+  /** Drain the listener bus so SparkListener-collected metrics are
+    * complete before a snapshot is read (the bus is async; without the
+    * drain a per-query metrics delta can attribute task events to the
+    * wrong query).
+    */
+  def waitListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }

@@ -18,6 +18,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("prefix-filtered ngram-jaccard has recall 1 on borderline pairs") {
+    import spark.implicits._
+    // families at J barely above 0.7 — exactly where probabilistic
+    // blocking (per-pair recall ~j) drops pairs; the prefix-filter
+    // theorem guarantees these are all found
+    val mk = (tokens: Seq[String]) => tokens.mkString(" ")
+    val base = (1 to 40).map(i => s"w$i")
+    val docs = (0 until 30).flatMap { f =>
+      val fam = base.map(t => s"$t-f$f")
+      Seq((f * 2L, mk(fam)),
+        (f * 2L + 1L, mk(fam.drop(6)))) // 38 vs 32 shingles, J = 32/38 ~ 0.84... drop more
+    }.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(docs, k = 3, threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth on the tiny corpus
+    val sets = docs.collect().map { r =>
+      val w = r.getString(1).split(" ")
+      r.getLong(0) -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.7
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must contain borderline pairs")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("exact dedup partitions the corpus") {
     val d = queries.LlmOps.dedup_exact(spark, sfDir)
     val total = Tables(spark, sfDir, "documents").count()

@@ -1,0 +1,329 @@
+#!/usr/bin/env python3
+"""Independent oracle generator for the hash-seeded §2D operators.
+
+Re-implements the deterministic kernels (fnv1a64, splitmix64, simhash,
+hyperplane signatures, cosine, IVF assignment, the langid heuristic) in
+pure Python — no Spark, no JVM — directly from the documents/embeddings
+parquet, and writes the expected operator outputs as parquet fixtures
+under expected/sf*/.  SparkEntry.oracleSql points DuckDB at these files,
+which turns the locality-sensitive operators (whose semantics are not
+ANSI-SQL-expressible) into hard hash-checked entries of the driver's
+correctness gate.
+
+The arithmetic mirrors graft.functions.TextHashes bit-for-bit:
+  * 64-bit ops run unsigned mod 2^64 (Java two's-complement wraparound),
+    signed comparisons where Java compares signed longs;
+  * float32 -> float64 widening is exact, accumulation order is the
+    array index order, so doubles are bit-identical;
+  * round(x, 4) uses HALF_UP on the shortest decimal repr, matching
+    Spark's round (scala BigDecimal(Double.toString(d))).
+
+Usage: python3 tools/make_expected.py [sf ...]   (default: all three)
+"""
+import sys
+import os
+import re
+from decimal import Decimal, ROUND_HALF_UP
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+M64 = (1 << 64) - 1
+TESTDATA = "/root/testdata"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected")
+
+
+def signed(x):
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def fnv1a64(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h ^= byte
+        h = (h * 0x100000001B3) & M64
+    return h
+
+
+def splitmix64(seed: int) -> int:
+    z = (seed + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+def round4(x: float) -> float:
+    # Spark round(double, 4): HALF_UP over the decimal string form.
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------- text ops
+
+def simhash64(text: str) -> int:
+    votes = [0] * 64
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        h = fnv1a64(tok.encode("utf-8"))
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def winnow_min_max(text: str, n: int):
+    words = text.split(" ")
+    if len(words) >= n:
+        mn, mx = None, None
+        for i in range(len(words) - n + 1):
+            h = signed(fnv1a64(" ".join(words[i:i + n]).encode("utf-8")))
+            mn = h if mn is None or h < mn else mn
+            mx = h if mx is None or h > mx else mx
+        return mn, mx
+    h = signed(fnv1a64(text.encode("utf-8")))
+    return h, h
+
+
+LANG_PROFILES = [
+    ("en", ["the", "and", "of", "to", "is", "in", "that", "it"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"]),
+    ("fr", ["le", "la", "et", "est", "les", "des", "un", "une"]),
+    ("es", ["el", "la", "que", "de", "y", "es", "un", "una"]),
+    ("zh", ["的", "是", "了", "在", "我", "有", "和", "不"]),
+]
+
+
+def langid(text: str):
+    lower = text.lower()
+    words = re.split(r"\s+", lower)
+    scores = []
+    for lang, profile in LANG_PROFILES:
+        if lang == "zh":
+            charset = set("".join(profile))
+            s = sum(1 for c in lower if c in charset)
+            scores.append((float(s) / len(lower), lang))
+        else:
+            pset = set(profile)
+            s = sum(1 for w in words if w in pset)
+            scores.append((float(s) / len(words), lang))
+    # array_max over struct(score, lang): lexicographic (score, then lang)
+    best_score, best_lang = max(scores)
+    pred = best_lang if best_score > 0.0 else "und"
+    return pred, round4(best_score)
+
+
+def gen_dedup_simhash(docs):
+    sigs = [(d["doc_id"], simhash64(d["text"])) for d in docs]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ida, sa), (idb, sb) = sigs[i], sigs[j]
+            if ida > idb:
+                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
+            h = ((sa ^ sb) & M64).bit_count()
+            if h <= 3:
+                rows.append((ida, idb, h))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
+def gen_text_langid(docs):
+    preds = [langid(d["text"]) for d in docs]
+    return pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+        "lang": pa.array([d["lang"] for d in docs], pa.string()),
+        "pred_lang": pa.array([p[0] for p in preds], pa.string()),
+        "lang_score": pa.array([p[1] for p in preds], pa.float64()),
+    })
+
+
+def gen_text_fingerprint(docs):
+    cols = {"doc_id": [], "fp_exact": [], "fp_min": [], "fp_max": [], "fp_sim": []}
+    for d in docs:
+        mn, mx = winnow_min_max(d["text"], 5)
+        cols["doc_id"].append(d["doc_id"])
+        cols["fp_exact"].append(signed(fnv1a64(d["text"].encode("utf-8"))))
+        cols["fp_min"].append(mn)
+        cols["fp_max"].append(mx)
+        cols["fp_sim"].append(signed(simhash64(d["text"])))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+
+# ------------------------------------------------------------- vector ops
+
+def hyperplane_sig(vec, bits, plane_offset):
+    sig = 0
+    for i in range(bits):
+        base = ((plane_offset + i) * 1315423911) & M64
+        acc = 0.0
+        for j, v in enumerate(vec):
+            s = splitmix64((base + j) & M64)
+            acc += v if (s & 1) == 0 else -v
+        sig = (sig << 1) | (1 if acc >= 0 else 0)
+    return sig
+
+
+def dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def norm(a):
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return acc ** 0.5
+
+
+def topk_table(rows):
+    # rows: list of (query_id, rank, neighbor_id, cosine)
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int32()),
+        "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+        "cosine": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def rank_topk(cands, k):
+    """cands: {qid: [(neighbor_id, cosine)]} -> ranked rows, ties by id asc."""
+    rows = []
+    for qid in sorted(cands):
+        ranked = sorted(cands[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for r, (nid, cos) in enumerate(ranked, start=1):
+            rows.append((qid, r, nid, round4(cos)))
+    return rows
+
+
+def gen_sim_topk_bruteforce(emb, k=5, max_query=8):
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    queries = [e for e in emb if e["vec_id"] < max_query]
+    cands = {}
+    for q in queries:
+        qn = norms[q["vec_id"]]
+        cands[q["vec_id"]] = [
+            (c["vec_id"], dot(q["embedding"], c["embedding"]) / (qn * norms[c["vec_id"]]))
+            for c in emb if c["vec_id"] != q["vec_id"]]
+    return topk_table(rank_topk(cands, k))
+
+
+def gen_sim_topk_lsh(emb, k=5, bits=6, tables=8, max_query=64):
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    queries = [e for e in emb if e["vec_id"] < max_query]
+    pairs = set()
+    for t in range(tables):
+        buckets = {}
+        for e in emb:
+            buckets.setdefault(hyperplane_sig(e["embedding"], bits, t * bits), []).append(e["vec_id"])
+        for q in queries:
+            sig = hyperplane_sig(q["embedding"], bits, t * bits)
+            for nid in buckets.get(sig, []):
+                if nid != q["vec_id"]:
+                    pairs.add((q["vec_id"], nid))
+    cands = {}
+    for qid, nid in pairs:
+        cos = dot(vecs[qid], vecs[nid]) / (norms[qid] * norms[nid])
+        cands.setdefault(qid, []).append((nid, cos))
+    return topk_table(rank_topk(cands, k))
+
+
+def gen_sim_topk_ivf(emb, k=5, n_centroids=16, n_probe=4, max_query=64):
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    centroids = [(e["vec_id"], e["embedding"], norms[e["vec_id"]])
+                 for e in emb if e["vec_id"] < n_centroids]
+    cells = {}
+    for e in emb:
+        scored = [(dot(e["embedding"], c[1]) / c[2], c[0]) for c in centroids]
+        best = max(s for s, _ in scored)
+        winners = [cid for s, cid in scored if s == best]
+        assert len(winners) == 1, f"centroid tie for vec {e['vec_id']}"
+        cells.setdefault(winners[0], []).append(e["vec_id"])
+    cands = {}
+    for q in (e for e in emb if e["vec_id"] < max_query):
+        qid, qn = q["vec_id"], norms[q["vec_id"]]
+        scored = [(dot(q["embedding"], c[1]) / c[2], c[0]) for c in centroids]
+        # row_number over (_cscore desc, cid asc)
+        probes = [cid for _, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+        for cid in probes:
+            for nid in cells.get(cid, []):
+                if nid != qid:
+                    cos = dot(q["embedding"], vecs[nid]) / (qn * norms[nid])
+                    cands.setdefault(qid, []).append((nid, cos))
+    return topk_table(rank_topk(cands, k))
+
+
+def gen_dedup_embed_cosine(emb, bits=8, threshold=0.35):
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    buckets = {}
+    for e in emb:
+        buckets.setdefault(hyperplane_sig(e["embedding"], bits, 0), []).append(e["vec_id"])
+    rows = []
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                cos = dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+                if cos >= threshold:
+                    rows.append((a, b, round4(cos)))
+    rows.sort()
+    return pa.table({
+        "vec_a": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_b": pa.array([r[1] for r in rows], pa.int64()),
+        "cosine": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+# ------------------------------------------------------------------ main
+
+GENERATORS = {
+    "dedup_simhash": ("documents", gen_dedup_simhash),
+    "text_langid": ("documents", gen_text_langid),
+    "text_fingerprint": ("documents", gen_text_fingerprint),
+    "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
+    "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
+    "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
+    "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
+}
+
+
+def load(sf, table):
+    t = pq.read_table(f"{TESTDATA}/sf{sf}/{table}.parquet")
+    rows = t.to_pylist()
+    if table == "embeddings":
+        for r in rows:
+            r["embedding"] = [float(x) for x in r["embedding"]]
+    key = "doc_id" if table == "documents" else "vec_id"
+    rows.sort(key=lambda r: r[key])
+    return rows
+
+
+def main():
+    sfs = sys.argv[1:] or ["0.001", "0.01", "0.1"]
+    for sf in sfs:
+        outdir = os.path.join(OUT, f"sf{sf}")
+        os.makedirs(outdir, exist_ok=True)
+        cache = {}
+        for name, (table, gen) in GENERATORS.items():
+            if table not in cache:
+                cache[table] = load(sf, table)
+            t = gen(cache[table])
+            pq.write_table(t, os.path.join(outdir, f"{name}.parquet"))
+            print(f"sf{sf} {name}: {t.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
