@@ -141,15 +141,23 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7): DataFrame = {
     val sh = shingled(docs, k)
-    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("sh"))
-    val counts = ex.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-    val prefixes = ex.join(counts, "sh")
+    // all frequency/order/blocking bookkeeping runs on the 64-bit
+    // shingle fingerprint, not the shingle string — the global-order
+    // shuffles carry 8-byte keys instead of ~25-byte text (measured
+    // 429 MB -> 1/4 at 50 k docs). The order stays total up to 64-bit
+    // fingerprint collisions (~2^-64 per shingle pair — the standard
+    // fingerprinting trade); verification still uses true shingles.
+    val ex = sh.select(col("doc_id"),
+      explode(col("_shingles")).as("_s"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    val counts = ex.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val prefixes = ex.join(counts, "h")
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("cnt"), col("sh")))).as("_sorted"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("_sorted"))
       .select(col("doc_id"), explode(expr(
         s"slice(_sorted, 1, cast(size(_sorted) - ceil($threshold * size(_sorted)) + 1 as int))"))
         .as("_p"))
-      .select(col("doc_id"), col("_p.sh").as("_block"))
+      .select(col("doc_id"), col("_p.h").as("_block"))
     verifyJaccard(candidatePairs(prefixes, Seq("_block")), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -230,11 +238,25 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
     * sign buckets (see [[Similarity.signature]]), cosine verified on
     * candidate pairs only.
+    *
+    * Scale knobs: `bits` must grow with the corpus (fixed 8-bit = 256
+    * buckets turns quadratic — measured 507 MB of fetch-join shuffle
+    * at 100 k vectors vs 4 MB with bits=14), and since per-bucket
+    * recall decays as agreement^bits, larger `bits` needs multiple
+    * independent `tables` to recover it (recall ≈ 1-(1-p^bits)^tables,
+    * the same trade as [[Similarity.topKLsh]]). bits≈log2(n/16),
+    * tables≈8 is a good 100 TB operating point for true near-dups
+    * (cosine ≥ 0.9); the 8-bit single-table default matches the small
+    * driver corpora and their committed fixtures.
     */
-  def embeddingCosine(embeddings: DataFrame, bits: Int = 8, threshold: Double = 0.35): DataFrame = {
+  def embeddingCosine(embeddings: DataFrame, bits: Int = 8, threshold: Double = 0.35,
+      tables: Int = 1): DataFrame = {
     val sigs = embeddings
-      .select(col("vec_id").as("doc_id"), Similarity.signature(col("embedding"), bits).as("_sig"))
-    val pairs = candidatePairs(sigs, Seq("_sig"))
+      .select(col("vec_id").as("doc_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), Similarity.signature(col("embedding"), bits, t).as("_sig"))): _*)).as("ts"))
+      .select(col("doc_id"), col("ts.t").as("t"), col("ts._sig").as("_sig"))
+    val pairs = candidatePairs(sigs, Seq("t", "_sig"))
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       Similarity.l2norm(col("embedding")).as("_norm"))
     pairs

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines
+  * (SURVEY.md §2D): every assignment is a pure function of the row's
+  * id — reproducible across runs, partitionings, and engines (the
+  * DuckDB oracle mirrors the same md5 arithmetic), and stable when
+  * the corpus grows (a doc keeps its split forever, the property that
+  * makes hash-splits the standard for train/test hygiene).
+  */
+object Sampling {
+
+  /** 0..99 bucket from the first 8 md5 hex digits of the id — the
+    * portable engine-agnostic hash (Spark's hash() is Murmur3 with
+    * Spark-specific seeds; DuckDB can't reproduce it).
+    */
+  private def md5Bucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+
+  /** Deterministic train/val/test split by id hash: `pctTrain`% /
+    * `pctVal`% / rest. Shuffle-free scan — scales embarrassingly.
+    */
+  def split(df: DataFrame, id: Column, pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
+    df.withColumn("bucket", md5Bucket(id))
+      .withColumn("split",
+        when(col("bucket") < pctTrain, "train")
+          .when(col("bucket") < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** Hash-rate sample: keep ~`pct`% of rows, deterministically, with
+    * zero coordination — the 100 TB-scale sampling path (no count, no
+    * shuffle; the kept set is stable under corpus growth).
+    */
+  def hashSample(df: DataFrame, id: Column, pct: Int): DataFrame =
+    df.filter(md5Bucket(id) < pct)
+
+  /** EXACT-fraction stratified sample: within each stratum keep the
+    * `ceil(frac * n)` rows with the smallest md5 order (ties cannot
+    * happen — ids are unique). One shuffle keyed by stratum; use
+    * [[hashSample]] when approximate per-stratum rates suffice or a
+    * stratum is pathologically hot.
+    */
+  def stratified(df: DataFrame, id: Column, stratum: Column, frac: Double): DataFrame = {
+    val byStratum = Window.partitionBy(stratum)
+    val w = byStratum.orderBy(md5(id.cast("string")))
+    df.withColumn("_rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(byStratum))
+      .filter(col("_rank") <= ceil(col("_n") * frac))
+      .drop("_rank", "_n")
+  }
+}

@@ -119,27 +119,39 @@ object Similarity {
     * `nCentroids` corpus vectors (deterministic; production would
     * k-means-refine them — the dataflow is identical).
     */
+  /** IVF centroid relation: the first `nCentroids` corpus vectors,
+    * optionally Lloyd-refined. Shared by topKIvf and the sweep tool.
+    */
+  private[graft] def centroidsFor(
+      corpus: DataFrame, nCentroids: Int, kmeansIters: Int): DataFrame =
+    if (kmeansIters > 0)
+      kmeansCentroids(corpus, nCentroids, kmeansIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
+        l2norm(col("embedding")).as("_cnorm"))
+
+  /** Assign each row to its `keep` best centroid cells (broadcast
+    * centroids; `keep`=1 is a single map-side-combinable max_by).
+    */
+  private[graft] def assignCells(
+      df: DataFrame, centroids: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .withColumn("_cscore", dot(col(emb), col("_cent")) / col("_cnorm"))
+    if (keep == 1)
+      scored.groupBy(col(id)).agg(expr("max_by(cid, _cscore)").as("cid"))
+    else {
+      val w = Window.partitionBy(col(id)).orderBy(col("_cscore").desc, col("cid"))
+      scored.withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= keep).select(col(id), col("cid"))
+    }
+  }
+
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
-    val centroids =
-      if (kmeansIters > 0)
-        kmeansCentroids(corpus, nCentroids, kmeansIters)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else corpus.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
-          l2norm(col("embedding")).as("_cnorm"))
-
-    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("_cscore", dot(col(emb), col("_cent")) / col("_cnorm"))
-      if (keep == 1)
-        scored.groupBy(col(id)).agg(expr("max_by(cid, _cscore)").as("cid"))
-      else {
-        val w = Window.partitionBy(col(id)).orderBy(col("_cscore").desc, col("cid"))
-        scored.withColumn("_crank", row_number().over(w))
-          .filter(col("_crank") <= keep).select(col(id), col("cid"))
-      }
-    }
+    val centroids = centroidsFor(corpus, nCentroids, kmeansIters)
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame =
+      assignCells(df, centroids, id, emb, keep)
 
     val corpusCells = assign(corpus, "vec_id", "embedding", 1)
       .join(corpus, "vec_id")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,16 @@ object LlmOps {
     TextAnalysis.withFingerprint(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
       .orderBy(col("doc_id"))
+
+  def data_split(spark: SparkSession, dir: String): DataFrame =
+    Sampling.split(docs(spark, dir), col("doc_id"))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def sample_stratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(docs(spark, dir), col("doc_id"), col("lang"), 0.2)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
 
   def dedup_exact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir), col("doc_id"), col("text"))
@@ -150,6 +160,8 @@ object LlmOps {
     "text_langid" -> (text_langid _),
     "text_fingerprint" -> (text_fingerprint _),
     "text_redact" -> (text_redact _),
+    "data_split" -> (data_split _),
+    "sample_stratified" -> (sample_stratified _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -210,6 +222,21 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // portable md5-hex bucketing — DuckDB mirrors Spark's conv() with
+    // ('0x' || hex)::bigint; mod == pmod here (buckets are positive)
+    "data_split" ->
+      """SELECT doc_id,
+        | CASE WHEN mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) < 80 THEN 'train'
+        |      WHEN mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(cast(doc_id as varchar))) AS r,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE r <= ceil(n * 0.2) ORDER BY lang, doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""${jaccardPairsSql(0.8)}
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
