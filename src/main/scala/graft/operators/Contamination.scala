@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection for LLM-data pipelines
+  * (SURVEY.md §2D): flag training documents that share word n-grams
+  * with an evaluation/benchmark set — the standard decontamination
+  * pass before pre-training (n-gram overlap against held-out evals).
+  */
+object Contamination {
+
+  /** Training docs sharing ≥1 word-`k`-gram with any eval doc
+    * (`evalPred` selects the eval side, typically a hash split), with
+    * the count of distinct shared n-grams per doc.
+    *
+    * 100 TB shape: the eval side is small by definition, so its
+    * distinct n-gram fingerprints are collected into a broadcast
+    * relation; the corpus side then streams through a map-side
+    * broadcast join — the corpus is never shuffled, and the only
+    * exchange is the per-doc count aggregate over matched (doc_id,
+    * fingerprint) rows, which is proportional to the contamination
+    * overlap, not the corpus. N-grams travel as 64-bit FNV-1a
+    * fingerprints (8-byte keys, ~2^-64 collision odds per gram pair —
+    * the standard fingerprinting trade).
+    */
+  def evalOverlap(docs: DataFrame, evalPred: Column, k: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), evalPred.as("_is_eval"),
+        explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
+      .select(col("doc_id"), col("_is_eval"),
+        GraftFunctions.fnv1a64(col("_g")).as("_h"))
+    val evalGrams = grams.filter(col("_is_eval")).select(col("_h")).distinct()
+    grams.filter(!col("_is_eval"))
+      .join(broadcast(evalGrams), "_h")
+      .groupBy(col("doc_id"))
+      // shingles() is distinct per doc, so this counts distinct grams
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+}

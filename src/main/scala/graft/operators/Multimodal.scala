@@ -12,6 +12,12 @@ case class MediaMeta(
     n_bytes: Long,
     first_byte: Int)
 
+/** One sampled "frame" of a media blob. */
+case class FrameSample(doc_id: Long, frame_idx: Int, byte_offset: Long, frame_byte: Int)
+
+/** Resize-plan metadata for one media blob. */
+case class ResizeMeta(doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int)
+
 /** Multimodal-column plumbing (SURVEY.md §2D).
   *
   * Media rides as opaque `binary` columns with typed metadata beside
@@ -59,6 +65,51 @@ object Multimodal {
           val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
           val (w, h) = fakeDecode(bytes)
           MediaMeta(id, mtype, w, h, bytes.length.toLong, if (bytes.isEmpty) 0 else bytes(0) & 0xff)
+        }
+      }
+  }
+
+  /** Per-partition frame sampling: `k` evenly spaced "frames" per
+    * blob. STUB: a frame is the byte at offset ⌊i·n/k⌋ (a real
+    * implementation seeks keyframes via the container index); the
+    * plumbing is the production shape — one input row fans out to k
+    * frame rows inside the executor, empty blobs yield no frames, and
+    * nothing is materialized on the driver.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, k: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, rawBytes) =>
+          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+          if (bytes.isEmpty) Iterator.empty
+          else (0 until k).iterator.map { i =>
+            val off = i.toLong * bytes.length / k
+            FrameSample(id, i, off, bytes(off.toInt) & 0xff)
+          }
+        }
+      }
+  }
+
+  /** Fit-in-box resize plan (never upscales): output dims for a
+    * `box`×`box` bound with aspect preserved. STUB: dims come from
+    * [[fakeDecode]] and only the plan is computed (a real
+    * implementation hands the plan to the codec in the same
+    * mapPartitions batch); degenerate dims pass through as 0×0.
+    */
+  def resizeMeta(spark: SparkSession, docs: DataFrame, box: Int = 224): Dataset[ResizeMeta] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, rawBytes) =>
+          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+          val (w, h) = fakeDecode(bytes)
+          if (w <= 0 || h <= 0) ResizeMeta(id, w, h, 0, 0)
+          else {
+            val scale = math.min(box.toDouble / w, box.toDouble / h)
+            if (scale >= 1.0) ResizeMeta(id, w, h, w, h)
+            else ResizeMeta(id, w, h, (w * scale).toInt, (h * scale).toInt)
+          }
         }
       }
   }

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 0..99 bucket from the first 8 md5 hex digits of the id — the
+  /** 0..(m-1) bucket from the first 8 md5 hex digits of the id — the
     * portable engine-agnostic hash (Spark's hash() is Murmur3 with
     * Spark-specific seeds; DuckDB can't reproduce it).
     */
-  private def md5Bucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+  def bucket(id: Column, m: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(m))
+
+  private def md5Bucket(id: Column): Column = bucket(id, 100)
 
   /** Deterministic train/val/test split by id hash: `pctTrain`% /
     * `pctVal`% / rest. Shuffle-free scan — scales embarrassingly.
@@ -51,5 +53,27 @@ object Sampling {
       .withColumn("_n", count(lit(1)).over(byStratum))
       .filter(col("_rank") <= ceil(col("_n") * frac))
       .drop("_rank", "_n")
+  }
+
+  /** Deterministic sequence packing: concatenate-and-chop documents
+    * into training windows of `capacity` tokens (the GPT-style packing
+    * model — a doc may straddle a window boundary; it is assigned the
+    * bin and offset where its first token lands). Docs are spread over
+    * `buckets` independent streams by id hash and packed in id order
+    * within each stream: the stream is the parallel unit — one global
+    * pack order would serialize the whole corpus through a single
+    * window sort, while per-stream packing shuffles each doc once and
+    * sorts only within its bucket. Assignment is a pure function of
+    * (id, tokens) — reproducible across runs and engines.
+    */
+  def pack(df: DataFrame, id: Column, tokens: Column,
+      capacity: Int = 512, buckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_bucket", bucket(id, buckets))
+      .withColumn("_start", coalesce(sum(tokens).over(w), lit(0L)))
+      .withColumn("pack_bin", floor(col("_start") / capacity).cast("long"))
+      .withColumn("pack_offset", col("_start") % capacity)
+      .drop("_start")
   }
 }

@@ -121,6 +121,40 @@ object TextAnalysis {
       .drop(piiPatterns.map(p => s"_pre_${p._1}"): _*)
   }
 
+  /** Gopher-style repetition signals: duplicate word-n-gram fractions
+    * and the single most frequent word's coverage — the standard
+    * filters for boilerplate / degenerate repetition in web corpora.
+    *
+    * The n-gram fractions come from the distinct-shingle counts
+    * (shuffle-free scan); the top-word fraction needs a per-(doc,word)
+    * histogram, expressed as two map-side-combinable hash aggregates
+    * over the exploded words. Both relations are doc_id + a few
+    * doubles, so the final metric join shuffles bytes per doc, never
+    * text. Docs shorter than 3 words yield null n-gram fractions
+    * (division by zero) — filter them upstream.
+    */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val nw = size(split(text, " "))
+    val arrayMetrics = docs.select(
+      id.as("doc_id"),
+      round(lit(1.0) -
+        size(GraftFunctions.shingles(text, 2)).cast("double") / (nw - 1), 4)
+        .as("dup_bigram_frac"),
+      round(lit(1.0) -
+        size(GraftFunctions.shingles(text, 3)).cast("double") / (nw - 2), 4)
+        .as("dup_trigram_frac"))
+    val topWord = docs
+      .select(id.as("doc_id"), explode(split(text, " ")).as("_w"))
+      .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("_c")).cast("double") / sum(col("_c")), 4)
+        .as("top_word_frac"))
+    arrayMetrics.join(topWord, "doc_id")
+      .withColumn("repetition_flag",
+        col("dup_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.15 ||
+          col("top_word_frac") > 0.2)
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

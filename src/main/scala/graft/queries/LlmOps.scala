@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,24 @@ object LlmOps {
   def text_fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
+      .orderBy(col("doc_id"))
+
+  def text_repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  /** Decontamination: docs sharing any word-5-gram with the "eval set"
+    * (the top-2% hash split — a stand-in for a benchmark suite).
+    */
+  def contamination_check(spark: SparkSession, dir: String): DataFrame =
+    Contamination.evalOverlap(docs(spark, dir),
+      Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
+      .orderBy(col("doc_id"))
+
+  def data_pack(spark: SparkSession, dir: String): DataFrame =
+    Sampling.pack(docs(spark, dir), col("doc_id"),
+      size(split(col("text"), "\\s+")))
+      .select(col("doc_id"), col("pack_bucket"), col("pack_bin"), col("pack_offset"))
       .orderBy(col("doc_id"))
 
   def data_split(spark: SparkSession, dir: String): DataFrame =
@@ -154,6 +172,14 @@ object LlmOps {
     Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
 
+  def mm_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(spark, Multimodal.withFakeMedia(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  def mm_resize_meta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> (text_token_count _),
     "text_quality" -> (text_quality _),
@@ -162,6 +188,9 @@ object LlmOps {
     "text_redact" -> (text_redact _),
     "data_split" -> (data_split _),
     "sample_stratified" -> (sample_stratified _),
+    "text_repetition" -> (text_repetition _),
+    "contamination_check" -> (contamination_check _),
+    "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -174,7 +203,9 @@ object LlmOps {
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
     "sim_recall_report" -> (sim_recall_report _),
-    "mm_decode_meta" -> (mm_decode_meta _))
+    "mm_decode_meta" -> (mm_decode_meta _),
+    "mm_frame_sample" -> (mm_frame_sample _),
+    "mm_resize_meta" -> (mm_resize_meta _))
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
 
@@ -237,6 +268,50 @@ object LlmOps {
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE r <= ceil(n * 0.2) ORDER BY lang, doc_id""".stripMargin,
+    // same shingle construction as jaccardPairsSql, k=2/3; top-word
+    // coverage from a per-(doc,word) histogram
+    "text_repetition" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |    round(1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))))::double / (len(w) - 1), 4) AS dup_bigram_frac,
+        |    round(1.0 - len(list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))))::double / (len(w) - 2), 4) AS dup_trigram_frac
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |tw AS (
+        |  SELECT doc_id, round(max(c)::double / cast(sum(c) as bigint), 4) AS top_word_frac
+        |  FROM (SELECT doc_id, u.word AS word, count(*) AS c
+        |        FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |        GROUP BY doc_id, u.word)
+        |  GROUP BY doc_id)
+        |SELECT arr.doc_id, dup_bigram_frac, dup_trigram_frac, top_word_frac,
+        |       (dup_bigram_frac > 0.2 OR dup_trigram_frac > 0.15 OR top_word_frac > 0.2) AS repetition_flag
+        |FROM arr JOIN tw USING (doc_id) ORDER BY arr.doc_id""".stripMargin,
+    // word-5-grams (distinct per doc, same construction as the k=3
+    // shingles above); eval set = md5 bucket >= 98
+    "contamination_check" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
+        |         unnest(list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        |SELECT g.doc_id, count(*) AS n_shared_ngrams
+        |FROM g JOIN e USING (gram)
+        |WHERE NOT g.is_eval
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // concatenate-and-chop packing: 8 hash streams, 512-token windows
+    "data_pack" ->
+      """SELECT doc_id, bucket AS pack_bucket,
+        |       start // 512 AS pack_bin,
+        |       start % 512 AS pack_offset
+        |FROM (
+        |  SELECT doc_id, bucket,
+        |         cast(coalesce(sum(t) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start
+        |  FROM (SELECT doc_id,
+        |          mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 8) AS bucket,
+        |          len(string_split_regex(text, '\s+')) AS t
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""${jaccardPairsSql(0.8)}
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
@@ -319,6 +394,31 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // frame i sits at byte offset floor(i*n/4); text is ASCII so
+    // char arithmetic == byte arithmetic
+    "mm_frame_sample" ->
+      """SELECT doc_id, cast(u.i as int) AS frame_idx,
+        | (u.i * strlen(text)) // 4 AS byte_offset,
+        | cast(ord(substr(text, cast((u.i * strlen(text)) // 4 as int) + 1, 1)) as int) AS frame_byte
+        |FROM documents, unnest(range(4)) AS u(i)
+        |WHERE strlen(text) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // fit-in-224-box, aspect preserved, never upscale; dims mirror the
+    // fakeDecode arithmetic of mm_decode_meta
+    "mm_resize_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         cast(strlen(text) % 640 as int) AS width,
+        |         cast(ord(substr(text, 1, 1)) % 480 as int) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width <= 0 OR height <= 0 THEN 0
+        |       WHEN least(224.0/width, 224.0/height) >= 1.0 THEN width
+        |       ELSE cast(floor(width * least(224.0/width, 224.0/height)) as int) END AS out_w,
+        |  CASE WHEN width <= 0 OR height <= 0 THEN 0
+        |       WHEN least(224.0/width, 224.0/height) >= 1.0 THEN height
+        |       ELSE cast(floor(height * least(224.0/width, 224.0/height)) as int) END AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         | cast(strlen(text) % 640 as int) AS width,

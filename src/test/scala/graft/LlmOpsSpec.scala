@@ -172,6 +172,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
   }
 
+  test("repetition metrics match hand-computed values on a degenerate doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // 1 distinct word/bigram/trigram
+      (2L, "a b c d e f")).toDF("doc_id", "text") // all distinct
+    val m = operators.TextAnalysis.repetition(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(1) == 0.8) // 1 - 1/5 bigrams
+    assert(m(1L).getDouble(2) == 0.75) // 1 - 1/4 trigrams
+    assert(m(1L).getDouble(3) == 1.0) // top word covers everything
+    assert(m(1L).getBoolean(4), "degenerate doc must be flagged")
+    assert(m(2L).getDouble(1) == 0.0 && m(2L).getDouble(2) == 0.0)
+    assert(!m(2L).getBoolean(4))
+  }
+
+  test("contamination finds planted eval overlap and nothing else") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, evalDoc), // the "benchmark"
+      (2L, "prefix words then alpha beta gamma delta epsilon tail"), // shares 5-grams
+      (3L, "completely unrelated content with no overlap at all")).toDF("doc_id", "text")
+    val hits = operators.Contamination.evalOverlap(df, col("doc_id") === 1L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc2 contains "alpha beta gamma delta epsilon" = 1 shared 5-gram
+    assert(hits == Map(2L -> 1L), s"got $hits")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

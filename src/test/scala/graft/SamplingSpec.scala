@@ -31,6 +31,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(grown), "already-sampled ids never change membership")
   }
 
+  test("pack: bins fill to capacity, offsets consistent, assignment pure") {
+    val docs = Tables(spark, sfDir, "documents")
+    val tokens = size(split(col("text"), "\\s+"))
+    val packed = Sampling.pack(docs, col("doc_id"), tokens, capacity = 512, buckets = 8)
+      .select(col("doc_id"), col("pack_bucket"), col("pack_bin"), col("pack_offset"), tokens.as("t"))
+      .collect()
+    assert(packed.map(_.getLong(1)).distinct.length == 8, "all 8 streams used")
+    // per stream: offsets are the running token count mod capacity and
+    // bins never decrease in doc order
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getLong(0))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getLong(2) == cum / 512, s"bin of doc ${r.getLong(0)}")
+        assert(r.getLong(3) == cum % 512, s"offset of doc ${r.getLong(0)}")
+        cum += r.getInt(4)
+      }
+    }
+    // repartitioning must not change any assignment
+    val again = Sampling.pack(docs.repartition(13), col("doc_id"), tokens)
+      .select("doc_id", "pack_bucket", "pack_bin", "pack_offset").collect().toSet
+    assert(again == packed.map(r =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("stratified sample keeps exactly ceil(frac*n) rows per stratum") {
     val docs = Tables(spark, sfDir, "documents")
     val perLang = docs.groupBy("lang").count().collect()
