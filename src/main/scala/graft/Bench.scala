@@ -32,25 +32,10 @@ object Bench {
     val shuffleBytes = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
 
     def materialize(name: String): Double = {
-      // JMH-style hygiene: measure each query against a quiet heap —
-      // without this, allocation-heavy queries (decimal aggregates)
-      // absorb the previous queries' garbage collection debt (observed
-      // q01 1.7s clean vs 13s mid-suite).
-      System.gc()
-      val (r0, w0, s0) = metrics.snapshot(spark.sparkContext)
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      val (r1, w1, s1) = metrics.snapshot(spark.sparkContext)
-      shuffleBytes(name) = (r1 - r0, w1 - w0, s1 - s0)
-      // drop per-query persisted intermediates (dedup signature
-      // relations) so later queries aren't squeezed by stale cache
-      spark.catalog.clearCache()
+      val (t, r, w, s) = graft.tools.QueryMeasure.measure(spark, metrics, name)(
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      shuffleBytes(name) = (r, w, s)
       t
     }
 

@@ -60,10 +60,29 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Fetch shingle sets for both sides of candidate pairs and compute
-    * exact Jaccard.
+  /** (doc_id, band, bucket) LSH banding projection — shared by the
+    * batch and streaming dedup paths: the stream/batch equivalence
+    * oracle (dedup_stream_minhash ≡ dedup_minhash_lsh) depends on both
+    * sides computing literally this expression.
     */
-  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def bandBuckets(
+      docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    shingled(docs, k)
+      .withColumn("_minhash", minhashCol(bands * rowsPerBand))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> named_struct(
+             |    'band', b,
+             |    'bucket', xxhash64(slice(_minhash, b * $rowsPerBand + 1, $rowsPerBand))))"""
+            .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Fetch shingle sets for both sides of candidate pairs and compute
+    * exact Jaccard. Shared with the streaming path (stream-static
+    * joins use the same expression).
+    */
+  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int): DataFrame = {
     val sh = shingled(docs, k)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("_shingles").as("_sh_a")), "doc_a")
@@ -83,16 +102,7 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = shingled(docs, k)
-      .withColumn("_minhash", minhashCol(bands * rowsPerBand))
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-             |  b -> named_struct(
-             |    'band', b,
-             |    'bucket', xxhash64(slice(_minhash, b * $rowsPerBand + 1, $rowsPerBand))))"""
-            .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val sigs = bandBuckets(docs, k, bands, rowsPerBand)
     verifyJaccard(candidatePairs(sigs, Seq("band", "bucket")), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

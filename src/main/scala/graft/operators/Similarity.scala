@@ -148,8 +148,15 @@ object Similarity {
   }
 
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
-    val centroids = centroidsFor(corpus, nCentroids, kmeansIters)
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame =
+    topKIvfWith(corpus, queries, k, centroidsFor(corpus, nCentroids, kmeansIters), nProbe)
+
+  /** IVF search against a PREBUILT centroid relation — sweeps and
+    * repeated query batches reuse one persisted centroid set instead
+    * of recomputing (and re-persisting) it per call.
+    */
+  def topKIvfWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
     def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame =
       assignCells(df, centroids, id, emb, keep)
 

@@ -134,17 +134,22 @@ object TextAnalysis {
     * (division by zero) — filter them upstream.
     */
   def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val nw = size(split(text, " "))
+    // rtrim: the shingles kernel uses Java split semantics (trailing
+    // empty words dropped) while Spark's split keeps them — stripping
+    // trailing spaces makes word counts agree between the kernel, this
+    // split, and the DuckDB oracle's string_split
+    val t = rtrim(text)
+    val nw = size(split(t, " "))
     val arrayMetrics = docs.select(
       id.as("doc_id"),
       round(lit(1.0) -
-        size(GraftFunctions.shingles(text, 2)).cast("double") / (nw - 1), 4)
+        size(GraftFunctions.shingles(t, 2)).cast("double") / (nw - 1), 4)
         .as("dup_bigram_frac"),
       round(lit(1.0) -
-        size(GraftFunctions.shingles(text, 3)).cast("double") / (nw - 2), 4)
+        size(GraftFunctions.shingles(t, 3)).cast("double") / (nw - 2), 4)
         .as("dup_trigram_frac"))
     val topWord = docs
-      .select(id.as("doc_id"), explode(split(text, " ")).as("_w"))
+      .select(id.as("doc_id"), explode(split(t, " ")).as("_w"))
       .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
       .groupBy(col("doc_id"))
       .agg(round(max(col("_c")).cast("double") / sum(col("_c")), 4)

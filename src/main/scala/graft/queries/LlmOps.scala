@@ -209,6 +209,15 @@ object LlmOps {
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
 
+  /** DuckDB mirror of TextHashes.shingles over a word list `w`:
+    * distinct word-k-grams, EXCEPT docs with ≤ k words, which yield
+    * the whole text as a single shingle (the kernel's short-doc rule —
+    * without the CASE the SQL yields an empty set and diverges).
+    */
+  private def shingleListSql(k: Int): String =
+    s"CASE WHEN len(w) <= $k THEN [array_to_string(w, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(1, len(w)-${k - 2}), i -> array_to_string(w[i:i+${k - 1}], ' '))) END"
+
   /** DuckDB mirror of TextHashes.shingles (word k=3 grams, distinct) +
     * exact all-pairs Jaccard — an INDEPENDENT implementation of the
     * near-dup ground truth. The cheap size-ratio predicate in the join
@@ -221,8 +230,8 @@ object LlmOps {
     */
   private def jaccardPairsSql(threshold: Double): String =
     s"""WITH sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  SELECT doc_id, ${shingleListSql(3)} AS s
+       |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
        |),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -271,15 +280,15 @@ object LlmOps {
     // same shingle construction as jaccardPairsSql, k=2/3; top-word
     // coverage from a per-(doc,word) histogram
     "text_repetition" ->
-      """WITH arr AS (
+      s"""WITH arr AS (
         |  SELECT doc_id,
-        |    round(1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))))::double / (len(w) - 1), 4) AS dup_bigram_frac,
-        |    round(1.0 - len(list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))))::double / (len(w) - 2), 4) AS dup_trigram_frac
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |    round(1.0 - len(${shingleListSql(2)})::double / (len(w) - 1), 4) AS dup_bigram_frac,
+        |    round(1.0 - len(${shingleListSql(3)})::double / (len(w) - 2), 4) AS dup_trigram_frac
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
         |tw AS (
         |  SELECT doc_id, round(max(c)::double / cast(sum(c) as bigint), 4) AS top_word_frac
         |  FROM (SELECT doc_id, u.word AS word, count(*) AS c
-        |        FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |        FROM documents, unnest(string_split(rtrim(text), ' ')) AS u(word)
         |        GROUP BY doc_id, u.word)
         |  GROUP BY doc_id)
         |SELECT arr.doc_id, dup_bigram_frac, dup_trigram_frac, top_word_frac,
@@ -288,11 +297,11 @@ object LlmOps {
     // word-5-grams (distinct per doc, same construction as the k=3
     // shingles above); eval set = md5 bucket >= 98
     "contamination_check" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id,
         |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
-        |         unnest(list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')))) AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |         unnest(${shingleListSql(5)}) AS gram
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
         |e AS (SELECT DISTINCT gram FROM g WHERE is_eval)
         |SELECT g.doc_id, count(*) AS n_shared_ngrams
         |FROM g JOIN e USING (gram)
@@ -327,8 +336,8 @@ object LlmOps {
     // independent re-derivation of resolveComponents' fixpoint.
     "dedup_resolve" ->
       s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  SELECT doc_id, ${shingleListSql(3)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
          |),
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -394,8 +403,11 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
-    // frame i sits at byte offset floor(i*n/4); text is ASCII so
-    // char arithmetic == byte arithmetic
+    // frame i sits at byte offset floor(i*n/4). DuckDB strlen is BYTE
+    // length but ord(substr(..)) indexes CHARACTERS — equal only
+    // because the driver corpora are pure ASCII (verified; same
+    // assumption as mm_decode_meta's first_byte). A non-ASCII corpus
+    // needs a blob-indexing oracle instead.
     "mm_frame_sample" ->
       """SELECT doc_id, cast(u.i as int) AS frame_idx,
         | (u.i * strlen(text)) // 4 AS byte_offset,

@@ -93,8 +93,9 @@ object XlsxV2Util {
     try java.time.LocalDateTime.parse(s, TsFmt).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     catch { case _: Exception => null }
 
-  /** Schema inference streams the ENTIRE first matching file (constant
-    * memory — only per-column evidence is kept):
+  /** Schema inference streams EVERY matching file (constant memory —
+    * only per-column evidence is kept; xlsx files are small and
+    * driver-listed anyway):
     *  - numeric columns whose every value is whole (and exactly
     *    representable) infer as `bigint`, so an xlsx id column joins a
     *    parquet bigint without a double/long mismatch (reference
@@ -103,43 +104,54 @@ object XlsxV2Util {
     *    infer as `timestamp` (reference excel.rs:81-93);
     *  - otherwise the first non-null cell picks double/boolean/
     *    timestamp/string as before.
-    * Only the first file of a glob is inspected, like the reference's
-    * first-workbook schema.
+    * The header comes from the first file (like the reference's
+    * first-workbook schema), but the whole/timestamp evidence spans
+    * the whole glob — inferring `bigint` from the first shard alone
+    * would silently null a fractional value in a later shard at
+    * convert time.
     */
   def inferSchema(path: String, sheet: Option[String]): StructType = {
-    val first = listFiles(path).head
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    val hPath = new org.apache.hadoop.fs.Path(first)
-    val fs = hPath.getFileSystem(conf)
-    val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
-    val it = XlsxParse.rows(parts)
-    if (!it.hasNext) throw new IllegalArgumentException(s"Empty worksheet in $first")
-    val header = it.next().map(c => if (c == null) "" else c.toString)
-    val n = header.length
-    val base = new Array[DataType](n) // first non-null cell's type; null until seen
-    val allWhole = Array.fill(n)(true)
-    val allTs = Array.fill(n)(true)
-    while (it.hasNext) {
-      val cells = it.next()
-      var i = 0
-      while (i < n) {
-        val v = if (i < cells.length) cells(i) else null
-        if (v != null) {
-          if (base(i) == null) base(i) = v match {
-            case _: java.lang.Double => DoubleType
-            case _: java.lang.Boolean => BooleanType
-            case _: java.sql.Timestamp => TimestampType
-            case _ => StringType
+    var header: Array[String] = null
+    var base: Array[DataType] = null // first non-null cell's type; null until seen
+    var allWhole: Array[Boolean] = null
+    var allTs: Array[Boolean] = null
+    listFiles(path).foreach { file =>
+      val hPath = new org.apache.hadoop.fs.Path(file)
+      val fs = hPath.getFileSystem(conf)
+      val parts = XlsxParse.readParts(() => fs.open(hPath), sheet)
+      val it = XlsxParse.rows(parts)
+      if (!it.hasNext) throw new IllegalArgumentException(s"Empty worksheet in $file")
+      val hdr = it.next().map(c => if (c == null) "" else c.toString)
+      if (header == null) {
+        header = hdr
+        base = new Array[DataType](header.length)
+        allWhole = Array.fill(header.length)(true)
+        allTs = Array.fill(header.length)(true)
+      }
+      val n = header.length
+      while (it.hasNext) {
+        val cells = it.next()
+        var i = 0
+        while (i < n) {
+          val v = if (i < cells.length) cells(i) else null
+          if (v != null) {
+            if (base(i) == null) base(i) = v match {
+              case _: java.lang.Double => DoubleType
+              case _: java.lang.Boolean => BooleanType
+              case _: java.sql.Timestamp => TimestampType
+              case _ => StringType
+            }
+            v match {
+              case d: java.lang.Double =>
+                val x = d.doubleValue()
+                if (!(x == math.floor(x) && math.abs(x) < MaxExactLong)) allWhole(i) = false
+              case s: String => if (!isTsString(s)) allTs(i) = false
+              case _ => ()
+            }
           }
-          v match {
-            case d: java.lang.Double =>
-              val x = d.doubleValue()
-              if (!(x == math.floor(x) && math.abs(x) < MaxExactLong)) allWhole(i) = false
-            case s: String => if (!isTsString(s)) allTs(i) = false
-            case _ => ()
-          }
+          i += 1
         }
-        i += 1
       }
     }
     StructType(header.zipWithIndex.map { case (name, i) =>

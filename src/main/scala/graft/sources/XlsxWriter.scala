@@ -28,12 +28,26 @@ object XlsxWriter {
     entities.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
   }
 
+  /** Streams into `<target>.tmp` and renames on success, so a Spark
+    * failure mid-iteration never leaves a truncated zip at the target
+    * path (the pre-streaming writer had fail-before-open semantics;
+    * this preserves them for consumers watching the final path).
+    */
   def write(df: DataFrame, filePath: String, sheetName: String = "Sheet1"): java.nio.file.Path = {
-    val schema = df.schema
     val target = Paths.get(filePath)
     if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    try {
+      writeTo(df, tmp, sheetName)
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      target
+    } finally Files.deleteIfExists(tmp)
+  }
 
+  private def writeTo(df: DataFrame, target: java.nio.file.Path, sheetName: String): Unit = {
+    val schema = df.schema
     val zos = new ZipOutputStream(Files.newOutputStream(target))
+    try {
     def part(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -96,7 +110,6 @@ object XlsxWriter {
     w.write("</sheetData></worksheet>")
     w.flush() // flush, NOT close — closing the writer would close the zip
     zos.closeEntry()
-    zos.close()
-    target
+    } finally zos.close()
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.GraftFunctions
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,7 +60,10 @@ object StreamingDedup {
     out.iterator
   }
 
-  /** Candidate-pair stream from a (doc_id, text) stream. */
+  /** Candidate-pair stream from a (doc_id, text) stream. Banding comes
+    * from [[Dedup.bandBuckets]] — the same expression as batch, which
+    * is what makes the drained stream oracle-equal to `minhashLsh`.
+    */
   def candidatePairs(
       spark: SparkSession,
       docs: DataFrame,
@@ -69,17 +71,8 @@ object StreamingDedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): Dataset[(Long, Long)] = {
     import spark.implicits._
-    val sigs = docs
-      .select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_shingles"))
-      .withColumn("_minhash", GraftFunctions.minhashSig(col("_shingles"), bands * rowsPerBand))
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-             |  b -> named_struct(
-             |    'band', b,
-             |    'bucket', xxhash64(slice(_minhash, b * $rowsPerBand + 1, $rowsPerBand))))"""
-            .stripMargin)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
+    val sigs = Dedup.bandBuckets(docs, k, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id"))
       .as[(Int, Long, Long)]
     sigs
       .groupByKey(r => (r._1, r._2))
@@ -97,18 +90,10 @@ object StreamingDedup {
       pairStream: Dataset[(Long, Long)],
       staticDocs: DataFrame,
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = staticDocs
-      .select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_sh"))
-    pairStream.toDF("doc_a", "doc_b")
-      .join(sh.select(col("doc_id").as("doc_a"), col("_sh").as("_sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))))
+      threshold: Double = 0.8): DataFrame =
+    Dedup.verifyJaccard(pairStream.toDF("doc_a", "doc_b"), staticDocs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Drive the full incremental pipeline over the documents table in
     * `batches` micro-batches and return the drained result — the

@@ -59,8 +59,7 @@ object IvfSweep {
         .join(cellSizes, "cid")
         .agg(sum(col("cell_n"))).head.getLong(0).toDouble
       val candFrac = cand / (q.toDouble * n)
-      val hits = Similarity.topKIvf(emb, queries, k = 5, nCentroids = nc,
-        nProbe = np, kmeansIters = km)
+      val hits = Similarity.topKIvfWith(emb, queries, k = 5, centroids, nProbe = np)
         .select(col("query_id"), col("neighbor_id"))
         .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
         .count()

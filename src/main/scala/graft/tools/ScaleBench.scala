@@ -42,17 +42,8 @@ object ScaleBench {
     catch { case _: Throwable => }
 
     def measure(name: String)(run: => Unit): (String, Double, Long, Long, Long) = {
-      System.gc()
-      val (r0, w0, s0) = metrics.snapshot(spark.sparkContext)
-      val t0 = System.nanoTime()
-      val t = try { run; (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
-        -1.0
-      }
-      val (r1, w1, s1) = metrics.snapshot(spark.sparkContext)
-      spark.catalog.clearCache()
-      (name, t, r1 - r0, w1 - w0, s1 - s0)
+      val (t, r, w, s) = QueryMeasure.measure(spark, metrics, name)(run)
+      (name, t, r, w, s)
     }
 
     val rows = keys.map { name =>

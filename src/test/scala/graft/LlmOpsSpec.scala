@@ -176,7 +176,8 @@ class LlmOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(
       (1L, "spam spam spam spam spam spam"), // 1 distinct word/bigram/trigram
-      (2L, "a b c d e f")).toDF("doc_id", "text") // all distinct
+      (2L, "a b c d e f "), // all distinct; trailing space must not skew counts
+      (3L, "a b c d e f")).toDF("doc_id", "text")
     val m = operators.TextAnalysis.repetition(df, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(m(1L).getDouble(1) == 0.8) // 1 - 1/5 bigrams
@@ -185,6 +186,8 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m(1L).getBoolean(4), "degenerate doc must be flagged")
     assert(m(2L).getDouble(1) == 0.0 && m(2L).getDouble(2) == 0.0)
     assert(!m(2L).getBoolean(4))
+    // rtrim parity: doc 2 (trailing space) equals doc 3 metric-for-metric
+    assert((1 to 3).forall(i => m(2L).getDouble(i) == m(3L).getDouble(i)))
   }
 
   test("contamination finds planted eval overlap and nothing else") {

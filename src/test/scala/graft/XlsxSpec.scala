@@ -37,6 +37,28 @@ class XlsxSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(2.0, 2.5, 4.0))
   }
 
+  test("glob inference widens bigint to double when a LATER shard is fractional") {
+    import spark.implicits._
+    // shard 0: whole numbers only; shard 1: a fractional value — the
+    // column must infer double (first-shard-only inference would pick
+    // bigint and silently null 2.5 at convert time)
+    XlsxWriter.write(Seq((1L, 2.0), (2L, 4.0)).toDF("id", "x"), s"$tmp/gshard_0.xlsx")
+    XlsxWriter.write(Seq((3L, 2.5)).toDF("id", "x"), s"$tmp/gshard_1.xlsx")
+    val back = XlsxSource.read(spark, s"$tmp/gshard_*.xlsx")
+    assert(back.schema("x").dataType == DoubleType)
+    assert(back.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(2.0, 4.0, 2.5))
+  }
+
+  test("a failing plan leaves no partial xlsx at the target path") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("id")
+      .withColumn("boom", assert_true(col("id") < 2L))
+    val target = s"$tmp/partial.xlsx"
+    intercept[Exception] { XlsxWriter.write(df, target) }
+    assert(!Files.exists(java.nio.file.Paths.get(target)), "no truncated workbook")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$target.tmp")), "tmp cleaned up")
+  }
+
   test("#Sheet selector picks the named sheet and errors on unknown") {
     val df = Tables(spark, sfDir, "region")
     XlsxWriter.write(df, s"$tmp/region.xlsx", sheetName = "Regions")
