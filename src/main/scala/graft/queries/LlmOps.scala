@@ -168,6 +168,29 @@ object LlmOps {
       .select(col("t.item").as("word"), col("t.cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
 
+  /** END-TO-END corpus cleaning — the operators composed the way a
+    * pre-training pipeline chains them: language filter → quality
+    * filter → eval-split + decontamination drop → near-dup resolve,
+    * emitting the kept docs with their token counts. Every stage is
+    * an already-audited scale shape (scans + one broadcast join + the
+    * LSH bucket join); the whole pipeline is one Catalyst plan.
+    */
+  def pipeline_clean(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
+    val scored = TextAnalysis.withQuality(
+      TextAnalysis.withLangId(d, col("text")), col("text"))
+    val base = scored
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.65 && !isEval)
+      .select(col("doc_id"), col("text"))
+    val contaminated = Contamination.evalOverlap(d, isEval, k = 5).select(col("doc_id"))
+    val clean = base.join(contaminated, Seq("doc_id"), "left_anti")
+    Dedup.resolveComponents(clean, Dedup.minhashLsh(clean))
+      .join(TextAnalysis.withTokenCounts(d, col("text"))
+        .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   def mm_decode_meta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
@@ -205,7 +228,8 @@ object LlmOps {
     "sim_recall_report" -> (sim_recall_report _),
     "mm_decode_meta" -> (mm_decode_meta _),
     "mm_frame_sample" -> (mm_frame_sample _),
-    "mm_resize_meta" -> (mm_resize_meta _))
+    "mm_resize_meta" -> (mm_resize_meta _),
+    "pipeline_clean" -> (pipeline_clean _))
 
   private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
 
@@ -403,6 +427,52 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // the cleaning pipeline's oracle composes the already-verified
+    // pieces: the langid fixture, text_quality's arithmetic, the
+    // contamination CTE, and dedup_resolve's recursive closure — over
+    // the FILTERED doc set
+    "pipeline_clean" ->
+      raw"""WITH RECURSIVE
+        |lang AS (${fixtureSql("text_langid", "documents")}),
+        |quality AS (
+        |  SELECT doc_id, round(least(1.0,
+        |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+        |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS q
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
+        |         unnest(${shingleListSql(5)}) AS gram
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+        |contaminated AS (SELECT DISTINCT doc_id FROM g JOIN e USING (gram) WHERE NOT is_eval),
+        |base AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN lang l USING (doc_id) JOIN quality qs USING (doc_id)
+        |  WHERE l.pred_lang = 'en' AND qs.q >= 0.65
+        |    AND mod(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint, 100) < 98
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM base)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+        |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |kept AS (
+        |  SELECT doc_id FROM base
+        |  WHERE doc_id NOT IN (SELECT node FROM reach GROUP BY node HAVING min(r) < node))
+        |SELECT k.doc_id,
+        |  cast(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) as int) AS n_bpe_tokens
+        |FROM kept k JOIN documents d USING (doc_id) ORDER BY k.doc_id""".stripMargin,
     // frame i sits at byte offset floor(i*n/4). DuckDB strlen is BYTE
     // length but ord(substr(..)) indexes CHARACTERS — equal only
     // because the driver corpora are pure ASCII (verified; same
