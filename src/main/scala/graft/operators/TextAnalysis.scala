@@ -165,6 +165,36 @@ object TextAnalysis {
           col("top_word_frac") > 0.2)
   }
 
+  /** Unigram-surprisal quality proxy — the cheap stand-in for LM
+    * perplexity filtering (score docs by mean -ln p(word) under the
+    * corpus's OWN unigram distribution; degenerate/boilerplate docs
+    * score low, rare-token noise scores high).
+    *
+    * Shape: one global word histogram (map-side-combinable hash agg on
+    * 8-byte word fingerprints), one co-partitioned join of the word
+    * stream against it, one per-doc aggregate. The corpus-total scalar
+    * rides a broadcast. Per-word surprisals are cast to exact decimal
+    * before the per-doc sum so the result is independent of partial-
+    * aggregation order (double sums are not associative; decimal sums
+    * are exact).
+    */
+  def surprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs
+      .select(id.as("doc_id"), explode(split(rtrim(text), " ")).as("_word"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_word")).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = words.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val total = words.agg(count(lit(1)).as("_n"))
+    words.join(counts, "_w")
+      .crossJoin(broadcast(total))
+      .withColumn("_s",
+        (-log(col("_c").cast("double") / col("_n"))).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("_s")).cast("double") / count(lit(1)), 4).as("mean_surprisal"),
+        count(lit(1)).as("n_scored"))
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

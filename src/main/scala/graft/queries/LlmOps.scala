@@ -51,6 +51,10 @@ object LlmOps {
       .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
       .orderBy(col("doc_id"))
 
+  def text_surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.surprisal(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   def text_repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -211,6 +215,7 @@ object LlmOps {
     "text_redact" -> (text_redact _),
     "data_split" -> (data_split _),
     "sample_stratified" -> (sample_stratified _),
+    "text_surprisal" -> (text_surprisal _),
     "text_repetition" -> (text_repetition _),
     "contamination_check" -> (contamination_check _),
     "data_pack" -> (data_pack _),
@@ -301,6 +306,19 @@ object LlmOps {
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE r <= ceil(n * 0.2) ORDER BY lang, doc_id""".stripMargin,
+    // decimal-summed so partial-agg order can't move the 4th decimal;
+    // ln() per distinct (word,corpus) value is deterministic
+    "text_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.word AS word
+        |  FROM documents, unnest(string_split(rtrim(text), ' ')) AS u(word)),
+        |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM w)
+        |SELECT doc_id,
+        |  round(cast(sum(cast(-ln(c.c::double / n.n) as decimal(28,12))) as double) / count(*), 4) AS mean_surprisal,
+        |  count(*) AS n_scored
+        |FROM w JOIN c USING (word) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same shingle construction as jaccardPairsSql, k=2/3; top-word
     // coverage from a per-(doc,word) histogram
     "text_repetition" ->

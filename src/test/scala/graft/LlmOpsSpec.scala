@@ -190,6 +190,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((1 to 3).forall(i => m(2L).getDouble(i) == m(3L).getDouble(i)))
   }
 
+  test("surprisal matches hand-computed unigram -ln p") {
+    import spark.implicits._
+    val df = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val m = operators.TextAnalysis.surprisal(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // corpus: a,a,b → p(a)=2/3, p(b)=1/3
+    assert(m(1L) == (0.4055, 2L)) // -ln(2/3) = 0.405465...
+    assert(m(2L) == (1.0986, 1L)) // -ln(1/3) = 1.098612...
+  }
+
   test("contamination finds planted eval overlap and nothing else") {
     import spark.implicits._
     val evalDoc = "alpha beta gamma delta epsilon zeta"
