@@ -188,10 +188,17 @@ object LlmOps {
       .filter(col("pred_lang") === "en" && col("quality_score") >= 0.65 && !isEval)
       .select(col("doc_id"), col("text"))
     val contaminated = Contamination.evalOverlap(d, isEval, k = 5).select(col("doc_id"))
+    // persisted: the filtered corpus feeds the signature pass, both
+    // verify fetch-joins, and the final keep-set anti-join — without
+    // this the langid+quality+contamination scoring re-runs per job
     val clean = base.join(contaminated, Seq("doc_id"), "left_anti")
-    Dedup.resolveComponents(clean, Dedup.minhashLsh(clean))
-      .join(TextAnalysis.withTokenCounts(d, col("text"))
-        .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokenize AFTER the keep-set join: the regex pass runs over kept
+    // docs only, not the full corpus
+    TextAnalysis.withTokenCounts(
+      Dedup.resolveComponents(clean, Dedup.minhashLsh(clean)).join(d, "doc_id"),
+      col("text"))
+      .select(col("doc_id"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
