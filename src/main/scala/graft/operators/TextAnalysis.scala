@@ -179,12 +179,16 @@ object TextAnalysis {
     * are exact).
     */
   def surprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // only the vocab-sized histogram is persisted — the exploded word
+    // stream is corpus-sized and is re-scanned (twice) instead of
+    // cached; the corpus total derives from the histogram, not a
+    // third pass
     val words = docs
       .select(id.as("doc_id"), explode(split(rtrim(text), " ")).as("_word"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_word")).as("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = words.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-    val total = words.agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("_c")).as("_n"))
     words.join(counts, "_w")
       .crossJoin(broadcast(total))
       .withColumn("_s",

@@ -177,7 +177,10 @@ object LlmOps {
     * filter → eval-split + decontamination drop → near-dup resolve,
     * emitting the kept docs with their token counts. Every stage is
     * an already-audited scale shape (scans + one broadcast join + the
-    * LSH bucket join); the whole pipeline is one Catalyst plan.
+    * LSH bucket join). NOTE: calling this runs resolveComponents'
+    * label-propagation jobs eagerly (one action per round over the
+    * persisted filtered corpus) — the result is a DataFrame, but its
+    * construction is not free.
     */
   def pipeline_clean(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
