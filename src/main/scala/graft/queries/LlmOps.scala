@@ -115,6 +115,16 @@ object LlmOps {
     Dedup.embeddingCosine(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** The SCALED embedding-dedup operating point (bits grown with the
+    * corpus, multiple plane families — see SCALE.md): oracle-checked
+    * against its own planted fixture, so the 100 TB configuration is
+    * gate-verified, not just benchmarked.
+    */
+  def dedup_embed_cosine_mt(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(Tables(spark, dir, "embeddings"),
+      bits = 10, threshold = 0.35, tables = 4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -235,6 +245,7 @@ object LlmOps {
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
     "dedup_stream_minhash" -> (dedup_stream_minhash _),
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
+    "dedup_embed_cosine_mt" -> (dedup_embed_cosine_mt _),
     "dedup_resolve" -> (dedup_resolve _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
@@ -415,6 +426,7 @@ object LlmOps {
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
+    "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

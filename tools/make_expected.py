@@ -287,6 +287,36 @@ def gen_dedup_embed_cosine(emb, bits=8, threshold=0.35):
     })
 
 
+def gen_dedup_embed_cosine_mt(emb, bits=10, tables=4, threshold=0.35):
+    """The scaled operating point of Dedup.embeddingCosine: bits grown
+    with the corpus, multiple independent plane families (table t uses
+    plane_offset t*bits, mirroring Similarity.signature), candidate
+    pairs unioned across tables before the cosine verify."""
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    pairs = set()
+    for t in range(tables):
+        buckets = {}
+        for e in emb:
+            buckets.setdefault(hyperplane_sig(e["embedding"], bits, t * bits), []).append(e["vec_id"])
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in pairs:
+        cos = dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+        if cos >= threshold:
+            rows.append((a, b, round4(cos)))
+    rows.sort()
+    return pa.table({
+        "vec_a": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_b": pa.array([r[1] for r in rows], pa.int64()),
+        "cosine": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -297,6 +327,7 @@ GENERATORS = {
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
+    "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
 }
 
 
