@@ -199,6 +199,36 @@ object TextAnalysis {
         count(lit(1)).as("n_scored"))
   }
 
+  /** Bigram (conditional) surprisal — the KenLM-style step up from
+    * [[surprisal]]: mean -ln P(w_i | w_{i-1}) per doc, with
+    * P(cur|prev) = c(prev,cur) / c(prev·) estimated from the corpus
+    * itself. Bigram extraction is `arrays_zip`+`slice` (codegen'd
+    * collection functions, no interpreted lambda HOFs); the prefix
+    * counts derive from the bigram histogram, so only that one
+    * vocab²-bounded relation is aggregated and persisted. Docs with a
+    * single word produce no bigrams and are absent from the output.
+    */
+  def bigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = split(rtrim(text), " ")
+    val bg = docs
+      .select(id.as("doc_id"),
+        explode(arrays_zip(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
+      .select(col("doc_id"),
+        GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_prev"),
+        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_cur"))
+    val c2 = bg.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("_prev")).agg(sum(col("_c2")).as("_c1"))
+    bg.join(c2, Seq("_prev", "_cur")).join(c1, Seq("_prev"))
+      .withColumn("_s",
+        (-log(col("_c2").cast("double") / col("_c1"))).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("_s")).cast("double") / count(lit(1)), 4).as("mean_bigram_surprisal"),
+        count(lit(1)).as("n_scored"))
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

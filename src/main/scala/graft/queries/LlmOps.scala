@@ -55,6 +55,10 @@ object LlmOps {
     TextAnalysis.surprisal(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  def text_bigram_surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   def text_repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -236,6 +240,7 @@ object LlmOps {
     "data_split" -> (data_split _),
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
+    "text_bigram_surprisal" -> (text_bigram_surprisal _),
     "text_repetition" -> (text_repetition _),
     "contamination_check" -> (contamination_check _),
     "data_pack" -> (data_pack _),
@@ -339,6 +344,21 @@ object LlmOps {
         |  round(cast(sum(cast(-ln(c.c::double / n.n) as decimal(28,12))) as double) / count(*), 4) AS mean_surprisal,
         |  count(*) AS n_scored
         |FROM w JOIN c USING (word) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // P(cur|prev) = c(prev,cur)/c(prev·); prefix counts derive from
+    // the bigram histogram on both sides; decimal-summed like
+    // text_surprisal
+    "text_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[u.i] AS prev, w[u.i+1] AS cur
+        |  FROM w, unnest(range(1, len(w))) AS u(i)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+        |c1 AS (SELECT prev, cast(sum(c2) as bigint) AS c1 FROM c2 GROUP BY prev)
+        |SELECT doc_id,
+        |  round(cast(sum(cast(-ln(c2.c2::double / c1.c1) as decimal(28,12))) as double) / count(*), 4) AS mean_bigram_surprisal,
+        |  count(*) AS n_scored
+        |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same shingle construction as jaccardPairsSql, k=2/3; top-word
     // coverage from a per-(doc,word) histogram

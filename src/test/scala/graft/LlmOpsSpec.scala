@@ -200,6 +200,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m(2L) == (1.0986, 1L)) // -ln(1/3) = 1.098612...
   }
 
+  test("bigram surprisal matches hand-computed conditional -ln p") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a c")).toDF("doc_id", "text")
+    // bigrams: d1 (a,b),(b,c); d2 (a,c). c(a,·)=2, c(b,·)=1
+    val m = operators.TextAnalysis.bigramSurprisal(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m(1L) == (0.3466, 2L)) // (-ln(1/2) - ln(1/1)) / 2
+    assert(m(2L) == (0.6931, 1L)) // -ln(1/2)
+  }
+
   test("contamination finds planted eval overlap and nothing else") {
     import spark.implicits._
     val evalDoc = "alpha beta gamma delta epsilon zeta"
