@@ -20,7 +20,8 @@ object ScaleBench {
     "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "text_token_count", "text_quality", "text_langid", "text_fingerprint",
     "text_redact", "text_heavy_hitters",
-    "text_repetition", "text_surprisal", "contamination_check", "data_pack",
+    "text_repetition", "text_surprisal", "text_bigram_surprisal",
+    "contamination_check", "data_pack",
     "data_split", "sample_stratified", "mm_decode_meta", "mm_frame_sample",
     "mm_resize_meta", "pipeline_clean")
 
