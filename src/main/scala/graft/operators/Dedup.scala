@@ -245,6 +245,41 @@ object Dedup {
       .join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact duplicated-span detection — the ExactSubstr-style dedup
+    * signal ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, reduced to word granularity): for each
+    * document, how many of its `w`-word windows also occur in some
+    * OTHER document. Unlike the whole-doc operators above this catches
+    * boilerplate shared across otherwise-distinct pages (licence
+    * headers, navigation chrome) that whole-doc Jaccard misses.
+    *
+    * Shape: windows come from the codegen'd shingle kernel (distinct
+    * per doc by construction) and are fingerprinted to 8 bytes BEFORE
+    * the corpus-wide aggregate, so the shuffle carries (hash, count)
+    * and (doc_id, hash) — never span text. Two aggregates + two narrow
+    * joins; the docs relation is scanned twice (span stream + span
+    * count) rather than cached, matching the surprisal convention.
+    * Docs with ≤ w words contribute their whole text as one window.
+    */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 10): DataFrame = {
+    val t = rtrim(text)
+    val spans = docs
+      .select(id.as("doc_id"), explode(GraftFunctions.shingles(t, w)).as("_span"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_span")).as("_h"))
+    // spans are distinct within a doc, so count(*) == #docs containing
+    val shared = spans.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select(col("_h"))
+    val perDoc = spans.join(shared, "_h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(id.as("doc_id"), size(GraftFunctions.shingles(t, w)).as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
     * sign buckets (see [[Similarity.signature]]), cosine verified on
     * candidate pairs only.

@@ -55,6 +55,22 @@ object Sampling {
       .drop("_rank", "_n")
   }
 
+  /** Deterministic global shuffle for training-data export: spread
+    * rows over `shards` output shards by id hash, ordered within each
+    * shard by the full md5 hex string — a pseudo-random order
+    * uncorrelated with the id sequence. This is the scale-correct
+    * "shuffle the corpus before training" op: no global sort, one
+    * exchange keyed by shard, a per-shard window sort bounded by the
+    * shard size — and, like every op here, a pure function of the ids
+    * (re-running on a grown corpus re-shuffles but any fixed corpus
+    * always yields the same order, so data order is reproducible).
+    */
+  def shardShuffle(df: DataFrame, id: Column, shards: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(md5(id.cast("string")))
+    df.withColumn("shard", bucket(id, shards))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Deterministic sequence packing: concatenate-and-chop documents
     * into training windows of `capacity` tokens (the GPT-style packing
     * model — a doc may straddle a window boundary; it is assigned the

@@ -34,11 +34,16 @@ object TextAnalysis {
     * deliberately SQL-parity-friendly (DuckDB oracle runs the same
     * arithmetic).
     */
+  /** The engine's stopword profile — shared by the quality score, the
+    * Gopher rules, and the DuckDB oracles (which inline the same list).
+    */
+  private[graft] val StopWords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
   def withQuality(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
     val t = col("__graft_text")
     val words = split(t, " ")
-    val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
-    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
     d.withColumn("n_chars", length(t))
       .withColumn("n_words", size(words))
       .withColumn("mean_word_len",
@@ -54,6 +59,80 @@ object TextAnalysis {
           col("distinct_ratio") * 0.5 +
             when(col("n_words") >= 20 && col("n_words") <= 1000, 0.3).otherwise(0.0) +
             when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)), 4))
+  }
+
+  /** The Gopher quality-rule battery (Rae et al. 2021 §A1.1, the
+    * subset that is meaningful for single-line corpora): word-count
+    * bounds, mean-word-length bounds, alphabetic-word fraction,
+    * stopword presence, and symbol-to-word ratio ('#' and '...'),
+    * each as its own flag plus the conjunction `gopher_pass`.
+    *
+    * Shuffle-free scan. The two word-level predicates (has-a-letter,
+    * is-a-stopword) use SQL lambda HOFs, which Spark evaluates
+    * interpreted per element — acceptable here because the filter runs
+    * once per corpus pass, but a corpus-dominating hot loop should get
+    * a codegen'd kernel like TextHashes (see memory: HOFs ~1000x vs
+    * codegen on tight loops). Symbol counts use length-difference
+    * arithmetic (codegen'd) instead of regex.
+    */
+  def withGopherRules(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
+    val t = col("__graft_text")
+    val words = split(t, " ")
+    val nw = size(words)
+    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
+    d.withColumn("n_words", nw)
+      .withColumn("mean_word_len",
+        round((length(t) - nw + 1).cast("double") / nw, 4))
+      .withColumn("alpha_word_frac", round(
+        expr("size(filter(split(__graft_text, ' '), w -> w rlike '[A-Za-z]'))")
+          .cast("double") / nw, 4))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(split(__graft_text, ' '), w -> w IN ($stopList)))"))
+      .withColumn("symbol_word_ratio", round(
+        ((length(t) - length(replace(t, lit("#"), lit("")))) +
+          (length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+          .cast("double") / nw, 4))
+      .withColumn("pass_word_count", col("n_words").between(50, 100000))
+      .withColumn("pass_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("pass_alpha_frac", col("alpha_word_frac") >= 0.8)
+      .withColumn("pass_stopwords", col("n_stopwords") >= 2)
+      .withColumn("pass_symbol_ratio", col("symbol_word_ratio") <= 0.1)
+      .withColumn("gopher_pass",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_alpha_frac") && col("pass_stopwords") && col("pass_symbol_ratio"))
+  }
+
+  /** Per-(lang, source) corpus report: doc/char/word totals plus the
+    * exact distinct-word count — the summary table a curation run
+    * publishes per shard.
+    *
+    * Shape: one map-side-combinable aggregate for the totals (all
+    * integer sums — deterministic under any partial-agg order, no
+    * decimal staging needed), and one distinct-then-count aggregate
+    * for the vocabulary, keyed on (lang, source, word-fingerprint) so
+    * the distinct exchange carries 8-byte hashes, never words. At
+    * 100 TB swap the exact vocabulary for approx_count_distinct and
+    * the second shuffle disappears into the first.
+    */
+  def corpusStats(docs: DataFrame, lang: Column, source: Column, text: Column): DataFrame = {
+    val t = rtrim(text)
+    val totals = docs
+      .select(lang.as("lang"), source.as("source"),
+        size(split(t, " ")).as("_nw"), length(text).as("_nc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nc")).as("total_chars"),
+        sum(col("_nw")).as("total_words"))
+      .withColumn("avg_doc_words",
+        round(col("total_words").cast("double") / col("n_docs"), 4))
+    val vocab = docs
+      .select(lang.as("lang"), source.as("source"),
+        explode(split(t, " ")).as("_word"))
+      .select(col("lang"), col("source"), GraftFunctions.fnv1a64(col("_word")).as("_w"))
+      .distinct()
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("distinct_words"))
+    totals.join(vocab, Seq("lang", "source"))
   }
 
   /** n-gram-profile language ID: score = fraction of tokens in each

@@ -63,6 +63,32 @@ object LlmOps {
     TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  def text_gopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withGopherRules(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_frac"), col("n_stopwords"), col("symbol_word_ratio"),
+        col("pass_word_count"), col("pass_mean_word_len"), col("pass_alpha_frac"),
+        col("pass_stopwords"), col("pass_symbol_ratio"), col("gopher_pass"))
+      .orderBy(col("doc_id"))
+
+  def corpus_stats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(docs(spark, dir),
+      col("lang"), col("source"), col("text"))
+      .orderBy(col("lang"), col("source"))
+
+  def data_shuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardShuffle(docs(spark, dir), col("doc_id"))
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("doc_id"))
+
+  /** Duplicated-span (ExactSubstr-style) signal; w=5 so the small
+    * driver corpora (docs ~20-60 words, near-dup families planted at
+    * whole-doc granularity) actually produce cross-doc shared spans.
+    */
+  def dedup_span_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(spark, dir), col("doc_id"), col("text"), w = 5)
+      .orderBy(col("doc_id"))
+
   /** Decontamination: docs sharing any word-5-gram with the "eval set"
     * (the top-2% hash split — a stand-in for a benchmark suite).
     */
@@ -242,6 +268,10 @@ object LlmOps {
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
     "text_repetition" -> (text_repetition _),
+    "text_gopher" -> (text_gopher _),
+    "corpus_stats" -> (corpus_stats _),
+    "data_shuffle" -> (data_shuffle _),
+    "dedup_span_exact" -> (dedup_span_exact _),
     "contamination_check" -> (contamination_check _),
     "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
@@ -317,6 +347,72 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same arithmetic as the Spark side: float division throughout
+    // (DuckDB int/int is float division, matching Spark's Divide), and
+    // the rule flags test the ROUNDED metrics
+    "text_gopher" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    cast(len(string_split(text, ' ')) as int) AS n_words,
+         |    round((length(text) - len(string_split(text, ' ')) + 1)::double / len(string_split(text, ' ')), 4) AS mean_word_len,
+         |    round(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]')))::double / len(string_split(text, ' ')), 4) AS alpha_word_frac,
+         |    cast(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) as int) AS n_stopwords,
+         |    round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', '')))/3)::double / len(string_split(text, ' ')), 4) AS symbol_word_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stopwords, symbol_word_ratio,
+         |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+         |  alpha_word_frac >= 0.8 AS pass_alpha_frac,
+         |  n_stopwords >= 2 AS pass_stopwords,
+         |  symbol_word_ratio <= 0.1 AS pass_symbol_ratio,
+         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND alpha_word_frac >= 0.8 AND n_stopwords >= 2
+         |    AND symbol_word_ratio <= 0.1 AS gopher_pass
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // integer sums only (deterministic under any partial-agg order);
+    // DuckDB sum() widens to hugeint -> cast back; vocabulary counted
+    // on words here vs 8-byte fingerprints in Spark (2^-64 collision
+    // trade, same as every fingerprint oracle in this file)
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, source, length(text) AS nc,
+        |         len(string_split(rtrim(text), ' ')) AS nw,
+        |         string_split(rtrim(text), ' ') AS w
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |         cast(sum(nc) as bigint) AS total_chars,
+        |         cast(sum(nw) as bigint) AS total_words
+        |  FROM t GROUP BY lang, source),
+        |v AS (
+        |  SELECT lang, source, count(DISTINCT u.word) AS distinct_words
+        |  FROM t, unnest(w) AS u(word) GROUP BY lang, source)
+        |SELECT tot.lang, tot.source, n_docs, total_chars, total_words,
+        |       round(total_words::double / n_docs, 4) AS avg_doc_words,
+        |       distinct_words
+        |FROM tot JOIN v USING (lang, source) ORDER BY tot.lang, tot.source""".stripMargin,
+    // shard = portable md5 bucket; within-shard order = full md5 hex
+    // (lowercase-hex string compare agrees between engines)
+    "data_shuffle" ->
+      """SELECT doc_id, shard,
+        |  cast(row_number() OVER (PARTITION BY shard ORDER BY md5(cast(doc_id as varchar))) - 1 as bigint) AS shard_pos
+        |FROM (SELECT doc_id,
+        |        mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 16) AS shard
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // corpus-wide duplicated word-5-gram windows; per-doc-distinct by
+    // the shingle construction, so count(*) > 1 == "in >1 document"
+    "dedup_span_exact" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shingleListSql(5)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |pd AS (SELECT doc_id, count(*) AS n_dup FROM g JOIN dup USING (gram) GROUP BY doc_id)
+         |SELECT sh.doc_id, cast(len(sh.s) as int) AS n_spans,
+         |       cast(coalesce(pd.n_dup, 0) as bigint) AS n_dup_spans,
+         |       round(coalesce(pd.n_dup, 0)::double / len(sh.s), 4) AS dup_span_frac
+         |FROM sh LEFT JOIN pd USING (doc_id) ORDER BY sh.doc_id""".stripMargin,
     // portable md5-hex bucketing — DuckDB mirrors Spark's conv() with
     // ('0x' || hex)::bigint; mod == pmod here (buckets are positive)
     "data_split" ->

@@ -23,7 +23,8 @@ object ScaleBench {
     "text_repetition", "text_surprisal", "text_bigram_surprisal",
     "contamination_check", "data_pack",
     "data_split", "sample_stratified", "mm_decode_meta", "mm_frame_sample",
-    "mm_resize_meta", "pipeline_clean")
+    "mm_resize_meta", "pipeline_clean",
+    "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

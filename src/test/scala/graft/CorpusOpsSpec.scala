@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-curation operators added in round 2b: Gopher
+  * rule battery, corpus stats rollup, duplicated-span detection, and
+  * the deterministic shard shuffle.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("gopher rules: each rule fires on its designed violation") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"word$i").mkString(" ")
+    val tooShort = "the quick brown fox and the dog"
+    val noStops = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val symbols = (1 to 50).map(_ => "x#y").mkString(" ") + " the of and is on"
+    val longWords = (1 to 60).map(_ => "pneumonoultramicroscopic").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, tooShort), (3L, noStops), (4L, symbols), (5L, longWords)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withGopherRules(docs, col("text"))
+      .select("doc_id", "pass_word_count", "pass_mean_word_len", "pass_alpha_frac",
+        "pass_stopwords", "pass_symbol_ratio", "gopher_pass")
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4), x.getBoolean(5), x.getBoolean(6)))
+      .toMap
+    assert(r(1L) == ((true, true, true, true, true, true)), s"good doc: ${r(1L)}")
+    assert(!r(2L)._1 && !r(2L)._6, "short doc fails word count")
+    assert(!r(3L)._4 && !r(3L)._6, "stopword-free doc fails stopword rule")
+    assert(!r(4L)._5 && !r(4L)._6, "symbol-heavy doc fails symbol ratio")
+    assert(!r(5L)._2 && !r(5L)._6, "long-word doc fails mean word length")
+  }
+
+  test("corpus stats: exact totals and vocabulary per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "web", "a b c"),
+      (2L, "en", "web", "a b d e"),
+      (3L, "de", "web", "x y")
+    ).toDF("doc_id", "lang", "source", "text")
+    val r = TextAnalysis.corpusStats(docs, col("lang"), col("source"), col("text"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5), x.getLong(6))).toMap
+    assert(r(("en", "web")) == ((2L, 12L, 7L, 3.5, 5L)))
+    assert(r(("de", "web")) == ((1L, 3L, 2L, 2.0, 2L)))
+  }
+
+  test("duplicated spans: cross-doc shared windows counted, unique docs zero") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // one exact 5-word window
+    val docs = Seq(
+      (1L, s"$shared one two three four five six"),
+      (2L, s"seven eight nine ten eleven twelve $shared"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), w = 5)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    // docs 1/2: 11 words -> 7 windows each; only the literal `shared`
+    // window occurs in both
+    assert(r(1L) == ((7, 1L)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((7, 1L)), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((5, 0L)), s"doc3: ${r(3L)}")
+  }
+
+  test("duplicated spans: whole-doc dupes share every window") {
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), w = 5)
+      .collect().map(x => (x.getInt(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(r == Set((16, 16L, 1.0)))
+  }
+
+  test("shard shuffle: total, contiguous per-shard positions, partition-invariant") {
+    val docs = Tables(spark, sfDir, "documents")
+    val n = docs.count()
+    val a = Sampling.shardShuffle(docs, col("doc_id"))
+    assert(a.count() == n, "every row lands in exactly one shard slot")
+    // positions within each shard are exactly 0..size-1
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("shard_pos").as("lo"), max("shard_pos").as("hi"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("c") - 1)
+    assert(bad.isEmpty, "per-shard positions must be dense 0..n-1")
+    // pure function of id: identical under a different partitioning
+    val x = a.select("doc_id", "shard", "shard_pos").collect().toSet
+    val y = Sampling.shardShuffle(docs.repartition(7), col("doc_id"))
+      .select("doc_id", "shard", "shard_pos").collect().toSet
+    assert(x == y)
+  }
+}
