@@ -190,6 +190,30 @@ object Dedup {
     * touched once, by the final keep-set anti-join.
     */
   def resolveComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = propagateLabels(pairs)
+    // kept = all docs minus non-representative members of components
+    val dropped = labels.filter(col("doc_id") =!= col("label")).select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** The duplicate-family map: (doc_id, family_id) for every member of
+    * a near-dup component, family_id = the component's minimum doc id.
+    * This is what a curation pipeline joins against to pick survivors
+    * under a custom policy (longest doc, highest quality, ...) instead
+    * of [[resolveComponents]]'s keep-min-id default. Singleton docs
+    * never enter the label relation — at corpus scale almost all docs
+    * are singletons, so the map stays proportional to the duplicated
+    * subset, not the corpus.
+    */
+  def componentMap(pairs: DataFrame): DataFrame =
+    propagateLabels(pairs).select(col("doc_id"), col("label").as("family_id"))
+
+  /** Min-label propagation fixpoint over the pair graph — the shared
+    * engine of [[resolveComponents]] and [[componentMap]] (see the
+    * scale notes on the former).
+    */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // only docs that appear in any edge can change label
@@ -239,10 +263,7 @@ object Dedup {
         s"Component resolution did not converge within $maxRounds rounds " +
           "(near-dup chain longer than the round budget) — raise maxRounds " +
           "or pre-cluster; refusing to return a silently-partial dedup.")
-    // kept = all docs minus non-representative members of components
-    val dropped = labels.filter(col("doc_id") =!= col("label")).select(col("doc_id"))
-    docs.select(col("doc_id"))
-      .join(dropped, Seq("doc_id"), "left_anti")
+    labels
   }
 
   /** Exact duplicated-span detection — the ExactSubstr-style dedup

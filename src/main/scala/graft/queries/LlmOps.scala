@@ -134,6 +134,35 @@ object LlmOps {
     Dedup.resolveComponents(d, Dedup.minhashLsh(d)).orderBy(col("doc_id"))
   }
 
+  /** The duplicate-family map over the minhash-LSH pair graph:
+    * (doc_id, family_id) for every component member — the relation a
+    * pipeline joins to apply its own survivor policy.
+    */
+  def dedup_families(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentMap(Dedup.minhashLsh(docs(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** Per-language distribution report of the curation metrics: exact
+    * linear-interpolation percentiles of doc length and quality score
+    * (the table a curation run eyeballs to pick filter thresholds).
+    */
+  def quality_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(docs(spark, dir), col("text"))
+    q.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_words, array(0.25D, 0.5D, 0.75D, 0.9D))").as("_pw"),
+        expr("percentile(quality_score, array(0.5D, 0.9D))").as("_pq"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("_pw"), 1), 4).as("p25_words"),
+        round(element_at(col("_pw"), 2), 4).as("p50_words"),
+        round(element_at(col("_pw"), 3), 4).as("p75_words"),
+        round(element_at(col("_pw"), 4), 4).as("p90_words"),
+        round(element_at(col("_pq"), 1), 4).as("p50_quality"),
+        round(element_at(col("_pq"), 2), 4).as("p90_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** Incremental dedup: the corpus arrives in micro-batches; the
     * drained stream must equal batch minhashLsh (same hard oracle).
     */
@@ -282,6 +311,8 @@ object LlmOps {
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
     "dedup_embed_cosine_mt" -> (dedup_embed_cosine_mt _),
     "dedup_resolve" -> (dedup_resolve _),
+    "dedup_families" -> (dedup_families _),
+    "quality_quantiles" -> (quality_quantiles _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
@@ -535,6 +566,48 @@ object LlmOps {
          |WHERE doc_id NOT IN (
          |  SELECT node FROM reach GROUP BY node HAVING min(r) < node)
          |ORDER BY doc_id""".stripMargin,
+    // same closure as dedup_resolve, but emitting the component map:
+    // family = min id reachable (including self)
+    "dedup_families" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${shingleListSql(3)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id
+         |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+         |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+         |)
+         |SELECT node AS doc_id, least(node, min(r)) AS family_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // exact linear-interpolation percentiles: Spark percentile() and
+    // DuckDB quantile_cont share the p*(n-1) interpolation definition;
+    // the interpolated score quantiles run over the ROUNDED 4-decimal
+    // scores on both sides
+    "quality_quantiles" ->
+      s"""WITH q AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS nw,
+         |    round(least(1.0,
+         |      len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |      CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |      CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS qs
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(quantile_cont(nw, 0.25), 4) AS p25_words,
+         |  round(quantile_cont(nw, 0.5), 4) AS p50_words,
+         |  round(quantile_cont(nw, 0.75), 4) AS p75_words,
+         |  round(quantile_cont(nw, 0.9), 4) AS p90_words,
+         |  round(quantile_cont(qs, 0.5), 4) AS p50_quality,
+         |  round(quantile_cont(qs, 0.9), 4) AS p90_quality
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_simhash" -> fixtureSql("dedup_simhash", "documents"),
     "text_langid" -> fixtureSql("text_langid", "documents"),
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),

@@ -24,7 +24,8 @@ object ScaleBench {
     "contamination_check", "data_pack",
     "data_split", "sample_stratified", "mm_decode_meta", "mm_frame_sample",
     "mm_resize_meta", "pipeline_clean",
-    "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact")
+    "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact",
+    "dedup_families", "quality_quantiles")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -74,6 +74,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r == Set((16, 16L, 1.0)))
   }
 
+  test("component map: chains collapse to min-id families, singletons absent") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val fam = Dedup.componentMap(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fam == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("quantiles: ordered per lang, and Spark percentile interpolates p*(n-1)") {
+    val q = queries.LlmOps.quality_quantiles(spark, sfDir)
+    val bad = q.filter(col("p25_words") > col("p50_words") ||
+      col("p50_words") > col("p75_words") || col("p75_words") > col("p90_words"))
+    assert(bad.isEmpty, "percentiles must be monotone")
+    // pin the interpolation convention the DuckDB oracle mirrors
+    import spark.implicits._
+    val vals = Seq(10, 20, 30, 40).toDF("v")
+      .agg(expr("percentile(v, array(0.25D, 0.9D))").as("p"))
+      .select(element_at(col("p"), 1), element_at(col("p"), 2))
+      .head()
+    assert(vals.getDouble(0) == 17.5 && vals.getDouble(1) == 37.0)
+  }
+
   test("shard shuffle: total, contiguous per-shard positions, partition-invariant") {
     val docs = Tables(spark, sfDir, "documents")
     val n = docs.count()

@@ -24,6 +24,26 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k mismatch") }
   }
 
+  test("streaming quality gate: drained stream equals the batch gate") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-stream")
+    dir.toFile.deleteOnExit()
+    docs.repartitionByRange(3, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = graft.streaming.StreamingCuration.qualityGate(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curation_out").collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSet
+    val batch = graft.streaming.StreamingCuration.qualityGate(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(batch.nonEmpty, "gate should keep some docs")
+    assert(streamed == batch)
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
