@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search") — the compressed-corpus scale path
+  * for similarity search, complementing [[Similarity]]'s LSH/IVF
+  * variants (reference capability: easydb has no ANN at all; SURVEY.md
+  * §2D mandates the scale path).
+  *
+  * Why this is THE 100 TB shape: the corpus rides through the scoring
+  * scan as `m` small-int codes plus one precomputed norm (~12 bytes at
+  * m=8) instead of `dim` floats (256 bytes at dim=64) — a ~20×
+  * reduction of the candidate-scan I/O and of any exchange the coded
+  * relation crosses. Full vectors are fetch-joined ONLY for the top-R
+  * re-rank candidates per query (R = rerankMult·k ids), so at a
+  * billion vectors the exact-math footprint is thousands of rows, not
+  * the corpus.
+  *
+  * Everything is declarative DataFrame dataflow:
+  *  - codebooks: `ksub` seed sub-centroids per block (the first `ksub`
+  *    corpus vectors' sub-blocks — deterministic, same convention as
+  *    IVF's seed centroids; Lloyd refinement would reuse
+  *    [[Similarity.kmeansCentroids]]'s dataflow per block);
+  *  - encode: per (vector, block) argmin-L2 over the broadcast
+  *    codebook via `min(struct(dist, cid))` — the struct min makes
+  *    ties deterministic (smallest cid), and dist = |c|² − 2⟨a,c⟩
+  *    drops the constant |a|² term;
+  *  - search: the classic ADC (asymmetric distance computation) as a
+  *    broadcast LUT join — the per-(query, block, cid) partial dot
+  *    table is nq·m·ksub rows (a few KB), so scoring is one
+  *    broadcast-hash-join over the exploded code stream plus a
+  *    map-side-combinable sum, never a wide shuffle;
+  *  - re-rank: exact cosine on the ADC top-R only.
+  *
+  * All dot/norm arithmetic runs through the codegen'd VecDot kernel in
+  * fixed index order, which is what lets tools/make_expected.py mirror
+  * the math bit-for-bit for the committed fixture oracle.
+  */
+object Pq {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** Static per-block sub-vector explosion: (b, sub) rows. Slices are
+    * compile-time constants (no per-element lambda HOFs in the loop).
+    */
+  private def blocks(vec: Column, m: Int, dim: Int): Column = {
+    val sub = dim / m
+    explode(array((0 until m).map(b =>
+      struct(lit(b).as("b"), slice(vec, b * sub + 1, sub).as("sub"))): _*))
+  }
+
+  /** Codebook relation (b, cid, cent, cn2): sub-blocks of the first
+    * `ksub` corpus vectors; cn2 = ⟨cent,cent⟩ accumulated in index
+    * order (NOT norm², which would round through a sqrt).
+    */
+  def codebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame =
+    corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("cid"), blocks(col("embedding"), m, dim).as("bs"))
+      .select(col("cid"), col("bs.b").as("b"), col("bs.sub").as("cent"))
+      .withColumn("cn2", dot(col("cent"), col("cent")))
+
+  /** The PQ index: (vec_id, codes array<int>[m], vnorm). This is the
+    * relation a production deployment persists; everything downstream
+    * of the one-off encode touches codes only.
+    */
+  def encode(corpus: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
+    val assigned = corpus
+      .select(col("vec_id"), blocks(col("embedding"), m, dim).as("bs"))
+      .select(col("vec_id"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
+      .join(broadcast(books), "b")
+      .withColumn("_dist", col("cn2") - lit(2.0) * dot(col("_sub"), col("cent")))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(min(struct(col("_dist"), col("cid"))).as("_best"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(b, _best.cid as cid))), s -> s.cid)")
+        .as("codes"))
+    assigned.join(
+      corpus.select(col("vec_id"),
+        graft.functions.GraftFunctions.vecNorm(col("embedding")).as("vnorm")),
+      "vec_id")
+  }
+
+  /** ADC top-k with exact re-rank. `queries` must be small (broadcast,
+    * same contract as the other Similarity searchers).
+    */
+  def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, rerankMult: Int = 8): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val books = codebooks(corpus, m, ksub, dim)
+    val index = encode(corpus, books, m, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-(query, block, cid) partial dots: nq*m*ksub rows, broadcast
+    val lut = queries
+      .select(col("vec_id").as("query_id"), blocks(col("embedding"), m, dim).as("bs"))
+      .select(col("query_id"), col("bs.b").as("b"), col("bs.sub").as("_qsub"))
+      .join(books, "b")
+      .select(col("query_id"), col("b"), col("cid"),
+        dot(col("_qsub"), col("cent")).as("_pdot"))
+    val qnorms = queries.select(col("vec_id").as("query_id"),
+      graft.functions.GraftFunctions.vecNorm(col("embedding")).as("_qn"))
+
+    // ADC: explode the code stream, LUT-join, sum the m partial dots.
+    // The m rows of one vector stay inside one partition (they come
+    // from a single posexplode), so the partial agg folds them in
+    // block order — deterministic double math the fixture mirrors.
+    val adc = index
+      .select(col("vec_id").as("neighbor_id"), col("vnorm"),
+        posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("b", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdot")).as("_adc"), first(col("vnorm")).as("_vn"))
+      .join(broadcast(qnorms), "query_id")
+      .withColumn("cosine", col("_adc") / (col("_qn") * col("_vn")))
+
+    // top-R approximate candidates per query, then exact re-rank on
+    // fetched true vectors — narrow ids only through the candidate set
+    val cands = Similarity.heapTopK(adc, rerankMult * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ce"),
+      graft.functions.GraftFunctions.vecNorm(col("embedding")).as("_cn"))
+    val exact = cands
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv.join(qnorms, "query_id")), "query_id")
+      .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
+    Similarity.heapTopK(exact, k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -212,6 +212,7 @@ object LlmOps {
       .unionByName(recallOf("ivf", Similarity.topKIvf(emb, queries, k = 5)))
       .unionByName(recallOf("ivf_kmeans",
         Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)))
+      .unionByName(recallOf("pq", Pq.topKPq(emb, queries, k = 5)))
       .orderBy(col("method"))
   }
 
@@ -224,6 +225,15 @@ object LlmOps {
   def sim_topk_lsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKLsh(emb, emb.filter(col("vec_id") < 64), k = 5, bits = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product-quantization ANN: the corpus scans as m-byte codes, exact
+    * math only on the ADC top-R re-rank candidates (operators.Pq).
+    */
+  def sim_topk_pq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Pq.topKPq(emb, emb.filter(col("vec_id") < 64), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -315,6 +325,7 @@ object LlmOps {
     "quality_quantiles" -> (quality_quantiles _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
+    "sim_topk_pq" -> (sim_topk_pq _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
     "sim_recall_report" -> (sim_recall_report _),
@@ -614,6 +625,7 @@ object LlmOps {
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
+    "sim_topk_pq" -> fixtureSql("sim_topk_pq", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "text_token_count" ->

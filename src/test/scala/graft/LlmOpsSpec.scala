@@ -144,10 +144,10 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept == all -- chainMembers, "chain must collapse to doc 0, pair to doc 110")
   }
 
-  test("recall report: both ANN variants return sane recall in (0, 1]") {
+  test("recall report: every ANN variant returns sane recall in (0, 1]") {
     val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getDouble(1)).toMap
-    assert(r.keySet == Set("lsh", "ivf", "ivf_kmeans"))
+    assert(r.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq"))
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
   }
 

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  test("encode: codebook members quantize to themselves, codes in range") {
+    val books = Pq.codebooks(emb, m = 8, ksub = 16, dim = 64)
+    val index = Pq.encode(emb, books, m = 8, dim = 64)
+    // a centroid's own sub-block has reconstruction distance 0, so
+    // vector 0 must encode to code 0 in every block (no duplicate
+    // sub-blocks in the synthetic embeddings)
+    val c0 = index.filter(col("vec_id") === 0)
+      .select(col("codes")).head().getSeq[Int](0)
+    assert(c0 == Seq.fill(8)(0), s"vec 0 codes: $c0")
+    val bad = index.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16)
+    assert(bad.isEmpty, "codes must index the ksub codebook")
+    assert(index.count() == emb.count())
+  }
+
+  test("pq top-k: deterministic under repartitioning, sane recall") {
+    val q = emb.filter(col("vec_id") < 16)
+    val a = Pq.topKPq(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Pq.topKPq(emb.repartition(7), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "PQ ranking must be partition-invariant")
+    val bf = Similarity.topKBruteForce(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = Pq.topKPq(emb, q, k = 5).select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.4, s"ADC+rerank recall collapsed: $recall")
+  }
+}

@@ -264,6 +264,55 @@ def gen_sim_topk_ivf(emb, k=5, n_centroids=16, n_probe=4, max_query=64):
     return topk_table(rank_topk(cands, k))
 
 
+def gen_sim_topk_pq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64):
+    """Mirror of graft.operators.Pq.topKPq: seed codebooks from the
+    first ksub vectors' sub-blocks, argmin-L2 encode with (dist, cid)
+    tie-break, ADC via per-query LUT summed in block order, exact
+    cosine re-rank of the ADC top-(rerank_mult*k).
+    """
+    dim = len(emb[0]["embedding"])
+    sub = dim // m
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    # codebooks[b] = [(cid, cent, cn2)]
+    books = [[] for _ in range(m)]
+    for e in emb:
+        if e["vec_id"] < ksub:
+            for b in range(m):
+                cent = e["embedding"][b * sub:(b + 1) * sub]
+                books[b].append((e["vec_id"], cent, dot(cent, cent)))
+    codes = {}
+    for e in emb:
+        cs = []
+        for b in range(m):
+            s = e["embedding"][b * sub:(b + 1) * sub]
+            dists = [(cn2 - 2.0 * dot(s, cent), cid) for cid, cent, cn2 in books[b]]
+            cs.append(min(dists)[1])  # ties -> smaller cid, as struct-min
+        codes[e["vec_id"]] = cs
+    queries = [e for e in emb if e["vec_id"] < max_query]
+    rows = {}
+    for q in queries:
+        qid, qn = q["vec_id"], norms[q["vec_id"]]
+        lut = []
+        for b in range(m):
+            qsub = q["embedding"][b * sub:(b + 1) * sub]
+            lut.append({cid: dot(qsub, cent) for cid, cent, _ in books[b]})
+        adc = []
+        for e in emb:
+            nid = e["vec_id"]
+            if nid == qid:
+                continue
+            acc = 0.0
+            for b in range(m):
+                acc += lut[b][codes[nid][b]]
+            adc.append((nid, acc / (qn * norms[nid])))
+        top_r = sorted(adc, key=lambda t: (-t[1], t[0]))[:rerank_mult * k]
+        rows[qid] = [
+            (nid, dot(q["embedding"], vecs[nid]) / (qn * norms[nid]))
+            for nid, _ in top_r]
+    return topk_table(rank_topk(rows, k))
+
+
 def gen_dedup_embed_cosine(emb, bits=8, threshold=0.35):
     norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
     vecs = {e["vec_id"]: e["embedding"] for e in emb}
@@ -326,6 +375,7 @@ GENERATORS = {
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
+    "sim_topk_pq": ("embeddings", gen_sim_topk_pq),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
 }
