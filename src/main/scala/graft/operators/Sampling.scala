@@ -55,6 +55,28 @@ object Sampling {
       .drop("_rank", "_n")
   }
 
+  /** Deterministic mixture resampling — the data-mixture op of a
+    * training run: each row is replicated `rate` times, where `rate`
+    * is any per-row expression (typically CASE on source/domain) and
+    * may be fractional or > 1. A row emits `floor(rate)` guaranteed
+    * copies (epochs 0..floor-1) plus one extra copy kept iff a
+    * portable hash of (id, epoch) lands under the fractional part —
+    * so rate 2.5 means "2 full epochs plus a deterministic half
+    * epoch", the standard up/down-weighting of sources in a training
+    * mix. Pure function of (id, rate): reproducible across runs,
+    * partitionings, and engines; shuffle-free scan (the explode is
+    * map-side).
+    */
+  def mixture(df: DataFrame, id: Column, rate: Column,
+      granularity: Int = 10000): DataFrame =
+    df.withColumn("_rate", rate)
+      .withColumn("epoch", explode(sequence(lit(0L),
+        greatest(ceil(col("_rate")).cast("long") - 1, lit(0L)))))
+      .filter(col("epoch") < floor(col("_rate")) ||
+        bucket(concat(id.cast("string"), lit("#"), col("epoch").cast("string")),
+          granularity) < (col("_rate") - floor(col("_rate"))) * granularity)
+      .drop("_rate")
+
   /** Deterministic global shuffle for training-data export: spread
     * rows over `shards` output shards by id hash, ordered within each
     * shard by the full md5 hex string — a pseudo-random order

@@ -103,6 +103,19 @@ object LlmOps {
       .select(col("doc_id"), col("pack_bucket"), col("pack_bin"), col("pack_offset"))
       .orderBy(col("doc_id"))
 
+  /** Training-mix resampling: upweight two sources 2.5x, hold two at
+    * 1x, downsample the long tail to 0.4x — every copy assignment a
+    * pure function of (doc_id, epoch).
+    */
+  def data_mix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1"), 2.5)
+      .when(col("source").isin("src2", "src3"), 1.0)
+      .otherwise(0.4)
+    Sampling.mixture(docs(spark, dir), col("doc_id"), rate)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   def data_split(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("split"))
@@ -303,6 +316,7 @@ object LlmOps {
     "text_fingerprint" -> (text_fingerprint _),
     "text_redact" -> (text_redact _),
     "data_split" -> (data_split _),
+    "data_mix" -> (data_mix _),
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
@@ -455,6 +469,23 @@ object LlmOps {
          |       cast(coalesce(pd.n_dup, 0) as bigint) AS n_dup_spans,
          |       round(coalesce(pd.n_dup, 0)::double / len(sh.s), 4) AS dup_span_frac
          |FROM sh LEFT JOIN pd USING (doc_id) ORDER BY sh.doc_id""".stripMargin,
+    // mixture resampling: epochs from range(ceil(rate)); the fractional
+    // copy keeps iff md5(id#epoch) bucket < frac*granularity — BOTH
+    // engines compute the identical double threshold from the same
+    // literals, so binary-fraction artifacts (0.4*10000) cancel
+    "data_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 2.5
+        |         WHEN source IN ('src2', 'src3') THEN 1.0
+        |         ELSE 0.4 END AS rate
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, rate, u.e AS epoch
+        |      FROM r, unnest(range(0, greatest(cast(ceil(rate) as bigint), 1))) AS u(e))
+        |SELECT doc_id, source, epoch FROM e
+        |WHERE epoch < floor(rate)
+        |   OR mod(('0x' || substr(md5(doc_id::varchar || '#' || epoch::varchar), 1, 8))::bigint, 10000) < (rate - floor(rate)) * 10000
+        |ORDER BY doc_id, epoch""".stripMargin,
     // portable md5-hex bucketing — DuckDB mirrors Spark's conv() with
     // ('0x' || hex)::bigint; mod == pmod here (buckets are positive)
     "data_split" ->

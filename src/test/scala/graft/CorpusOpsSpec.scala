@@ -74,6 +74,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r == Set((16, 16L, 1.0)))
   }
 
+  test("mixture: integer rates copy exactly, fractional rates keep hash share") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, if (i < 100) "up" else "tail")).toDF("doc_id", "source")
+    val rate = when(col("source") === "up", 3.0).otherwise(0.5)
+    val m = Sampling.mixture(docs, col("doc_id"), rate)
+    val perDoc = m.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // rate 3.0: exactly 3 epochs, no fractional copy
+    perDoc.filter(_._2 == "up").foreach { case (id, _, n) => assert(n == 3, s"doc $id") }
+    // rate 0.5: deterministic ~half of the tail survives with 1 copy
+    val tail = perDoc.filter(_._2 == "tail")
+    assert(tail.forall(_._3 == 1))
+    assert(tail.length > 100 && tail.length < 200, s"kept ${tail.length}/300")
+    // epochs are a dense prefix 0..n-1 per doc
+    val badEpochs = m.groupBy("doc_id")
+      .agg(max("epoch").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c") - 1)
+    assert(badEpochs.isEmpty)
+    // pure function of (id, rate): partition-invariant
+    val a = m.select("doc_id", "epoch").collect().toSet
+    val b = Sampling.mixture(docs.repartition(7), col("doc_id"), rate)
+      .select("doc_id", "epoch").collect().toSet
+    assert(a == b)
+  }
+
   test("component map: chains collapse to min-id families, singletons absent") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
