@@ -308,6 +308,43 @@ object TextAnalysis {
         count(lit(1)).as("n_scored"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top-k corpus-weighted
+    * terms per doc (tf · ln(N/df)) — the classic summarization /
+    * topic-labeling pass of a curation pipeline.
+    *
+    * Shape: the corpus-sized exchanges — the (doc, word) term
+    * histogram and the doc-frequency aggregate — are keyed by 8-byte
+    * word fingerprints, never strings (same convention as repetition/
+    * surprisal); the per-doc top-k runs through the bounded-heap
+    * TopKAgg (no Window sort), and word STRINGS only appear in two
+    * narrow relations: the vocab dictionary (fp → min word, one
+    * vocab-sized aggregate) and the final top-k×docs fetch-join. Ties
+    * at equal score (common: same tf and df) break on the signed
+    * fingerprint — deterministic, mirrored by the fixture oracle.
+    */
+  def tfidfKeywords(docs: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame = {
+    val words = docs.select(id.as("doc_id"),
+      explode(split(rtrim(text), " ")).as("_word"))
+      .withColumn("_fp", GraftFunctions.fnv1a64(col("_word")))
+    // min() keeps the dictionary deterministic even under a (2^-64)
+    // fingerprint collision
+    val dict = words.groupBy(col("_fp")).agg(min(col("_word")).as("keyword"))
+    val tf = words.groupBy(col("doc_id"), col("_fp")).agg(count(lit(1)).as("_tf"))
+    // rows of `tf` are per-doc distinct, so counting them counts docs
+    val dfreq = tf.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "_fp")
+      .crossJoin(broadcast(n))
+      .withColumn("_score", col("_tf") * log(col("_n").cast("double") / col("_df")))
+    scored.groupBy(col("doc_id"))
+      .agg(GraftFunctions.topKAgg(col("_score"), col("_fp"), k).as("_top"))
+      .select(col("doc_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("doc_id"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as("_fp"), round(col("_t.score"), 4).as("tfidf"))
+      .join(dict, "_fp")
+      .select(col("doc_id"), col("rank"), col("keyword"), col("tfidf"))
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

@@ -63,6 +63,13 @@ object LlmOps {
     TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Top-5 TF-IDF keywords per doc (fingerprint-keyed histograms,
+    * bounded-heap top-k, vocab fetch-join — see TextAnalysis).
+    */
+  def text_tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("rank"))
+
   def text_gopher(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withGopherRules(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
@@ -322,6 +329,7 @@ object LlmOps {
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
     "text_repetition" -> (text_repetition _),
     "text_gopher" -> (text_gopher _),
+    "text_tfidf" -> (text_tfidf _),
     "corpus_stats" -> (corpus_stats _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
@@ -653,6 +661,7 @@ object LlmOps {
     "dedup_simhash" -> fixtureSql("dedup_simhash", "documents"),
     "text_langid" -> fixtureSql("text_langid", "documents"),
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
+    "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),

@@ -25,7 +25,8 @@ object ScaleBench {
     "data_split", "sample_stratified", "mm_decode_meta", "mm_frame_sample",
     "mm_resize_meta", "pipeline_clean",
     "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact",
-    "dedup_families", "quality_quantiles", "sim_topk_pq", "data_mix")
+    "dedup_families", "quality_quantiles", "sim_topk_pq", "data_mix",
+    "text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

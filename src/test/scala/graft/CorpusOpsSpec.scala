@@ -121,6 +121,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(vals.getDouble(0) == 17.5 && vals.getDouble(1) == 37.0)
   }
 
+  test("tfidf keywords: hand-computed scores, rare terms outrank common") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getDouble(3))).toMap
+    // N=3; df: a=2, b=1, c=1, d=1
+    assert(r((1L, 1)) == (("b", 1.0986)), "1*ln(3/1) beats 2*ln(3/2)")
+    assert(r((1L, 2)) == (("a", 0.8109)))
+    assert(r((3L, 1)) == (("d", 3.2958)))
+    assert(r((2L, 1))._1 == "c" && r((2L, 2))._1 == "a")
+  }
+
   test("shard shuffle: total, contiguous per-shard positions, partition-invariant") {
     val docs = Tables(spark, sfDir, "documents")
     val n = docs.count()

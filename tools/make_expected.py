@@ -157,6 +157,41 @@ def gen_text_fingerprint(docs):
     return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
 
+def gen_text_tfidf(docs, k=5):
+    """Mirror of TextAnalysis.tfidfKeywords: tf·ln(N/df) over word
+    fingerprints, top-k by (-score, signed fp), min-word dictionary.
+    """
+    import math
+    n = len(docs)
+    tf = {}      # doc_id -> {fp: count}
+    dfreq = {}   # fp -> doc count
+    dict_word = {}  # fp -> min word
+    for d in docs:
+        counts = {}
+        for w in d["text"].rstrip(" ").split(" "):
+            fp = signed(fnv1a64(w.encode("utf-8")))
+            counts[fp] = counts.get(fp, 0) + 1
+            if fp not in dict_word or w < dict_word[fp]:
+                dict_word[fp] = w
+        tf[d["doc_id"]] = counts
+        for fp in counts:
+            dfreq[fp] = dfreq.get(fp, 0) + 1
+    rows = []
+    for d in docs:
+        did = d["doc_id"]
+        scored = [(c * math.log(float(n) / dfreq[fp]), fp)
+                  for fp, c in tf[did].items()]
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:k]
+        for r, (score, fp) in enumerate(top, start=1):
+            rows.append((did, r, dict_word[fp], round4(score)))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int32()),
+        "keyword": pa.array([r[2] for r in rows], pa.string()),
+        "tfidf": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- vector ops
 
 def hyperplane_sig(vec, bits, plane_offset):
@@ -372,6 +407,7 @@ GENERATORS = {
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
     "text_fingerprint": ("documents", gen_text_fingerprint),
+    "text_tfidf": ("documents", gen_text_tfidf),
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
