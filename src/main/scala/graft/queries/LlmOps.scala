@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Contamination, Dedup, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators bound to the driver contract
@@ -58,6 +59,25 @@ object LlmOps {
   def text_bigram_surprisal(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprisal(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity bucketing: per-language surprisal
+    * tertiles — head (lowest mean surprisal / most fluent), middle,
+    * tail. The standard quality partition of a web corpus; downstream
+    * mixes sample by bucket. One window over the per-doc surprisal
+    * relation (doc_id tie-break keeps ntile deterministic).
+    */
+  def text_ccnet_bucket(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val s = TextAnalysis.surprisal(d, col("doc_id"), col("text"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_surprisal"), col("doc_id"))
+    s.withColumn("_t", ntile(3).over(w))
+      .withColumn("ccnet_bucket",
+        when(col("_t") === 1, "head").when(col("_t") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("mean_surprisal"), col("ccnet_bucket"))
+      .orderBy(col("doc_id"))
+  }
 
   def text_repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), col("doc_id"), col("text"))
@@ -328,6 +348,7 @@ object LlmOps {
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
     "text_repetition" -> (text_repetition _),
+    "text_ccnet_bucket" -> (text_ccnet_bucket _),
     "text_gopher" -> (text_gopher _),
     "text_tfidf" -> (text_tfidf _),
     "corpus_stats" -> (corpus_stats _),
@@ -509,6 +530,26 @@ object LlmOps {
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE r <= ceil(n * 0.2) ORDER BY lang, doc_id""".stripMargin,
+    // the verified text_surprisal arithmetic + a deterministic ntile
+    // (doc_id tie-break); head = lowest mean surprisal per language
+    "text_ccnet_bucket" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.word AS word
+        |  FROM documents, unnest(string_split(rtrim(text), ' ')) AS u(word)),
+        |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM w),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(cast(sum(cast(-ln(c.c::double / n.n) as decimal(28,12))) as double) / count(*), 4) AS mean_surprisal
+        |  FROM w JOIN c USING (word) CROSS JOIN n
+        |  GROUP BY doc_id),
+        |t AS (
+        |  SELECT s.doc_id, d.lang, s.mean_surprisal,
+        |         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.mean_surprisal, s.doc_id) AS t
+        |  FROM s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, mean_surprisal,
+        |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
     // decimal-summed so partial-agg order can't move the 4th decimal;
     // ln() per distinct (word,corpus) value is deterministic
     "text_surprisal" ->

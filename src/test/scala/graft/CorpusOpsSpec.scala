@@ -121,6 +121,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(vals.getDouble(0) == 17.5 && vals.getDouble(1) == 37.0)
   }
 
+  test("ccnet buckets: balanced tertiles, head more fluent than tail") {
+    val r = queries.LlmOps.text_ccnet_bucket(spark, sfDir)
+    val counts = r.groupBy("lang", "ccnet_bucket").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    counts.keys.map(_._1).foreach { lang =>
+      val h = counts.getOrElse((lang, "head"), 0L)
+      val t = counts.getOrElse((lang, "tail"), 0L)
+      assert(math.abs(h - t) <= 1, s"$lang tertiles unbalanced: head=$h tail=$t")
+    }
+    val agg = r.groupBy("ccnet_bucket").agg(avg("mean_surprisal").as("m")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(agg("head") < agg("tail"), "head bucket must be the fluent end")
+  }
+
   test("tfidf keywords: hand-computed scores, rare terms outrank common") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
