@@ -278,9 +278,13 @@ object Dedup {
     * per doc by construction) and are fingerprinted to 8 bytes BEFORE
     * the corpus-wide aggregate, so the shuffle carries (hash, count)
     * and (doc_id, hash) — never span text. Two aggregates + two narrow
-    * joins; the docs relation is scanned twice (span stream + span
-    * count) rather than cached, matching the surprisal convention.
-    * Docs with ≤ w words contribute their whole text as one window.
+    * joins; the docs relation is scanned THREE times (corpus span
+    * count, per-doc dup membership, per-doc window count) rather than
+    * persisting the shingle relation — each pass re-runs the codegen'd
+    * kernel, trading CPU for zero cache footprint; a deployment that
+    * scores spans repeatedly should persist the shingled relation
+    * instead. Docs with ≤ w words contribute their whole text as one
+    * window.
     */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 10): DataFrame = {
     val t = rtrim(text)

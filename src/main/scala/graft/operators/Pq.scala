@@ -67,22 +67,21 @@ object Pq {
     * relation a production deployment persists; everything downstream
     * of the one-off encode touches codes only.
     */
-  def encode(corpus: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
-    val assigned = corpus
-      .select(col("vec_id"), blocks(col("embedding"), m, dim).as("bs"))
-      .select(col("vec_id"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
+  def encode(corpus: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    corpus
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.vecNorm(col("embedding")).as("vnorm"),
+        blocks(col("embedding"), m, dim).as("bs"))
+      .select(col("vec_id"), col("vnorm"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
       .join(broadcast(books), "b")
       .withColumn("_dist", col("cn2") - lit(2.0) * dot(col("_sub"), col("cent")))
       .groupBy(col("vec_id"), col("b"))
-      .agg(min(struct(col("_dist"), col("cid"))).as("_best"))
+      // vnorm is constant per vec_id; first() carries it through both
+      // aggregates so the norm never needs a second corpus scan + join
+      .agg(min(struct(col("_dist"), col("cid"))).as("_best"), first(col("vnorm")).as("vnorm"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(b, _best.cid as cid))), s -> s.cid)")
-        .as("codes"))
-    assigned.join(
-      corpus.select(col("vec_id"),
-        graft.functions.GraftFunctions.vecNorm(col("embedding")).as("vnorm")),
-      "vec_id")
-  }
+        .as("codes"), first(col("vnorm")).as("vnorm"))
 
   /** ADC top-k with exact re-rank. `queries` must be small (broadcast,
     * same contract as the other Similarity searchers).

@@ -29,17 +29,18 @@ object TextAnalysis {
           s"regexp_extract_all(__graft_text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)")))
     }
 
+  /** The engine's stopword profile — shared by the quality score, the
+    * Gopher rules, and the DuckDB oracles (LlmOps derives its SQL
+    * stopList from this value).
+    */
+  private[graft] val StopWords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
   /** Heuristic quality signals: char/word counts, mean word length,
     * punctuation & stopword & repetition ratios. The formulas are
     * deliberately SQL-parity-friendly (DuckDB oracle runs the same
     * arithmetic).
     */
-  /** The engine's stopword profile — shared by the quality score, the
-    * Gopher rules, and the DuckDB oracles (which inline the same list).
-    */
-  private[graft] val StopWords =
-    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
-
   def withQuality(df: DataFrame, text: Column): DataFrame = withTextCol(df, text) { d =>
     val t = col("__graft_text")
     val words = split(t, " ")

@@ -377,7 +377,34 @@ object LlmOps {
     "mm_resize_meta" -> (mm_resize_meta _),
     "pipeline_clean" -> (pipeline_clean _))
 
-  private val stopList = "'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'"
+  /** Derived from the single source of truth so an edit to the
+    * engine's stopword profile can never silently desync the oracles.
+    */
+  private val stopList =
+    TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")
+
+  /** WITH RECURSIVE transitive closure of the J>=0.8 near-dup graph —
+    * the shared prefix of the dedup_resolve / dedup_families oracles
+    * (built on the same jaccard-pair construction as jaccardPairsSql).
+    */
+  private def componentClosureSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${shingleListSql(3)} AS s
+       |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id
+       |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+       |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
+       |),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+       |)""".stripMargin
 
   /** DuckDB mirror of TextHashes.shingles over a word list `w`:
     * distinct word-k-grams, EXCEPT docs with ≤ k words, which yield
@@ -636,23 +663,7 @@ object LlmOps {
     // closure (recursive CTE), keep the min id per component: an
     // independent re-derivation of resolveComponents' fixpoint.
     "dedup_resolve" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${shingleListSql(3)} AS s
-         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
-         |),
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b
-         |    ON a.doc_id < b.doc_id
-         |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
-         |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
-         |),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-         |reach AS (
-         |  SELECT a AS node, b AS r FROM edges
-         |  UNION
-         |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
-         |)
+      s"""$componentClosureSql
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (
          |  SELECT node FROM reach GROUP BY node HAVING min(r) < node)
@@ -660,23 +671,7 @@ object LlmOps {
     // same closure as dedup_resolve, but emitting the component map:
     // family = min id reachable (including self)
     "dedup_families" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${shingleListSql(3)} AS s
-         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
-         |),
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b
-         |    ON a.doc_id < b.doc_id
-         |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
-         |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
-         |),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-         |reach AS (
-         |  SELECT a AS node, b AS r FROM edges
-         |  UNION
-         |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
-         |)
+      s"""$componentClosureSql
          |SELECT node AS doc_id, least(node, min(r)) AS family_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // exact linear-interpolation percentiles: Spark percentile() and
