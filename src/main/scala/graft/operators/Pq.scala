@@ -63,6 +63,44 @@ object Pq {
       .select(col("cid"), col("bs.b").as("b"), col("bs.sub").as("cent"))
       .withColumn("cn2", dot(col("cent"), col("cent")))
 
+  /** Lloyd-refined codebooks: `iters` rounds of assign (argmin-L2,
+    * same struct-min as encode) + per-(block, cid, dim) mean — the
+    * per-block k-means that production PQ trains (PqSweep measures the
+    * recall lift). NOT used by the oracle-gated query: `avg` over
+    * doubles is partial-order-dependent, so trained centroids are not
+    * bit-reproducible across partitionings — the same reason IVF's
+    * kmeans path is exercised by the (rows-only) recall report, not a
+    * fixture. Cells that lose all members drop out of the codebook.
+    */
+  def trainCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int): DataFrame = {
+    val subs = corpus
+      .select(col("vec_id"), blocks(col("embedding"), m, dim).as("bs"))
+      .select(col("vec_id"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var books = codebooks(corpus, m, ksub, dim)
+    var i = 0
+    while (i < iters) {
+      val assigned = subs.join(broadcast(books), "b")
+        .withColumn("_dist", col("cn2") - lit(2.0) * dot(col("_sub"), col("cent")))
+        .groupBy(col("vec_id"), col("b"))
+        .agg(min(struct(col("_dist"), col("cid"))).as("_best"))
+        .select(col("vec_id"), col("b"), col("_best.cid").as("cid"))
+        .join(subs, Seq("vec_id", "b"))
+      books = assigned
+        .select(col("b"), col("cid"), posexplode(col("_sub")).as(Seq("dim", "x")))
+        .groupBy(col("b"), col("cid"), col("dim"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("b"), col("cid"))
+        .agg(expr("array_sort(collect_list(struct(dim, mn)))").as("dm"))
+        .select(col("b"), col("cid"),
+          expr("transform(dm, s -> cast(s.mn as float))").as("cent"))
+        .withColumn("cn2", dot(col("cent"), col("cent")))
+      i += 1
+    }
+    books
+  }
+
   /** The PQ index: (vec_id, codes array<int>[m], vnorm). This is the
     * relation a production deployment persists; everything downstream
     * of the one-off encode touches codes only.
@@ -89,7 +127,15 @@ object Pq {
   def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, dim: Int = 64, rerankMult: Int = 8): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val books = codebooks(corpus, m, ksub, dim)
+    topKPqWith(corpus, queries, k, codebooks(corpus, m, ksub, dim), m, dim, rerankMult)
+  }
+
+  /** PQ search against a PREBUILT codebook relation (seed or
+    * Lloyd-trained) — sweeps and repeated query batches reuse one
+    * codebook instead of re-deriving it per call.
+    */
+  def topKPqWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: DataFrame, m: Int, dim: Int, rerankMult: Int): DataFrame = {
     val index = encode(corpus, books, m, dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -24,6 +24,17 @@ class PqSpec extends AnyFunSuite {
     assert(index.count() == emb.count())
   }
 
+  test("trained codebooks: bounded size, total encode, search intact") {
+    val books = Pq.trainCodebooks(emb, m = 8, ksub = 16, dim = 64, iters = 2)
+    val sizes = books.groupBy("b").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.forall(s => s >= 1 && s <= 16))
+    val index = Pq.encode(emb, books, m = 8, dim = 64)
+    assert(index.count() == emb.count(), "every vector must encode")
+    val q = emb.filter(col("vec_id") < 8)
+    val r = Pq.topKPqWith(emb, q, k = 5, books, m = 8, dim = 64, rerankMult = 8)
+    assert(r.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("pq top-k: deterministic under repartitioning, sane recall") {
     val q = emb.filter(col("vec_id") < 16)
     val a = Pq.topKPq(emb, q, k = 5).collect()
