@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, SimHash64, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{Bridge, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -138,6 +138,37 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** POSITIONAL word-k-gram fingerprints: fnv1a64 of the window
+    * starting at each word index, in order, NOT deduplicated — the
+    * kernel behind span-removal, where a window's identity is
+    * (position, hash). Docs with ≤ k words yield the single whole-text
+    * window at position 0 (same short-doc rule as [[shingles]]).
+    */
+  def shinglesPos(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    val out =
+      if (words.length <= k) Array(fnv1a64(UTF8String.fromString(words.mkString(" "))))
+      else {
+        val n = words.length - k + 1
+        val arr = new Array[Long](n)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          arr(i) = fnv1a64(sb.toString.getBytes("UTF-8"))
+          i += 1
+        }
+        arr
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Winnowed fingerprint kernel: [min, max] of fnv1a64 over the
     * word-`n`-grams of `s` (single pass, no shingle materialization).
     */
@@ -220,6 +251,8 @@ object GraftFunctions {
     Bridge.column(WinnowMinMax(Bridge.expression(c), n))
   def shingles(c: Column, k: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), k))
+  def shinglesPos(c: Column, k: Int): Column =
+    Bridge.column(ShinglesPos(Bridge.expression(c), k))
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
   def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =

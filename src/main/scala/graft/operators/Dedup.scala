@@ -305,6 +305,47 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Exact duplicated-span REMOVAL — the second half of the ExactSubstr
+    * pipeline: rewrite each document dropping every word covered by a
+    * `w`-word window that occurs more than once in the corpus
+    * (including within-doc repeats, per the ExactSubstr definition —
+    * unlike [[duplicatedSpans]], which counts per-doc-distinct
+    * cross-doc sharing). Emits (doc_id, n_words, n_removed,
+    * cleaned_md5) — the md5 stands in for the rewritten text so the
+    * oracle compare stays narrow; a production sink would write the
+    * rebuilt string column itself.
+    *
+    * Shape: positional windows come from the codegen'd ShinglesPos
+    * kernel as 8-byte hashes (position = array index, no window text
+    * materialized); the global duplicate filter and coverage expansion
+    * exchange only (doc_id, int, long) triples. The one string-bearing
+    * exchange is the final per-doc reassembly groupBy — irreducible,
+    * because the OUTPUT is the rewritten corpus.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 5): DataFrame = {
+    val t = rtrim(text)
+    val wins = docs.select(id.as("doc_id"),
+      posexplode(GraftFunctions.shinglesPos(t, w)).as(Seq("pos", "_h")))
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_h"))
+    val covered = wins.join(dup, "_h")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("wp"))
+      .distinct()
+    val words = docs.select(id.as("doc_id"),
+      posexplode(split(t, " ")).as(Seq("wp", "_word")))
+    val kept = words.join(covered, Seq("doc_id", "wp"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(wp, _word))), s -> s._word)")))
+          .as("cleaned_md5"))
+    docs.select(id.as("doc_id"), size(split(t, " ")).as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("n_removed", (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("int"))
+      .withColumn("cleaned_md5", coalesce(col("cleaned_md5"), md5(lit(""))))
+      .select(col("doc_id"), col("n_words"), col("n_removed"), col("cleaned_md5"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
     * sign buckets (see [[Similarity.signature]]), cosine verified on
     * candidate pairs only.

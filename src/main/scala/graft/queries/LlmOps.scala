@@ -116,6 +116,13 @@ object LlmOps {
     Dedup.duplicatedSpans(docs(spark, dir), col("doc_id"), col("text"), w = 5)
       .orderBy(col("doc_id"))
 
+  /** The ExactSubstr removal pass: rewrite docs dropping words covered
+    * by any corpus-duplicated 5-word window (cleaned text as md5).
+    */
+  def dedup_span_removal(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(docs(spark, dir), col("doc_id"), col("text"), w = 5)
+      .orderBy(col("doc_id"))
+
   /** Decontamination: docs sharing any word-5-gram with the "eval set"
     * (the top-2% hash split — a stand-in for a benchmark suite).
     */
@@ -354,6 +361,7 @@ object LlmOps {
     "corpus_stats" -> (corpus_stats _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
+    "dedup_span_removal" -> (dedup_span_removal _),
     "contamination_check" -> (contamination_check _),
     "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
@@ -512,6 +520,31 @@ object LlmOps {
         |        mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 16) AS shard
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // positional windows (0-based; whole-text window for docs <= 5
+    // words, the kernel's short-doc rule); dup counts ALL occurrences
+    // (within-doc repeats included); covered word positions beyond the
+    // doc end are harmless (they match no word row)
+    "dedup_span_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents),
+        |win AS (
+        |  SELECT doc_id, 0 AS pos, array_to_string(w, ' ') AS gram FROM w WHERE len(w) <= 5
+        |  UNION ALL
+        |  SELECT doc_id, u.i - 1 AS pos, array_to_string(w[u.i:u.i+4], ' ') AS gram
+        |  FROM w, unnest(range(1, len(w) - 3)) AS u(i) WHERE len(w) > 5),
+        |dup AS (SELECT gram FROM win GROUP BY gram HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT win.doc_id, c.p
+        |        FROM win JOIN dup USING (gram), unnest(range(win.pos, win.pos + 5)) AS c(p)),
+        |words AS (SELECT doc_id, u.i - 1 AS wp, w[u.i] AS word
+        |          FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+        |kept AS (SELECT words.* FROM words
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = words.doc_id AND cov.p = words.wp)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               md5(string_agg(word, ' ' ORDER BY wp)) AS cleaned_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, cast(len(w.w) as int) AS n_words,
+        |       cast(len(w.w) - coalesce(agg.n_kept, 0) as int) AS n_removed,
+        |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     // corpus-wide duplicated word-5-gram windows; per-doc-distinct by
     // the shingle construction, so count(*) > 1 == "in >1 document"
     "dedup_span_exact" ->

@@ -26,7 +26,7 @@ object ScaleBench {
     "mm_resize_meta", "pipeline_clean",
     "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact",
     "dedup_families", "quality_quantiles", "sim_topk_pq", "data_mix",
-    "text_tfidf", "text_ccnet_bucket")
+    "text_tfidf", "text_ccnet_bucket", "dedup_span_removal")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -134,6 +134,25 @@ case class Shingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd POSITIONAL word-k-gram fingerprints (not deduplicated;
+  * index = window start position) — the span-removal kernel.
+  */
+case class ShinglesPos(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.shinglesPos(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.shinglesPos($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesPos =
+    copy(child = newChild)
+}
+
 /** Codegen'd winnowed fingerprint: [min, max] of word-n-gram hashes. */
 case class WinnowMinMax(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {

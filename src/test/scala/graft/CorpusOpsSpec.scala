@@ -74,6 +74,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r == Set((16, 16L, 1.0)))
   }
 
+  test("span removal: cross-doc and within-doc duplicated windows cut") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared one two three four five six"),
+      (2L, s"seven eight nine ten eleven twelve $shared"),
+      (3L, "totally different words with no overlap at all here"),
+      (4L, "x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5") // within-doc repeat
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, col("doc_id"), col("text"), w = 5)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == ((11, 5, m("one two three four five six"))), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((11, 5, m("seven eight nine ten eleven twelve"))), s"doc2: ${r(2L)}")
+    assert(r(3L)._2 == 0, "unique doc keeps everything")
+    assert(r(4L) == ((11, 10, m("q"))), s"within-doc repeat: ${r(4L)}")
+  }
+
   test("mixture: integer rates copy exactly, fractional rates keep hash share") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, if (i < 100) "up" else "tail")).toDF("doc_id", "source")
