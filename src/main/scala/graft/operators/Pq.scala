@@ -101,9 +101,14 @@ object Pq {
     books
   }
 
-  /** The PQ index: (vec_id, codes array<int>[m], vnorm). This is the
-    * relation a production deployment persists; everything downstream
-    * of the one-off encode touches codes only.
+  /** The PQ index: (vec_id, codes array<int>[m], vnorm, rnorm). This
+    * is the relation a production deployment persists; everything
+    * downstream of the one-off encode touches codes only. `rnorm` is
+    * the norm of the RECONSTRUCTION (sqrt of the chosen sub-centroids'
+    * cn2 sum — blocks are orthogonal coordinate slices, so the squared
+    * norms add): dividing ADC by it instead of the true `vnorm`
+    * cancels the centroid-shrinkage bias of trained codebooks
+    * (the norm-correction SCALE.md's PQ sweep calls for at low ksub).
     */
   def encode(corpus: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
     corpus
@@ -116,10 +121,12 @@ object Pq {
       .groupBy(col("vec_id"), col("b"))
       // vnorm is constant per vec_id; first() carries it through both
       // aggregates so the norm never needs a second corpus scan + join
-      .agg(min(struct(col("_dist"), col("cid"))).as("_best"), first(col("vnorm")).as("vnorm"))
+      .agg(min(struct(col("_dist"), col("cid"), col("cn2"))).as("_best"),
+        first(col("vnorm")).as("vnorm"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(b, _best.cid as cid))), s -> s.cid)")
-        .as("codes"), first(col("vnorm")).as("vnorm"))
+        .as("codes"), first(col("vnorm")).as("vnorm"),
+        sqrt(sum(col("_best.cn2"))).as("rnorm"))
 
   /** ADC top-k with exact re-rank. `queries` must be small (broadcast,
     * same contract as the other Similarity searchers).
@@ -130,41 +137,27 @@ object Pq {
     topKPqWith(corpus, queries, k, codebooks(corpus, m, ksub, dim), m, dim, rerankMult)
   }
 
-  /** PQ search against a PREBUILT codebook relation (seed or
-    * Lloyd-trained) — sweeps and repeated query batches reuse one
-    * codebook instead of re-deriving it per call.
+  /** Per-(query, block, cid) partial dots: nq·m·ksub rows, always
+    * broadcast — the ADC lookup table of Jégou et al. §4.1 as a
+    * relation.
     */
-  def topKPqWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      books: DataFrame, m: Int, dim: Int, rerankMult: Int): DataFrame = {
-    val index = encode(corpus, books, m, dim)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // per-(query, block, cid) partial dots: nq*m*ksub rows, broadcast
-    val lut = queries
+  private def queryLut(queries: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), blocks(col("embedding"), m, dim).as("bs"))
       .select(col("query_id"), col("bs.b").as("b"), col("bs.sub").as("_qsub"))
       .join(books, "b")
       .select(col("query_id"), col("b"), col("cid"),
         dot(col("_qsub"), col("cent")).as("_pdot"))
-    val qnorms = queries.select(col("vec_id").as("query_id"),
+
+  private def queryNorms(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"),
       graft.functions.GraftFunctions.vecNorm(col("embedding")).as("_qn"))
 
-    // ADC: explode the code stream, LUT-join, sum the m partial dots.
-    // The m rows of one vector stay inside one partition (they come
-    // from a single posexplode), so the partial agg folds them in
-    // block order — deterministic double math the fixture mirrors.
-    val adc = index
-      .select(col("vec_id").as("neighbor_id"), col("vnorm"),
-        posexplode(col("codes")).as(Seq("b", "cid")))
-      .join(broadcast(lut), Seq("b", "cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("_pdot")).as("_adc"), first(col("vnorm")).as("_vn"))
-      .join(broadcast(qnorms), "query_id")
-      .withColumn("cosine", col("_adc") / (col("_qn") * col("_vn")))
-
-    // top-R approximate candidates per query, then exact re-rank on
-    // fetched true vectors — narrow ids only through the candidate set
+  /** ADC top-R then exact re-rank on fetched true vectors — narrow ids
+    * only through the candidate set.
+    */
+  private def rerankTopK(adc: DataFrame, corpus: DataFrame, queries: DataFrame,
+      qnorms: DataFrame, k: Int, rerankMult: Int): DataFrame = {
     val cands = Similarity.heapTopK(adc, rerankMult * k)
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"))
@@ -175,5 +168,99 @@ object Pq {
       .join(broadcast(qv.join(qnorms, "query_id")), "query_id")
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     Similarity.heapTopK(exact, k)
+  }
+
+  /** PQ search against a PREBUILT codebook relation (seed or
+    * Lloyd-trained) — sweeps and repeated query batches reuse one
+    * codebook instead of re-deriving it per call.
+    */
+  def topKPqWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: DataFrame, m: Int, dim: Int, rerankMult: Int,
+      normCorrect: Boolean = false): DataFrame = {
+    val index = encode(corpus, books, m, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lut = queryLut(queries, books, m, dim)
+    val qnorms = queryNorms(queries)
+    // normCorrect divides ADC by the reconstruction's norm, not the
+    // vector's: ⟨q,v̂⟩/(|q||v̂|) is the cosine of the thing ADC actually
+    // measured, immune to trained-centroid norm shrinkage. Default off:
+    // the committed fixtures pin the classic |v| form on seed books.
+    val denomNorm = if (normCorrect) "rnorm" else "vnorm"
+
+    // ADC: explode the code stream, LUT-join, sum the m partial dots.
+    // The m rows of one vector stay inside one partition (they come
+    // from a single posexplode), so the partial agg folds them in
+    // block order — deterministic double math the fixture mirrors.
+    val adc = index
+      .select(col("vec_id").as("neighbor_id"), col(denomNorm).as("_vn0"),
+        posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("b", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdot")).as("_adc"), first(col("_vn0")).as("_vn"))
+      .join(broadcast(qnorms), "query_id")
+      .withColumn("cosine", col("_adc") / (col("_qn") * col("_vn")))
+
+    rerankTopK(adc, corpus, queries, qnorms, k, rerankMult)
+  }
+
+  /** IVF-PQ (Jégou et al. §5): centroid cells prune the candidate set,
+    * PQ codes score what survives — the composed index is
+    * (vec_id, cell, codes[m], vnorm), ~m+12 bytes/vector, and a query
+    * touches only `nProbe/nCentroids` of it. At 100 TB this stacks the
+    * two scale wins: IVF cuts the fraction of the corpus scanned,
+    * PQ cuts the bytes per scanned row; exact vectors are fetch-joined
+    * for the top-R re-rank ids only.
+    *
+    * Cells come from [[Similarity.assignCells]] over the same seed
+    * centroids as `topKIvf` (deterministic, no tie on the test data —
+    * asserted by the fixture generator); codebooks are the seed
+    * codebooks, so the whole composition is bit-reproducible and
+    * fixture-oracled.
+    */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, rerankMult: Int = 8): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val centroids = Similarity.centroidsFor(corpus, nCentroids, kmeansIters = 0)
+    val books = codebooks(corpus, m, ksub, dim)
+    topKIvfPqWith(corpus, queries, k, centroids, books, nProbe, m, dim, rerankMult)
+  }
+
+  /** IVF-PQ against PREBUILT centroid + codebook relations (seed or
+    * trained) — the sweep entry point.
+    */
+  def topKIvfPqWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, books: DataFrame, nProbe: Int,
+      m: Int, dim: Int, rerankMult: Int, normCorrect: Boolean = false): DataFrame = {
+    // the persisted production relation: coded corpus + cell id
+    val cells = Similarity.assignCells(corpus, centroids, "vec_id", "embedding", keep = 1)
+      .withColumnRenamed("cid", "_cell")
+    val index = encode(corpus, books, m, dim)
+      .join(cells, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val probes = Similarity.assignCells(queries, centroids, "vec_id", "embedding", keep = nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("_cell"))
+    val lut = queryLut(queries, books, m, dim)
+    val qnorms = queryNorms(queries)
+    val denomNorm = if (normCorrect) "rnorm" else "vnorm"
+
+    // probe-join restricts the exploded code stream to probed cells
+    // BEFORE the LUT join — the ADC scan is nProbe/nCentroids of the
+    // PQ-only path. (query, neighbor) pairs are unique by construction:
+    // one cell per corpus vector, distinct probes per query.
+    val adc = index
+      .join(broadcast(probes), Seq("_cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col(denomNorm).as("_vn0"),
+        posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("query_id", "b", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_pdot")).as("_adc"), first(col("_vn0")).as("_vn"))
+      .join(broadcast(qnorms), "query_id")
+      .withColumn("cosine", col("_adc") / (col("_qn") * col("_vn")))
+
+    rerankTopK(adc, corpus, queries, qnorms, k, rerankMult)
   }
 }

@@ -260,6 +260,7 @@ object LlmOps {
       .unionByName(recallOf("ivf_kmeans",
         Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)))
       .unionByName(recallOf("pq", Pq.topKPq(emb, queries, k = 5)))
+      .unionByName(recallOf("ivfpq", Pq.topKIvfPq(emb, queries, k = 5)))
       .orderBy(col("method"))
   }
 
@@ -281,6 +282,15 @@ object LlmOps {
   def sim_topk_pq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Pq.topKPq(emb, emb.filter(col("vec_id") < 64), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ composition: cells prune, codes score, exact re-rank —
+    * the full production ANN index shape (operators.Pq.topKIvfPq).
+    */
+  def sim_topk_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Pq.topKIvfPq(emb, emb.filter(col("vec_id") < 64), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -377,6 +387,7 @@ object LlmOps {
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_pq" -> (sim_topk_pq _),
+    "sim_topk_ivfpq" -> (sim_topk_ivfpq _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
     "sim_recall_report" -> (sim_recall_report _),
@@ -735,6 +746,7 @@ object LlmOps {
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
     "sim_topk_pq" -> fixtureSql("sim_topk_pq", "embeddings"),
+    "sim_topk_ivfpq" -> fixtureSql("sim_topk_ivfpq", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "text_token_count" ->

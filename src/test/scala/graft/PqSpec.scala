@@ -35,6 +35,30 @@ class PqSpec extends AnyFunSuite {
     assert(r.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("ivf-pq: candidates confined to probed cells, recall tracks pq") {
+    val q = emb.filter(col("vec_id") < 16)
+    val r = Pq.topKIvfPq(emb, q, k = 5)
+    // partition-invariance: the composed index must rank identically
+    val a = r.collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val b = Pq.topKIvfPq(emb.repartition(7), q, k = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(a == b, "IVF-PQ ranking must be partition-invariant")
+    assert(r.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+    // pruning cannot invent neighbors: every (q, n) pair must also be
+    // an IVF candidate (same cells, same probes)
+    val ivf = Similarity.topKIvf(emb, q, k = 400)
+      .select(col("query_id"), col("neighbor_id"))
+    val stray = r.select(col("query_id"), col("neighbor_id"))
+      .join(ivf, Seq("query_id", "neighbor_id"), "left_anti")
+    assert(stray.isEmpty, "IVF-PQ returned a neighbor outside the probed cells")
+    val bf = Similarity.topKBruteForce(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = r.select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.3, s"IVF-PQ recall collapsed: $recall")
+  }
+
   test("pq top-k: deterministic under repartitioning, sane recall") {
     val q = emb.filter(col("vec_id") < 16)
     val a = Pq.topKPq(emb, q, k = 5).collect()

@@ -348,6 +348,65 @@ def gen_sim_topk_pq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64):
     return topk_table(rank_topk(rows, k))
 
 
+def gen_sim_topk_ivfpq(emb, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
+                       rerank_mult=8, max_query=64):
+    """Mirror of graft.operators.Pq.topKIvfPq: IVF cells (seed
+    centroids, argmax-cosine assignment, no ties asserted) prune the
+    candidate set; seed-codebook ADC scores survivors in block order;
+    exact cosine re-rank of the ADC top-(rerank_mult*k).
+    """
+    dim = len(emb[0]["embedding"])
+    sub = dim // m
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    centroids = [(e["vec_id"], e["embedding"], norms[e["vec_id"]])
+                 for e in emb if e["vec_id"] < n_centroids]
+    cells = {}
+    for e in emb:
+        scored = [(dot(e["embedding"], c[1]) / c[2], c[0]) for c in centroids]
+        best = max(s for s, _ in scored)
+        winners = [cid for s, cid in scored if s == best]
+        assert len(winners) == 1, f"centroid tie for vec {e['vec_id']}"
+        cells.setdefault(winners[0], []).append(e["vec_id"])
+    books = [[] for _ in range(m)]
+    for e in emb:
+        if e["vec_id"] < ksub:
+            for b in range(m):
+                cent = e["embedding"][b * sub:(b + 1) * sub]
+                books[b].append((e["vec_id"], cent, dot(cent, cent)))
+    codes = {}
+    for e in emb:
+        cs = []
+        for b in range(m):
+            s = e["embedding"][b * sub:(b + 1) * sub]
+            dists = [(cn2 - 2.0 * dot(s, cent), cid) for cid, cent, cn2 in books[b]]
+            cs.append(min(dists)[1])
+        codes[e["vec_id"]] = cs
+    rows = {}
+    for q in (e for e in emb if e["vec_id"] < max_query):
+        qid, qn = q["vec_id"], norms[q["vec_id"]]
+        cscored = [(dot(q["embedding"], c[1]) / c[2], c[0]) for c in centroids]
+        probes = [cid for _, cid in sorted(cscored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+        lut = []
+        for b in range(m):
+            qsub = q["embedding"][b * sub:(b + 1) * sub]
+            lut.append({cid: dot(qsub, cent) for cid, cent, _ in books[b]})
+        adc = []
+        for cid in probes:
+            for nid in cells.get(cid, []):
+                if nid == qid:
+                    continue
+                acc = 0.0
+                for b in range(m):
+                    acc += lut[b][codes[nid][b]]
+                adc.append((nid, acc / (qn * norms[nid])))
+        top_r = sorted(adc, key=lambda t: (-t[1], t[0]))[:rerank_mult * k]
+        rows[qid] = [
+            (nid, dot(q["embedding"], vecs[nid]) / (qn * norms[nid]))
+            for nid, _ in top_r]
+    return topk_table(rank_topk(rows, k))
+
+
 def gen_dedup_embed_cosine(emb, bits=8, threshold=0.35):
     norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
     vecs = {e["vec_id"]: e["embedding"] for e in emb}
@@ -412,6 +471,7 @@ GENERATORS = {
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
     "sim_topk_pq": ("embeddings", gen_sim_topk_pq),
+    "sim_topk_ivfpq": ("embeddings", gen_sim_topk_ivfpq),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
 }
