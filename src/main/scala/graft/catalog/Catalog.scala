@@ -13,14 +13,24 @@ import scala.jdk.CollectionConverters._
   */
 case class TableField(field: String, fieldType: String, comment: Option[String] = None)
 
-/** A catalog row (reference: sqlite.rs `catalog` table). */
+/** A catalog row (reference: sqlite.rs `catalog` table). The bucket
+  * fields are this engine's extension (CLUSTERED BY DDL): when set,
+  * the entry describes a Spark bucketed table materialized from
+  * `tablePath`, and resolution goes through the session catalog so
+  * same-key joins/aggs keep the bucket distribution. Absent in
+  * pre-extension JSONL lines → None (Jackson maps missing to null,
+  * null to None).
+  */
 case class CatalogEntry(
     id: Long,
     tableRef: String,
     tablePath: String,
     schema: Seq[TableField] = Nil,
     comment: Option[String] = None,
-    entryType: String = "MANAGED")
+    entryType: String = "MANAGED",
+    bucketBy: Option[String] = None,
+    sortBy: Option[String] = None,
+    numBuckets: Option[Int] = None)
 
 /** One executed-query record (reference: sqlite.rs `query_history`). */
 case class HistoryEntry(sql: String, status: String, createdAt: String)
@@ -71,8 +81,12 @@ class Catalog(dir: String) {
       tablePath: String,
       schema: Seq[TableField] = Nil,
       comment: Option[String] = None,
-      entryType: String = "MANAGED"): CatalogEntry = synchronized {
-    val e = CatalogEntry(entries.size + 1L, tableRef, tablePath, schema, comment, entryType)
+      entryType: String = "MANAGED",
+      bucketBy: Option[String] = None,
+      sortBy: Option[String] = None,
+      numBuckets: Option[Int] = None): CatalogEntry = synchronized {
+    val e = CatalogEntry(entries.size + 1L, tableRef, tablePath, schema, comment, entryType,
+      bucketBy, sortBy, numBuckets)
     appendLine(catalogFile, mapper.writeValueAsString(e))
     e
   }

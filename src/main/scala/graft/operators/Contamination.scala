@@ -25,17 +25,27 @@ object Contamination {
     * fingerprints (8-byte keys, ~2^-64 collision odds per gram pair —
     * the standard fingerprinting trade).
     */
-  def evalOverlap(docs: DataFrame, evalPred: Column, k: Int = 5): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), evalPred.as("_is_eval"),
-        explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
-      .select(col("doc_id"), col("_is_eval"),
-        GraftFunctions.fnv1a64(col("_g")).as("_h"))
-    val evalGrams = grams.filter(col("_is_eval")).select(col("_h")).distinct()
-    grams.filter(!col("_is_eval"))
+  def evalOverlap(docs: DataFrame, evalPred: Column, k: Int = 5): DataFrame =
+    overlapAgainst(docs.filter(!evalPred), docs.filter(evalPred), k)
+
+  /** The two-relation form: training docs (possibly a STREAM — every
+    * stage on the train side is stateless until the final per-doc
+    * count) against a static eval/benchmark corpus. Used by the batch
+    * entry above and by [[graft.streaming.StreamingCuration]]'s
+    * ingest-time decontamination.
+    */
+  def overlapAgainst(train: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
+    val evalGrams = gramHashes(evalDocs, k).select(col("_h")).distinct()
+    gramHashes(train, k)
       .join(broadcast(evalGrams), "_h")
       .groupBy(col("doc_id"))
       // shingles() is distinct per doc, so this counts distinct grams
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
+
+  /** (doc_id, _h): the doc's distinct word-k-gram 64-bit fingerprints. */
+  private def gramHashes(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_g")).as("_h"))
 }

@@ -198,7 +198,27 @@ object EngineOps {
       .orderBy(col("event_type"))
   }
 
+  /** CLUSTERED BY DDL end-to-end: the engine's CREATE TABLE extension
+    * materializes a Spark bucketed table from the pointed-at parquet,
+    * and a subsequent group-by on the bucket key runs with NO shuffle
+    * exchange (spec-asserted) — the catalog-integrated form of
+    * [[opt_bucketed_join]]'s strategy: declare the cluster key once at
+    * DDL time, every later same-key join/agg skips its exchange.
+    */
+  def eng_bucketed_ddl(spark: SparkSession, dir: String): DataFrame = {
+    val eng = engine(spark, dir)
+    val name = s"li_ddl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!spark.catalog.tableExists(name))
+      eng.execute(
+        s"CREATE TABLE $name () CLUSTERED BY (l_orderkey) INTO 8 BUCKETS LOCATION 'lineitem.parquet'")
+    eng.sqlDf(
+      s"""SELECT cast(l_orderkey as bigint) AS l_orderkey, count(*) AS n,
+         | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+         |FROM $name WHERE l_orderkey <= 1000 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "eng_bucketed_ddl" -> (eng_bucketed_ddl _),
     "opt_partition_pruning" -> (opt_partition_pruning _),
     "opt_bucketed_join" -> (opt_bucketed_join _),
     "fmt_xlsx_roundtrip" -> (fmt_xlsx_roundtrip _),
@@ -212,6 +232,11 @@ object EngineOps {
     "fmt_json_array" -> (fmt_json_array _))
 
   val oracles: Map[String, String] = Map(
+    "eng_bucketed_ddl" ->
+      """SELECT l_orderkey, count(*) AS n,
+        | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "opt_partition_pruning" ->
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value

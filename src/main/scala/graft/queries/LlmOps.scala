@@ -131,6 +131,15 @@ object LlmOps {
       Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
       .orderBy(col("doc_id"))
 
+  /** Ingest-time (streaming) decontamination: the same overlap op over
+    * a 3-micro-batch document stream; the drained stream must equal
+    * batch `contamination_check` (same hard oracle).
+    */
+  def contamination_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingCuration.runDecontamination(spark, docs(spark, dir),
+      Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
+      .orderBy(col("doc_id"))
+
   def data_pack(spark: SparkSession, dir: String): DataFrame =
     Sampling.pack(docs(spark, dir), col("doc_id"),
       size(split(col("text"), "\\s+")))
@@ -373,6 +382,7 @@ object LlmOps {
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
     "contamination_check" -> (contamination_check _),
+    "contamination_stream" -> (contamination_stream _),
     "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
@@ -401,6 +411,19 @@ object LlmOps {
     */
   private val stopList =
     TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared by the batch and streaming decontamination entries. */
+  private lazy val contaminationOracle =
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
+      |         unnest(${shingleListSql(5)}) AS gram
+      |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
+      |e AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+      |SELECT g.doc_id, count(*) AS n_shared_ngrams
+      |FROM g JOIN e USING (gram)
+      |WHERE NOT g.is_eval
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** WITH RECURSIVE transitive closure of the J>=0.8 near-dup graph —
     * the shared prefix of the dedup_resolve / dedup_families oracles
@@ -668,17 +691,9 @@ object LlmOps {
         |FROM arr JOIN tw USING (doc_id) ORDER BY arr.doc_id""".stripMargin,
     // word-5-grams (distinct per doc, same construction as the k=3
     // shingles above); eval set = md5 bucket >= 98
-    "contamination_check" ->
-      s"""WITH g AS (
-        |  SELECT doc_id,
-        |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
-        |         unnest(${shingleListSql(5)}) AS gram
-        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
-        |e AS (SELECT DISTINCT gram FROM g WHERE is_eval)
-        |SELECT g.doc_id, count(*) AS n_shared_ngrams
-        |FROM g JOIN e USING (gram)
-        |WHERE NOT g.is_eval
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "contamination_check" -> contaminationOracle,
+    // drained stream ≡ batch: the SAME oracle gates both entries
+    "contamination_stream" -> contaminationOracle,
     // concatenate-and-chop packing: 8 hash streams, 512-token windows
     "data_pack" ->
       """SELECT doc_id, bucket AS pack_bucket,

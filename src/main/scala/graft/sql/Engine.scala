@@ -50,10 +50,34 @@ class Engine(
       // LOCATION) must not keep serving a stale first-read temp view.
       // Names without a catalog entry (plain temp views) are untouched.
       catalog.lookup(name).foreach { e =>
-        Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
+        if (e.numBuckets.isDefined) {
+          // bucketed entries resolve through the SESSION catalog (a
+          // temp view would shadow the table and drop the bucket
+          // distribution); a fresh session lazily re-materializes
+          if (!spark.catalog.tableExists(name)) materializeBucketed(name, e)
+        } else {
+          Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
+        }
       }
     }
     spark.sql(rewritten)
+  }
+
+  /** Write the bucketed copy of a CLUSTERED BY table and register it
+    * in the Spark session catalog. The copy lives under the engine's
+    * catalog dir (engine-managed state, like the catalog itself); the
+    * source at `tablePath` stays untouched. One-off cost — every
+    * subsequent same-key equijoin/agg on the table skips its shuffle,
+    * which is the point of declaring the bucket spec at 100 TB.
+    */
+  private def materializeBucketed(name: String, e: graft.catalog.CatalogEntry): Unit = {
+    val key = e.bucketBy.getOrElse(
+      throw new GraftSqlException(s"Catalog entry '$name' has buckets but no CLUSTERED BY column"))
+    Formats.readAuto(spark, resolvePath(e.tablePath))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(e.numBuckets.get, key).sortBy(e.sortBy.getOrElse(key))
+      .option("path", s"$catalogDir/bucketed/$name")
+      .saveAsTable(name)
   }
 
   /** The /fetch DataFrame: SELECT wrapped with a row cap
@@ -95,8 +119,14 @@ class Engine(
           val rows = df.collect().toSeq.map(r =>
             (0 until r.length).map(i => if (r.isNullAt(i)) "null" else formatCell(r.get(i))))
           FetchResult(header, rows, "DML", ms)
-        case CreateTableStatement(name, cols, location, comment) =>
-          catalog.register(name, location, cols, comment)
+        case CreateTableStatement(name, cols, location, comment, bucketCol, sortCol, nBuckets) =>
+          val e = catalog.register(name, location, cols, comment,
+            entryType = if (nBuckets.isDefined) "BUCKETED" else "MANAGED",
+            bucketBy = bucketCol, sortBy = sortCol, numBuckets = nBuckets)
+          // bucketed DDL materializes eagerly (re-running the DDL is
+          // the rebuild path after a LOCATION change); pointer-only
+          // DDL stays lazy, exactly like the reference
+          if (nBuckets.isDefined) materializeBucketed(name, e)
           FetchResult(Seq("summary"), Seq(Seq("successful")), "DDL", ms)
       }
       catalog.recordQuery(sql, "successful")

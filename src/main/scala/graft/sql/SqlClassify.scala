@@ -6,10 +6,15 @@ import graft.catalog.TableField
   * `get_sql_type` — Query → DML, CreateTable → DDL, anything else
   * rejected) and the reference's hive-style DDL form:
   *
-  *   CREATE TABLE name (col type, …) [COMMENT '…'] LOCATION 'path'
+  *   CREATE TABLE name (col type, …) [COMMENT '…']
+  *     [CLUSTERED BY (col) [SORTED BY (col)] INTO n BUCKETS]
+  *     LOCATION 'path'
   *
   * (reference: src/controllers.rs:92-135 — columns may be empty, the
-  * schema is then inferred at read time; LOCATION is mandatory.)
+  * schema is then inferred at read time; LOCATION is mandatory. The
+  * CLUSTERED BY clause is this engine's extension: the reference
+  * registers a pointer, Spark can additionally persist the data
+  * bucketed so same-key joins/aggs skip their shuffle.)
   */
 sealed trait SqlStatement
 case class DmlStatement(sql: String) extends SqlStatement
@@ -17,14 +22,20 @@ case class CreateTableStatement(
     tableRef: String,
     columns: Seq[TableField],
     location: String,
-    comment: Option[String]) extends SqlStatement
+    comment: Option[String],
+    bucketBy: Option[String] = None,
+    sortBy: Option[String] = None,
+    numBuckets: Option[Int] = None) extends SqlStatement
 
 class GraftSqlException(msg: String) extends RuntimeException(msg)
 
 object SqlClassify {
 
   private val CreateTableRe =
-    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*?)\)\s*(?:comment\s+'([^']*)'\s*)?location\s+'([^']+)'\s*;?\s*$""".r
+    ("""(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*?)\)\s*""" +
+      """(?:comment\s+'([^']*)'\s*)?""" +
+      """(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s*(?:sorted\s+by\s*\(\s*(\w+)\s*\)\s*)?into\s+(\d+)\s+buckets\s*)?""" +
+      """location\s+'([^']+)'\s*;?\s*$""").r
 
   def classify(sql: String): SqlStatement = {
     val trimmed = sql.trim.stripSuffix(";").trim
@@ -33,13 +44,15 @@ object SqlClassify {
       DmlStatement(trimmed)
     } else if (head.startsWith("create")) {
       trimmed match {
-        case CreateTableRe(name, cols, comment, location) =>
+        case CreateTableRe(name, cols, comment, bucketCol, sortCol, nBuckets, location) =>
           if (name.contains('.'))
             throw new GraftSqlException(
               s"Multi-part table names are not supported: '$name' — use a single-part name")
-          CreateTableStatement(name, parseColumns(cols), location, Option(comment))
+          CreateTableStatement(name, parseColumns(cols), location, Option(comment),
+            Option(bucketCol), Option(sortCol), Option(nBuckets).map(_.toInt))
         case _ => throw new GraftSqlException(
-          "Unsupported CREATE syntax — expected: CREATE TABLE name (col type, ...) [COMMENT '...'] LOCATION 'path'")
+          "Unsupported CREATE syntax — expected: CREATE TABLE name (col type, ...) [COMMENT '...'] " +
+            "[CLUSTERED BY (col) [SORTED BY (col)] INTO n BUCKETS] LOCATION 'path'")
       }
     } else {
       throw new GraftSqlException(

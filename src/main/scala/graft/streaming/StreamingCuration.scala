@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.operators.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import graft.operators.{Contamination, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Streaming corpus curation: the stateless quality gates (language ID
   * + the Gopher rule battery) applied to a document STREAM. Because
@@ -25,4 +26,49 @@ object StreamingCuration {
       .filter(col("pred_lang") === "en" && col("gopher_pass"))
       .select(col("doc_id"), col("pred_lang"), col("lang_score"),
         col("n_words"), col("mean_word_len"))
+
+  /** Ingest-time decontamination of a document STREAM against a static
+    * eval/benchmark corpus ([[Contamination.overlapAgainst]] — the
+    * broadcast eval-gram join and the explode are stateless, so they
+    * run per micro-batch unchanged). The only stateful stage is the
+    * per-doc shared-gram counter; since a doc's grams arrive within
+    * its micro-batch, state is one counter per CONTAMINATED doc —
+    * O(overlap), not O(corpus) — and a production deployment bounds it
+    * with a watermark on ingest time.
+    */
+  def contaminationStream(stream: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame =
+    Contamination.overlapAgainst(stream, evalDocs, k)
+
+  /** Drive the streaming decontamination over the documents table in
+    * `batches` micro-batches and return the drained result — must
+    * equal the batch `contamination_check` under the same DuckDB
+    * oracle (the proof the op is safe to run at ingest). Mirrors
+    * [[StreamingDedup.runIncremental]]'s staging.
+    */
+  def runDecontamination(
+      spark: SparkSession,
+      docs: DataFrame,
+      evalPred: org.apache.spark.sql.Column,
+      k: Int = 5,
+      batches: Int = 3): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam-stream")
+    dir.toFile.deleteOnExit()
+    val train = docs.filter(!evalPred).select(col("doc_id"), col("text"))
+    train.repartitionByRange(batches, col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(train.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val sinkName = s"graft_decontam_stream_${System.nanoTime()}"
+    // Complete mode: the aggregate state (contaminated docs only) is
+    // re-emitted per batch; the drained table is the final counts
+    val q = contaminationStream(stream, docs.filter(evalPred), k)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+    spark.table(sinkName)
+  }
 }

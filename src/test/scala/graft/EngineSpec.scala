@@ -24,6 +24,51 @@ class EngineSpec extends AnyFunSuite {
     intercept[GraftSqlException](SqlClassify.classify("create view v as select 1"))
   }
 
+  test("classify: CLUSTERED BY bucket DDL variants") {
+    val full = SqlClassify.classify(
+      "create table t (a bigint) clustered by (a) sorted by (a) into 8 buckets location 'x.parquet'")
+    assert(full == CreateTableStatement("t", Seq(catalog.TableField("a", "bigint")),
+      "x.parquet", None, Some("a"), Some("a"), Some(8)))
+    val noSort = SqlClassify.classify(
+      "create table t () comment 'c' clustered by (k) into 4 buckets location 'y.csv'")
+    assert(noSort == CreateTableStatement("t", Nil, "y.csv", Some("c"), Some("k"), None, Some(4)))
+    // plain DDL keeps parsing with bucket fields absent
+    val plain = SqlClassify.classify("create table t () location 'z.parquet'")
+    assert(plain == CreateTableStatement("t", Nil, "z.parquet", None, None, None, None))
+  }
+
+  test("pre-extension catalog JSONL lines parse with bucket fields as None") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    Files.write(java.nio.file.Paths.get(dir, "catalog.jsonl"),
+      ("""{"id":1,"tableRef":"old_t","tablePath":"p.parquet","schema":[],""" +
+        """"comment":null,"entryType":"MANAGED"}""" + "\n").getBytes)
+    val c = new catalog.Catalog(dir)
+    val e = c.lookup("old_t").get
+    assert(e.bucketBy.isEmpty && e.sortBy.isEmpty && e.numBuckets.isEmpty)
+  }
+
+  test("bucketed DDL: session-catalog table, no exchange on bucket-key agg, survives a fresh engine") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val e1 = new Engine(spark, dataDir = sfDir, catalogDir = dir)
+    val name = "li_bddl_spec"
+    spark.sql(s"drop table if exists $name")
+    e1.execute(s"create table $name () clustered by (l_orderkey) into 8 buckets location 'lineitem.parquet'")
+    assert(spark.catalog.tableExists(name))
+    val agg = e1.sqlDf(s"select l_orderkey, count(*) as n from $name group by l_orderkey")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket-key agg must not shuffle:\n$plan")
+    // results match the source parquet
+    val expect = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val got = agg.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(got == expect)
+    // a fresh engine on the same catalog dir lazily re-materializes if
+    // the session table is gone
+    spark.sql(s"drop table $name")
+    val e2 = new Engine(spark, dataDir = sfDir, catalogDir = dir)
+    assert(e2.sqlDf(s"select count(*) as n from $name").head.getLong(0) == expect)
+    spark.sql(s"drop table if exists $name")
+  }
+
   test("fetch caps rows at the limit inside the plan") {
     val eng = freshEngine()
     val res = eng.execute(s"select l_orderkey from '$sfDir/lineitem.parquet' order by l_orderkey", limit = 200)

@@ -44,6 +44,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination: drained stream equals batch evalOverlap") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sfDir, "documents")
+    val evalPred = graft.operators.Sampling.bucket(col("doc_id"), 100) >= 98
+    val streamed = graft.streaming.StreamingCuration
+      .runDecontamination(spark, docs, evalPred, k = 5, batches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Contamination.evalOverlap(docs, evalPred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "the hash split should contaminate some docs")
+    assert(streamed == batch)
+  }
+
+  test("streaming mixture resampling: stateless op streams unchanged") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix-stream")
+    dir.toFile.deleteOnExit()
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val rate = when(col("doc_id") % 2 === 0, 2.5).otherwise(0.25)
+    val q = graft.operators.Sampling.mixture(stream, col("doc_id"), rate)
+      .select(col("doc_id"), col("epoch"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mix_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Sampling.mixture(docs, col("doc_id"), rate)
+      .select(col("doc_id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
