@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -169,6 +169,63 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** POSITIONAL char-`L`-window fingerprints: a rolling Rabin-Karp
+    * polynomial hash (base 0x100000001b3, mod 2^64 via Long wraparound)
+    * of the window starting at every char offset — O(len) total, the
+    * char-granularity counterpart of [[shinglesPos]] behind
+    * ExactSubstr-style span removal. Docs shorter than `L` yield an
+    * EMPTY array (nothing of span length exists — mirrors the
+    * oracle's empty `range`). Positions are UTF-16 offsets, which
+    * equal code-point offsets for BMP text (the corpus).
+    */
+  def charWindows(s: UTF8String, L: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length - L + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val B = 0x100000001b3L
+    // B^(L-1) mod 2^64, for the rolling subtract
+    var bTop = 1L
+    var e = 0
+    while (e < L - 1) { bTop *= B; e += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < L) { h = h * B + str.charAt(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - str.charAt(i - 1) * bTop) * B + str.charAt(i + L - 1)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Remove every char covered by an `L`-window starting at any of
+    * `positions` (ASCENDING array of window starts): single-pass
+    * interval merge + copy of the uncovered stretches. The rebuild
+    * kernel behind char-granularity span removal — O(len), no
+    * per-covered-char explosion.
+    */
+  def stripSpans(s: UTF8String, positions: org.apache.spark.sql.catalyst.util.ArrayData,
+      L: Int): UTF8String = {
+    val np = positions.numElements()
+    if (np == 0) return s
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var copied = 0 // everything before this offset is emitted or skipped
+    var i = 0
+    while (i < np) {
+      val p = positions.getInt(i)
+      if (p > copied) sb.append(str, copied, p)
+      val end = math.min(p + L, str.length)
+      if (end > copied) copied = end
+      i += 1
+    }
+    if (copied < str.length) sb.append(str, copied, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowed fingerprint kernel: [min, max] of fnv1a64 over the
     * word-`n`-grams of `s` (single pass, no shingle materialization).
     */
@@ -253,6 +310,10 @@ object GraftFunctions {
     Bridge.column(Shingles(Bridge.expression(c), k))
   def shinglesPos(c: Column, k: Int): Column =
     Bridge.column(ShinglesPos(Bridge.expression(c), k))
+  def charWindows(c: Column, l: Int): Column =
+    Bridge.column(CharWindows(Bridge.expression(c), l))
+  def stripSpans(text: Column, positions: Column, l: Int): Column =
+    Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(positions), l))
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
   def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =

@@ -346,6 +346,42 @@ object Dedup {
       .select(col("doc_id"), col("n_words"), col("n_removed"), col("cleaned_md5"))
   }
 
+  /** ExactSubstr span removal at CHARACTER granularity (the Lee et al.
+    * 2022 semantics the word-window variant approximates): drop every
+    * char covered by an `L`-char substring occurring ≥2 times in the
+    * corpus. Exact by pigeonhole — any duplicated substring of length
+    * ≥ L covers each of its chars with some duplicated L-window, and
+    * every duplicated L-window IS a duplicated substring — so marking
+    * chars covered by duplicated fixed-L windows reproduces the
+    * suffix-array answer without one.
+    *
+    * Scale shape: the per-offset rolling hashes come from the O(len)
+    * codegen'd CharWindows kernel (8 B/offset through the frequency
+    * shuffle — the honest O(corpus chars) cost, same as the suffix
+    * array's); the ONLY other exchange carries the positions of
+    * duplicated windows — O(duplication), not O(corpus) — and the
+    * rebuild is a single-pass interval-merge kernel (StripSpans), no
+    * per-covered-char explosion.
+    */
+  def removeDuplicatedCharSpans(docs: DataFrame, id: Column, text: Column,
+      L: Int = 20): DataFrame = {
+    val t = rtrim(text)
+    val wins = docs.select(id.as("doc_id"),
+      posexplode(GraftFunctions.charWindows(t, L)).as(Seq("pos", "_h")))
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_h"))
+    val dupPos = wins.join(dup, "_h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+    docs.select(id.as("doc_id"), t.as("_t"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .withColumn("_cleaned", GraftFunctions.stripSpans(col("_t"),
+        coalesce(col("_ps"), expr("array()").cast("array<int>")), L))
+      .select(col("doc_id"), length(col("_t")).as("n_chars"),
+        (length(col("_t")) - length(col("_cleaned"))).as("n_chars_removed"),
+        md5(col("_cleaned")).as("cleaned_md5"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
     * sign buckets (see [[Similarity.signature]]), cosine verified on
     * candidate pairs only.

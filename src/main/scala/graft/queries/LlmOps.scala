@@ -123,6 +123,14 @@ object LlmOps {
     Dedup.removeDuplicatedSpans(docs(spark, dir), col("doc_id"), col("text"), w = 5)
       .orderBy(col("doc_id"))
 
+  /** Char-granularity ExactSubstr removal (L=20 chars): the
+    * suffix-array answer via duplicated fixed-L rolling-hash windows +
+    * single-pass interval-merge rebuild.
+    */
+  def dedup_span_chars(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedCharSpans(docs(spark, dir), col("doc_id"), col("text"), L = 20)
+      .orderBy(col("doc_id"))
+
   /** Decontamination: docs sharing any word-5-gram with the "eval set"
     * (the top-2% hash split — a stand-in for a benchmark suite).
     */
@@ -383,6 +391,7 @@ object LlmOps {
     "dedup_span_removal" -> (dedup_span_removal _),
     "contamination_check" -> (contamination_check _),
     "contamination_stream" -> (contamination_stream _),
+    "dedup_span_chars" -> (dedup_span_chars _),
     "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
@@ -579,6 +588,27 @@ object LlmOps {
         |       cast(len(w.w) - coalesce(agg.n_kept, 0) as int) AS n_removed,
         |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    // char-granularity ExactSubstr: duplicated 20-char windows (the
+    // oracle groups RAW substrings — the Spark side's rolling hashes
+    // must be collision-free on the corpus to match, which 64 bits are)
+    "dedup_span_chars" ->
+      """WITH base AS (SELECT doc_id, rtrim(text) AS t FROM documents),
+        |win AS (SELECT doc_id, u.i AS pos, substr(t, u.i + 1, 20) AS w
+        |        FROM base, unnest(range(0, length(t) - 19)) AS u(i)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT win.doc_id, c.p
+        |        FROM win JOIN dup USING (w), unnest(range(win.pos, win.pos + 20)) AS c(p)),
+        |chars AS (SELECT doc_id, u.i AS cp, substr(t, u.i + 1, 1) AS ch
+        |          FROM base, unnest(range(0, length(t))) AS u(i)),
+        |kept AS (SELECT chars.* FROM chars
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = chars.doc_id AND cov.p = chars.cp)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               md5(string_agg(ch, '' ORDER BY cp)) AS cleaned_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, cast(length(b.t) as int) AS n_chars,
+        |       cast(length(b.t) - coalesce(agg.n_kept, 0) as int) AS n_chars_removed,
+        |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // corpus-wide duplicated word-5-gram windows; per-doc-distinct by
     // the shingle construction, so count(*) > 1 == "in >1 document"
     "dedup_span_exact" ->

@@ -153,6 +153,45 @@ case class ShinglesPos(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd positional char-L-window rolling hashes (Rabin-Karp). */
+case class CharWindows(child: Expression, l: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.charWindows(input.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.charWindows($c, $l)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindows =
+    copy(child = newChild)
+}
+
+/** Codegen'd span removal: drop chars covered by L-windows at the
+  * given ASCENDING start offsets (single-pass interval merge).
+  */
+case class StripSpans(left: Expression, right: Expression, l: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_spans"
+
+  override protected def nullSafeEval(text: Any, positions: Any): Any =
+    TextHashes.stripSpans(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.TextHashes$$.MODULE$$.stripSpans($t, $p, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripSpans =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd winnowed fingerprint: [min, max] of word-n-gram hashes. */
 case class WinnowMinMax(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -93,6 +93,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(4L) == ((11, 10, m("q"))), s"within-doc repeat: ${r(4L)}")
   }
 
+  test("char windows kernel: rolling hash equals direct hash; strip merges intervals") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = "the quick brown fox jumps over the lazy dog again and again"
+    val L = 7
+    def direct(sub: String): Long = {
+      var h = 0L
+      sub.foreach(c => h = h * 0x100000001b3L + c)
+      h
+    }
+    val rolled = graft.functions.TextHashes.charWindows(UTF8String.fromString(s), L)
+    assert(rolled.numElements() == s.length - L + 1)
+    (0 until rolled.numElements()).foreach { i =>
+      assert(rolled.getLong(i) == direct(s.substring(i, i + L)), s"offset $i")
+    }
+    // shorter than L -> empty
+    assert(graft.functions.TextHashes.charWindows(UTF8String.fromString("abc"), L).numElements() == 0)
+    // strip: spans [2,5) and [4,7) merge to [2,7)
+    val pos = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(2, 4))
+    assert(graft.functions.TextHashes.stripSpans(
+      UTF8String.fromString("0123456789"), pos, 3).toString == "0178 9".replace(" ", ""))
+  }
+
+  test("char-span removal: shared 25-char run cut exactly, unique docs intact") {
+    import spark.implicits._
+    val S = "abcdefghijklmnopqrstuvwxy" // 25 chars
+    val docs = Seq(
+      (1L, S + "0123456789"),
+      (2L, "987654321" + S),
+      (3L, "totally unique text with no twenty-char overlap anywhere"),
+      (4L, S + "q" + S) // within-doc repeat
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedCharSpans(docs, col("doc_id"), col("text"), L = 20)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == ((35, 25, m("0123456789"))), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((34, 25, m("987654321"))), s"doc2: ${r(2L)}")
+    assert(r(3L)._2 == 0, "unique doc keeps everything")
+    assert(r(4L) == ((51, 50, m("q"))), s"within-doc repeat: ${r(4L)}")
+  }
+
   test("mixture: integer rates copy exactly, fractional rates keep hash share") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, if (i < 100) "up" else "tail")).toDF("doc_id", "source")
