@@ -108,6 +108,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup detection: an INCOMING batch against the
+    * EXISTING training corpus — the incremental-ingestion op ("is this
+    * new crawl already in the training set?"). Both sides band through
+    * [[bandBuckets]]; only cross-side same-bucket candidates are
+    * generated (never corpus×corpus — at 100 TB the corpus signatures
+    * are a precomputed persisted relation and the per-batch cost is
+    * O(batch signatures + matches)); exact Jaccard verifies candidates
+    * fetched by id from the union. Ids must be disjoint across sides.
+    */
+  def crossCorpusPairs(corpus: DataFrame, newDocs: DataFrame, k: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val cb = bandBuckets(corpus, k, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val nb = bandBuckets(newDocs, k, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cands = cb.join(nb, Seq("band", "bucket"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, corpus.unionByName(newDocs), k)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("corpus_doc"), col("doc_b").as("new_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates share at
     * least one of 4 16-bit chunks, verified with bit_count(xor).
     * The pigeonhole guarantee covers hamming ≤ 3 (4 chunks, 3 bit

@@ -206,6 +206,35 @@ object LlmOps {
     Dedup.componentMap(Dedup.minhashLsh(docs(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** Quality-weighted survivor selection: per near-dup family, keep the
+    * member with the highest quality score (ties → smallest doc id) —
+    * the production resolve policy (componentMap's scaladoc contract)
+    * instead of keep-min-id.
+    */
+  def dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fams = Dedup.componentMap(Dedup.minhashLsh(d))
+    val q = TextAnalysis.withQuality(d, col("text"))
+      .select(col("doc_id"), col("quality_score"))
+    fams.join(q, "doc_id")
+      .groupBy(col("family_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("max_by(doc_id, named_struct('q', quality_score, 'i', -doc_id))").as("kept_doc"),
+        max(col("quality_score")).as("best_quality"))
+      .orderBy(col("family_id"))
+  }
+
+  /** Cross-corpus dedup: a 10% hash-split "incoming batch" against the
+    * remaining 90% "training corpus" — cross-side LSH candidates only,
+    * exact-Jaccard verified (Dedup.crossCorpusPairs).
+    */
+  def dedup_cross_corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isNew = Sampling.bucket(col("doc_id"), 100) >= 90
+    Dedup.crossCorpusPairs(d.filter(!isNew), d.filter(isNew))
+      .orderBy(col("corpus_doc"), col("new_doc"))
+  }
+
   /** Per-language distribution report of the curation metrics: exact
     * linear-interpolation percentiles of doc length and quality score
     * (the table a curation run eyeballs to pick filter thresholds).
@@ -392,6 +421,8 @@ object LlmOps {
     "contamination_check" -> (contamination_check _),
     "contamination_stream" -> (contamination_stream _),
     "dedup_span_chars" -> (dedup_span_chars _),
+    "dedup_keep_best" -> (dedup_keep_best _),
+    "dedup_cross_corpus" -> (dedup_cross_corpus _),
     "data_pack" -> (data_pack _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
@@ -763,6 +794,41 @@ object LlmOps {
       s"""$componentClosureSql
          |SELECT node AS doc_id, least(node, min(r)) AS family_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // survivor = argmax(quality, tie -> min id) per family; the family
+    // closure and the quality formula are the already-verified oracles
+    "dedup_keep_best" ->
+      s"""$componentClosureSql,
+         |fam AS (SELECT node AS doc_id, least(node, min(r)) AS family_id
+         |        FROM reach GROUP BY node),
+         |q AS (
+         |  SELECT doc_id, round(least(1.0,
+         |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS qs
+         |  FROM documents),
+         |j AS (SELECT fam.family_id, fam.doc_id, q.qs FROM fam JOIN q USING (doc_id)),
+         |rk AS (SELECT family_id, doc_id, qs,
+         |              row_number() OVER (PARTITION BY family_id ORDER BY qs DESC, doc_id) AS rn
+         |       FROM j),
+         |cnt AS (SELECT family_id, count(*) AS n_members FROM j GROUP BY family_id)
+         |SELECT r.family_id, cnt.n_members, r.doc_id AS kept_doc, r.qs AS best_quality
+         |FROM rk r JOIN cnt USING (family_id)
+         |WHERE r.rn = 1 ORDER BY r.family_id""".stripMargin,
+    // cross-side pairs only: corpus (bucket < 90) x incoming (>= 90);
+    // same exact-Jaccard ground truth as dedup_minhash_lsh
+    "dedup_cross_corpus" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 90 AS is_new,
+         |         ${shingleListSql(3)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents))
+         |SELECT a.doc_id AS corpus_doc, b.doc_id AS new_doc,
+         |       round(len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON NOT a.is_new AND b.is_new
+         | AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+         |WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8
+         |ORDER BY corpus_doc, new_doc""".stripMargin,
     // exact linear-interpolation percentiles: Spark percentile() and
     // DuckDB quantile_cont share the p*(n-1) interpolation definition;
     // the interpolated score quantiles run over the ROUNDED 4-decimal

@@ -26,7 +26,8 @@ object ScaleBench {
     "mm_resize_meta", "pipeline_clean",
     "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact",
     "dedup_families", "quality_quantiles", "sim_topk_pq", "data_mix",
-    "text_tfidf", "text_ccnet_bucket", "dedup_span_removal")
+    "text_tfidf", "text_ccnet_bucket", "dedup_span_removal",
+    "dedup_span_chars", "contamination_stream", "sim_topk_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

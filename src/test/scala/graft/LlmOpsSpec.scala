@@ -18,6 +18,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("keep-best resolve: survivor has the family's max quality, families intact") {
+    val fams = queries.LlmOps.dedup_families(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val best = queries.LlmOps.dedup_keep_best(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(best.nonEmpty)
+    // one survivor per family, member counts match the family map
+    val famSizes = fams.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(best.map(_._1).toSet == famSizes.keySet)
+    best.foreach { case (fid, n, kept, _) =>
+      assert(n == famSizes(fid), s"family $fid size")
+      assert(fams.contains((kept, fid)), s"survivor $kept not in family $fid")
+    }
+    // the survivor's quality is the max over the family
+    val q = operators.TextAnalysis.withQuality(
+      Tables(spark, sfDir, "documents"), col("text"))
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    best.foreach { case (fid, _, kept, bq) =>
+      val members = fams.filter(_._2 == fid).map(_._1)
+      assert(bq == members.map(q).max, s"family $fid best quality")
+      assert(q(kept) == bq, s"family $fid survivor quality")
+    }
+  }
+
+  test("cross-corpus dedup: cross-side only, consistent with whole-corpus pairs") {
+    val cross = queries.LlmOps.dedup_cross_corpus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.nonEmpty, "the 10% split should hit some near-dup families")
+    val bucket = (id: Long) => {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 100
+    }
+    cross.foreach { case (c, n) =>
+      assert(bucket(c) < 90, s"corpus doc $c on wrong side")
+      assert(bucket(n) >= 90, s"new doc $n on wrong side")
+    }
+    // every cross pair is a whole-corpus near-dup pair (either order)
+    val all = queries.LlmOps.dedup_minhash_lsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cross.foreach { case (c, n) =>
+      assert(all.contains((math.min(c, n), math.max(c, n))), s"pair ($c,$n) not in corpus pairs")
+    }
+  }
+
   test("prefix-filtered ngram-jaccard has recall 1 on borderline pairs") {
     import spark.implicits._
     // families at J barely above 0.7 — exactly where probabilistic
