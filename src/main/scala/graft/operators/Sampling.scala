@@ -77,6 +77,37 @@ object Sampling {
           granularity) < (col("_rate") - floor(col("_rate"))) * granularity)
       .drop("_rate")
 
+  /** Token-budget corpus selection: keep docs in (quality DESC, id
+    * ASC) order while the running token total stays ≤ `budget` — "fill
+    * a 1T-token training budget with the best documents".
+    *
+    * 100 TB shape: NO global sort/window. Quality is a ROUNDED score
+    * (≤ ~10⁴ distinct values), so phase 1 aggregates per-score token
+    * totals (map-side combinable, tiny relation), phase 2 computes the
+    * strictly-better-score prefix sum on that relation alone and
+    * broadcasts it, and phase 3 ranks docs only WITHIN their score
+    * bucket (bounded window partitions; near-continuous scores keep
+    * buckets small). prevCum + within-bucket cumsum reproduces the
+    * exact global running total of the naive single-partition window.
+    */
+  def budgetSelect(df: DataFrame, id: Column, quality: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val t = df.select(id.as("doc_id"), quality.as("quality_score"),
+      tokens.cast("long").as("n_tokens"))
+    val buckets = t.groupBy(col("quality_score")).agg(sum(col("n_tokens")).as("_btot"))
+    // window over the score relation only — cardinality = distinct scores
+    val wb = Window.orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBuckets = buckets
+      .withColumn("_prev", coalesce(sum(col("_btot")).over(wb), lit(0L)))
+      .select(col("quality_score"), col("_prev"))
+    val wdoc = Window.partitionBy(col("quality_score")).orderBy(col("doc_id"))
+    t.join(broadcast(cumBuckets), "quality_score")
+      .withColumn("cum_tokens", col("_prev") + sum(col("n_tokens")).over(wdoc))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic global shuffle for training-data export: spread
     * rows over `shards` output shards by id hash, ordered within each
     * shard by the full md5 hex string — a pseudo-random order

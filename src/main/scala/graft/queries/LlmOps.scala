@@ -148,6 +148,17 @@ object LlmOps {
       Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
       .orderBy(col("doc_id"))
 
+  /** Token-budget selection: the 20k best-quality tokens (exact prefix
+    * of the (quality desc, doc_id) order — Sampling.budgetSelect's
+    * two-phase bucketed cumsum, no global sort).
+    */
+  def data_budget_select(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(docs(spark, dir), col("text"))
+    Sampling.budgetSelect(q, col("doc_id"), col("quality_score"),
+      size(split(col("text"), " ")), budget = 20000L)
+      .orderBy(col("doc_id"))
+  }
+
   def data_pack(spark: SparkSession, dir: String): DataFrame =
     Sampling.pack(docs(spark, dir), col("doc_id"),
       size(split(col("text"), "\\s+")))
@@ -424,6 +435,7 @@ object LlmOps {
     "dedup_keep_best" -> (dedup_keep_best _),
     "dedup_cross_corpus" -> (dedup_cross_corpus _),
     "data_pack" -> (data_pack _),
+    "data_budget_select" -> (data_budget_select _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -814,6 +826,21 @@ object LlmOps {
          |SELECT r.family_id, cnt.n_members, r.doc_id AS kept_doc, r.qs AS best_quality
          |FROM rk r JOIN cnt USING (family_id)
          |WHERE r.rn = 1 ORDER BY r.family_id""".stripMargin,
+    // exact (quality desc, doc_id) running-total prefix at 20k tokens;
+    // the naive window here IS the ground truth the bucketed Spark
+    // two-phase must reproduce exactly
+    "data_budget_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, round(least(1.0,
+         |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum FROM t)
+         |SELECT doc_id, quality_score, cast(n_tokens as bigint) AS n_tokens,
+         |       cast(cum as bigint) AS cum_tokens
+         |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     // cross-side pairs only: corpus (bucket < 90) x incoming (>= 90);
     // same exact-Jaccard ground truth as dedup_minhash_lsh
     "dedup_cross_corpus" ->

@@ -7,6 +7,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class SamplingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("budget select: bucketed two-phase equals the naive global running total") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties in quality + a doc that straddles the budget boundary
+    val df = Seq(
+      (1L, 0.9, 50L), (2L, 0.9, 60L), (3L, 0.8, 40L),
+      (4L, 0.8, 100L), (5L, 0.7, 30L), (6L, 0.6, 10L)
+    ).toDF("doc_id", "q", "n")
+    val got = Sampling.budgetSelect(df, col("doc_id"), col("q"), col("n"), budget = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // naive: 50,110,150,250(stop),... -> docs 1,2,3 kept; 4 straddles
+    assert(got == Map(1L -> 50L, 2L -> 110L, 3L -> 150L), s"got $got")
+    // equivalence with a single global window on the corpus table
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 17 / lit(16.0)).as("q"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    val naive = corpus
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+      .filter(col("cum") <= 5000)
+      .select(col("doc_id"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Sampling.budgetSelect(corpus, col("doc_id"), col("q"), col("n"), 5000L)
+      .select(col("doc_id"), col("cum_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+  }
+
   test("split is deterministic, total, and roughly 80/10/10") {
     val docs = Tables(spark, sfDir, "documents")
     val counts = Sampling.split(docs, col("doc_id"))
