@@ -237,9 +237,22 @@ object Dedup {
     * engine of [[resolveComponents]] and [[componentMap]] (see the
     * scale notes on the former).
     */
-  private def propagateLabels(pairs: DataFrame): DataFrame = {
+  private def propagateLabels(pairs: DataFrame): DataFrame =
+    propagateLabels(pairs, localThreshold = 4000000L)
+
+  /** `localThreshold`: edge counts at or below it run a driver-local
+    * union-find instead of the iterative join loop. The edge relation
+    * is O(duplication), not O(corpus) — even at 100 TB most corpora
+    * produce near-dup graphs that fit a driver comfortably (4 M edges
+    * ≈ 64 MB), and one collect + union-find + parallelize replaces
+    * ~4 rounds × 3 distributed jobs of fixed overhead. Graphs above
+    * the threshold take the existing min-label/path-halving loop;
+    * both produce identical (doc_id, min-component-id) labels.
+    */
+  private[graft] def propagateLabels(pairs: DataFrame, localThreshold: Long): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= localThreshold) return localComponents(edges)
     // only docs that appear in any edge can change label
     var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -288,6 +301,36 @@ object Dedup {
           "(near-dup chain longer than the round budget) — raise maxRounds " +
           "or pre-cluster; refusing to return a silently-partial dedup.")
     labels
+  }
+
+  /** Driver-local path: collect the (small) edge set, union-find with
+    * path compression, re-label every root to its component's min id,
+    * parallelize the result back out.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(n => (n, minOfRoot(find(n)))).sortBy(_._1)
+      .toDF("doc_id", "label")
   }
 
   /** Exact duplicated-span detection — the ExactSubstr-style dedup

@@ -183,6 +183,13 @@ class LlmOpsSpec extends AnyFunSuite {
     // one 100-node chain plus an isolated pair — diameter 99 would need
     // 99 one-hop rounds; path halving must resolve it within the budget
     val pairs = ((0L until 99L).map(i => (i, i + 1)) :+ (110L, 111L)).toDF("doc_a", "doc_b")
+    // force the DISTRIBUTED loop (threshold 0) — the adaptive local
+    // union-find would otherwise absorb this graph
+    val distributed = operators.Dedup.propagateLabels(pairs, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = operators.Dedup.propagateLabels(pairs, localThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(distributed == local, "local union-find must equal the join loop")
     val kept = operators.Dedup.resolveComponents(docs, pairs)
       .collect().map(_.getLong(0)).toSet
     val all = (0L until 120L).toSet
