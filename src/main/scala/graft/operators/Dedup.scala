@@ -49,9 +49,28 @@ object Dedup {
   private def minhashCol(numHashes: Int): Column =
     GraftFunctions.minhashSig(col("_shingles"), numHashes)
 
-  /** Ordered candidate id pairs from equality on (narrow) bucket keys. */
-  private def candidatePairs(sigs: DataFrame, keys: Seq[String]): DataFrame = {
-    val kept = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+  /** Ordered candidate id pairs from equality on (narrow) bucket keys.
+    *
+    * `maxBucket`: optional degenerate-bucket guard for 100 TB runs — a
+    * bucket of b members contributes b²/2 pairs, so one boilerplate
+    * bucket (empty docs, templated pages) can dominate the whole job;
+    * production pipelines drop buckets above a cap on the standard
+    * assumption that exact/templated dupes were collapsed by [[exact]]
+    * first. None (the default everywhere oracle-gated) keeps the
+    * candidate set complete.
+    */
+  private def candidatePairs(sigs: DataFrame, keys: Seq[String],
+      maxBucket: Option[Int] = None): DataFrame = {
+    val bounded = maxBucket match {
+      case Some(cap) =>
+        val sizes = sigs.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= cap)
+          .drop("_bn")
+        sigs.join(sizes, keys) // keep rows in small-enough buckets only
+      case None => sigs
+    }
+    val kept = bounded.persist(StorageLevel.MEMORY_AND_DISK)
     val left = kept.withColumnRenamed("doc_id", "doc_a")
     val right = kept.withColumnRenamed("doc_id", "doc_b")
     left.join(right, keys)
@@ -101,9 +120,10 @@ object Dedup {
       k: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sigs = bandBuckets(docs, k, bands, rowsPerBand)
-    verifyJaccard(candidatePairs(sigs, Seq("band", "bucket")), docs, k)
+    verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -38,15 +38,23 @@ object StreamingDedup {
   case class BucketState(ids: List[Long])
 
   /** Emit (doc_a, doc_b) for every pair completed in this bucket by
-    * this batch's arrivals; remember the members.
+    * this batch's arrivals; remember the members. With `ttl` set, the
+    * bucket's member state expires `ttl` after its last arrival — the
+    * production bound (near-dups arrive within a time horizon); the
+    * test path leaves it unset so the drained stream equals batch.
     */
-  private def emitPairs(
+  private[graft] def emitPairs(ttl: Option[String])(
       key: (Int, Long),
       rows: Iterator[(Int, Long, Long)],
       state: GroupState[BucketState]): Iterator[(Long, Long)] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val prev = state.getOption.map(_.ids).getOrElse(Nil)
     val fresh = rows.map(_._3).toList.distinct.filterNot(prev.contains)
     state.update(BucketState(fresh ::: prev))
+    ttl.foreach(state.setTimeoutDuration)
     // new×old plus new×new (each unordered pair once, smaller id first)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     var remainingNew = fresh
@@ -63,20 +71,25 @@ object StreamingDedup {
   /** Candidate-pair stream from a (doc_id, text) stream. Banding comes
     * from [[Dedup.bandBuckets]] — the same expression as batch, which
     * is what makes the drained stream oracle-equal to `minhashLsh`.
+    * `stateTtl` (e.g. "24 hours") bounds per-bucket state at scale.
     */
   def candidatePairs(
       spark: SparkSession,
       docs: DataFrame,
       k: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4): Dataset[(Long, Long)] = {
+      rowsPerBand: Int = 4,
+      stateTtl: Option[String] = None): Dataset[(Long, Long)] = {
     import spark.implicits._
     val sigs = Dedup.bandBuckets(docs, k, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id"))
       .as[(Int, Long, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     sigs
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(emitPairs)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(emitPairs(stateTtl))
       .dropDuplicates("_1", "_2")
   }
 
@@ -104,7 +117,8 @@ object StreamingDedup {
       spark: SparkSession,
       docs: DataFrame,
       batches: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      stateTtl: Option[String] = None): DataFrame = {
     // stage the corpus as `batches` files and stream them one file per
     // trigger — genuine distributed micro-batches, no driver collect
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
@@ -118,7 +132,7 @@ object StreamingDedup {
       .parquet(dir.toString)
     val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
     val q = verifiedPairs(spark,
-      candidatePairs(spark, stream), docs, threshold = threshold)
+      candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
       .start()

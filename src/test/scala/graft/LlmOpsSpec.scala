@@ -18,6 +18,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("minhash maxBucket cap drops only degenerate buckets") {
+    import spark.implicits._
+    // 60 identical boilerplate docs (one giant bucket) + one real
+    // near-dup pair of long distinct docs
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(1) :+ "tokX").mkString(" ")
+    val docs = ((0L until 60L).map(i => (i, "same boiler plate text here")) ++
+      Seq((100L, a), (101L, b))).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(docs, maxBucket = Some(10))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate family (60^2/2 pairs) is excluded; the real pair survives
+    assert(capped == Set((100L, 101L)), s"capped: $capped")
+    val uncapped = Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").count()
+    assert(uncapped == 60L * 59 / 2 + 1, "uncapped must keep the full candidate set")
+  }
+
   test("keep-best resolve: survivor has the family's max quality, families intact") {
     val fams = queries.LlmOps.dedup_families(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
