@@ -43,6 +43,17 @@ class HttpApiSpec extends AnyFunSuite {
     assert(r.body().contains("\"query_time\""))
   }
 
+  test("/fetch bucketed DDL creates a session-catalog table queryable by name") {
+    spark.sql("drop table if exists api_li_bucketed")
+    val ddl = post("/fetch",
+      """{"sql": "create table api_li_bucketed () clustered by (l_orderkey) into 4 buckets location 'lineitem.parquet'"}""")
+    assert(ddl.statusCode() == 200 && ddl.body().contains("\"sql_type\":\"DDL\""))
+    assert(spark.catalog.tableExists("api_li_bucketed"))
+    val sel = post("/fetch", """{"sql": "select count(*) as n from api_li_bucketed"}""")
+    assert(sel.statusCode() == 200 && sel.body().contains("\"header\":[\"n\"]"))
+    spark.sql("drop table if exists api_li_bucketed")
+  }
+
   test("/fetch DDL then named query; /catalog lists the table") {
     val ddl = post("/fetch", """{"sql": "create table api_nation (n_nationkey int) comment 'api test' location 'nation.parquet'"}""")
     assert(ddl.body().contains("\"sql_type\":\"DDL\""))
