@@ -21,6 +21,21 @@ object TextAnalysis {
       f: DataFrame => DataFrame): DataFrame =
     f(df.withColumn("__graft_text", text)).drop("__graft_text")
 
+  /** Canonical text normalization — the standard pre-dedup/pre-hash
+    * pass: lowercase, strip sentence punctuation ([.,!?;:]), collapse
+    * whitespace runs, trim. A pure shuffle-free scan; `normalized`
+    * feeds hashing/fingerprinting so near-dups differing only in case,
+    * punctuation, or spacing collapse (the normalization CCNet/C4
+    * apply before dedup).
+    */
+  def withNormalized(df: DataFrame, text: Column): DataFrame =
+    withTextCol(df, text) { d =>
+      d.withColumn("normalized",
+        trim(regexp_replace(
+          regexp_replace(lower(col("__graft_text")), "[.,!?;:]", ""),
+          "\\s+", " ")))
+    }
+
   /** Whitespace tokens + a BPE-ish `\w+|[^\w\s]` regex tokenization. */
   def withTokenCounts(df: DataFrame, text: Column): DataFrame =
     withTextCol(df, text) { d =>

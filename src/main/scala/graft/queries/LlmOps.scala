@@ -123,6 +123,17 @@ object LlmOps {
     Dedup.removeDuplicatedSpans(docs(spark, dir), col("doc_id"), col("text"), w = 5)
       .orderBy(col("doc_id"))
 
+  /** Canonical normalization (lowercase, punct strip, whitespace
+    * collapse) — emitted as lengths + md5 so the oracle hash-checks
+    * the full normalized string without shipping it.
+    */
+  def text_normalize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withNormalized(docs(spark, dir), col("text"))
+      .select(col("doc_id"), length(col("text")).as("n_chars_raw"),
+        length(col("normalized")).as("n_chars_norm"),
+        md5(col("normalized")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   /** Char-granularity ExactSubstr removal (L=20 chars): the
     * suffix-array answer via duplicated fixed-L rolling-hash windows +
     * single-pass interval-merge rebuild.
@@ -299,10 +310,14 @@ object LlmOps {
     * approximation quality in every verify run).
     */
   def sim_recall_report(spark: SparkSession, dir: String): DataFrame = {
+    // shared across the six variants: one corpus cache, one exact
+    // baseline materialization
     val emb = Tables(spark, dir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = emb.filter(col("vec_id") < 64)
     val bf = Similarity.topKBruteForce(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def recallOf(name: String, approx: DataFrame): DataFrame = {
       val hits = approx.select(col("query_id"), col("neighbor_id"))
         .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
@@ -318,6 +333,10 @@ object LlmOps {
         Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)))
       .unionByName(recallOf("pq", Pq.topKPq(emb, queries, k = 5)))
       .unionByName(recallOf("ivfpq", Pq.topKIvfPq(emb, queries, k = 5)))
+      .unionByName(recallOf("ivfpq_nc", Pq.topKIvfPqWith(emb, queries, k = 5,
+        Similarity.centroidsFor(emb, 16, kmeansIters = 0),
+        Pq.codebooks(emb, m = 8, ksub = 16, dim = 64),
+        nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)))
       .orderBy(col("method"))
   }
 
@@ -432,6 +451,7 @@ object LlmOps {
     "contamination_check" -> (contamination_check _),
     "contamination_stream" -> (contamination_stream _),
     "dedup_span_chars" -> (dedup_span_chars _),
+    "text_normalize" -> (text_normalize _),
     "dedup_keep_best" -> (dedup_keep_best _),
     "dedup_cross_corpus" -> (dedup_cross_corpus _),
     "data_pack" -> (data_pack _),
@@ -631,6 +651,14 @@ object LlmOps {
         |       cast(len(w.w) - coalesce(agg.n_kept, 0) as int) AS n_removed,
         |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, cast(length(text) as int) AS n_chars_raw,
+        |       cast(length(norm) as int) AS n_chars_norm, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     // char-granularity ExactSubstr: duplicated 20-char windows (the
     // oracle groups RAW substrings — the Spark side's rolling hashes
     // must be collision-free on the corpus to match, which 64 bits are)

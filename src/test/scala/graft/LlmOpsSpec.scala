@@ -218,8 +218,15 @@ class LlmOpsSpec extends AnyFunSuite {
   test("recall report: every ANN variant returns sane recall in (0, 1]") {
     val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getDouble(1)).toMap
-    assert(r.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivfpq"))
+    assert(r.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivfpq", "ivfpq_nc"))
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+  }
+
+  test("normalization lowercases, strips sentence punct, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq((1L, "  Hello,  WORLD!  It's  a Test.  ")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.withNormalized(df, col("text")).collect().head
+    assert(r.getString(r.fieldIndex("normalized")) == "hello world it's a test")
   }
 
   test("PII redaction scrubs emails, urls, IPs and phones with correct counts") {
