@@ -25,14 +25,28 @@ object Contamination {
     * fingerprints (8-byte keys, ~2^-64 collision odds per gram pair —
     * the standard fingerprinting trade).
     */
-  def evalOverlap(docs: DataFrame, evalPred: Column, k: Int = 5): DataFrame =
-    overlapAgainst(docs.filter(!evalPred), docs.filter(evalPred), k)
+  def evalOverlap(docs: DataFrame, evalPred: Column, k: Int = 5): DataFrame = {
+    // single tagged scan — the corpus is read once, not once per side
+    // (the two-relation overlapAgainst form exists for streams, where
+    // the sides genuinely are different relations)
+    val grams = docs
+      .select(col("doc_id"), evalPred.as("_is_eval"),
+        explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
+      .select(col("doc_id"), col("_is_eval"),
+        GraftFunctions.fnv1a64(col("_g")).as("_h"))
+    val evalGrams = grams.filter(col("_is_eval")).select(col("_h")).distinct()
+    grams.filter(!col("_is_eval"))
+      .join(broadcast(evalGrams), "_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
 
   /** The two-relation form: training docs (possibly a STREAM — every
     * stage on the train side is stateless until the final per-doc
-    * count) against a static eval/benchmark corpus. Used by the batch
-    * entry above and by [[graft.streaming.StreamingCuration]]'s
-    * ingest-time decontamination.
+    * count) against a static eval/benchmark corpus. Used by
+    * [[graft.streaming.StreamingCuration]]'s ingest-time
+    * decontamination; semantics identical to [[evalOverlap]] when the
+    * two relations partition one corpus.
     */
   def overlapAgainst(train: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
     val evalGrams = gramHashes(evalDocs, k).select(col("_h")).distinct()

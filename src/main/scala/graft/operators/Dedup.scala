@@ -61,16 +61,18 @@ object Dedup {
     */
   private def candidatePairs(sigs: DataFrame, keys: Seq[String],
       maxBucket: Option[Int] = None): DataFrame = {
-    val bounded = maxBucket match {
+    // persist BEFORE the bucket-size pass so the (expensive) signature
+    // pipeline is computed once, not once per reuse
+    val src = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = maxBucket match {
       case Some(cap) =>
-        val sizes = sigs.groupBy(keys.map(col): _*)
+        val sizes = src.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("_bn"))
           .filter(col("_bn") <= cap)
           .drop("_bn")
-        sigs.join(sizes, keys) // keep rows in small-enough buckets only
-      case None => sigs
+        src.join(sizes, keys) // keep rows in small-enough buckets only
+      case None => src
     }
-    val kept = bounded.persist(StorageLevel.MEMORY_AND_DISK)
     val left = kept.withColumnRenamed("doc_id", "doc_a")
     val right = kept.withColumnRenamed("doc_id", "doc_b")
     left.join(right, keys)
@@ -258,16 +260,17 @@ object Dedup {
     * scale notes on the former).
     */
   private def propagateLabels(pairs: DataFrame): DataFrame =
-    propagateLabels(pairs, localThreshold = 4000000L)
+    propagateLabels(pairs, localThreshold = 1000000L)
 
   /** `localThreshold`: edge counts at or below it run a driver-local
     * union-find instead of the iterative join loop. The edge relation
-    * is O(duplication), not O(corpus) — even at 100 TB most corpora
-    * produce near-dup graphs that fit a driver comfortably (4 M edges
-    * ≈ 64 MB), and one collect + union-find + parallelize replaces
-    * ~4 rounds × 3 distributed jobs of fixed overhead. Graphs above
-    * the threshold take the existing min-label/path-halving loop;
-    * both produce identical (doc_id, min-component-id) labels.
+    * is O(duplication), not O(corpus) — most corpora produce near-dup
+    * graphs that fit a driver comfortably. Sizing is JVM-honest: 1 M
+    * collected edges cost ~100–150 B each as boxed Rows/tuples plus
+    * the parent map, ≈ 150–300 MB transient — safe on any real driver,
+    * an order of magnitude under a naive 16 B/edge estimate. Graphs
+    * above the threshold take the existing min-label/path-halving
+    * loop; both produce identical (doc_id, min-component-id) labels.
     */
   private[graft] def propagateLabels(pairs: DataFrame, localThreshold: Long): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))

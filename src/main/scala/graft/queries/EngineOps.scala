@@ -208,7 +208,11 @@ object EngineOps {
   def eng_bucketed_ddl(spark: SparkSession, dir: String): DataFrame = {
     val eng = engine(spark, dir)
     val name = s"li_ddl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!spark.catalog.tableExists(name))
+    // guard on the PERSISTENT catalog, not the session one: the scratch
+    // JSONL outlives the JVM, so a fresh-session re-run must not append
+    // a duplicate entry — sqlDf lazily re-materializes the session
+    // table from the existing entry instead
+    if (eng.catalog.lookup(name).isEmpty)
       eng.execute(
         s"CREATE TABLE $name () CLUSTERED BY (l_orderkey) INTO 8 BUCKETS LOCATION 'lineitem.parquet'")
     eng.sqlDf(

@@ -51,10 +51,13 @@ class Engine(
       // Names without a catalog entry (plain temp views) are untouched.
       catalog.lookup(name).foreach { e =>
         if (e.numBuckets.isDefined) {
-          // bucketed entries resolve through the SESSION catalog (a
-          // temp view would shadow the table and drop the bucket
-          // distribution); a fresh session lazily re-materializes
-          if (!spark.catalog.tableExists(name)) materializeBucketed(name, e)
+          // bucketed entries resolve through the SESSION catalog; a
+          // temp view left by an earlier pointer-registration of the
+          // same name would shadow the bucketed table (temp views win
+          // name resolution), so drop it. tableExists must ask for
+          // the QUALIFIED name — the bare form also matches temp views
+          spark.catalog.dropTempView(name)
+          if (!spark.catalog.tableExists(s"default.$name")) materializeBucketed(name, e)
         } else {
           Formats.readAuto(spark, resolvePath(e.tablePath)).createOrReplaceTempView(name)
         }

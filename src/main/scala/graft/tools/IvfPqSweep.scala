@@ -35,8 +35,10 @@ object IvfPqSweep {
     val n = emb.count()
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val stride = math.max(1L, n / nQueries)
+    // orderBy before limit: the query set must be deterministic even
+    // if the frame is ever recomputed
     val queries = emb.filter(col("vec_id") % stride === 0)
-      .limit(nQueries)
+      .orderBy(col("vec_id")).limit(nQueries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.count()
 
@@ -88,9 +90,11 @@ object IvfPqSweep {
         println(f"$np\t$m\t$ks\t$ti\t$nc\t$rr\t$recall%.4f\t$candFrac%.4f\t$bytesPerRow%.0f\t$sec%.1f")
         (np, m, ks, ti, nc, rr, recall, candFrac, sec)
       })
+      // release only this config's codebook — clearCache() here would
+      // ALSO wipe emb/bf/centroids and force their recompute inside
+      // the next config's timed section; the per-config PQ indexes
+      // are small enough for the block-store LRU to manage
       books.unpersist()
-      spark.catalog.clearCache()
-      emb.persist(); queries.persist(); bf.persist(); centroids.persist(); cellSizes.persist()
       rows
     }).flatten
 

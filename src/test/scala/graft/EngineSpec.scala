@@ -69,6 +69,22 @@ class EngineSpec extends AnyFunSuite {
     spark.sql(s"drop table if exists $name")
   }
 
+  test("re-registering a pointer table as bucketed evicts the stale temp view") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val eng = new Engine(spark, dataDir = sfDir, catalogDir = dir)
+    val name = "li_rereg_spec"
+    spark.sql(s"drop table if exists $name")
+    // plain pointer first: nation (25 rows) served via a temp view
+    eng.execute(s"create table $name () location 'nation.parquet'")
+    assert(eng.sqlDf(s"select count(*) as n from $name").head.getLong(0) == 25)
+    // re-register the SAME name as a bucketed table over region (5 rows)
+    eng.execute(s"create table $name () clustered by (r_regionkey) into 2 buckets location 'region.parquet'")
+    // the stale nation temp view must not shadow the bucketed table
+    assert(eng.sqlDf(s"select count(*) as n from $name").head.getLong(0) == 5,
+      "bucketed re-registration must evict the stale temp view")
+    spark.sql(s"drop table if exists $name")
+  }
+
   test("fetch caps rows at the limit inside the plan") {
     val eng = freshEngine()
     val res = eng.execute(s"select l_orderkey from '$sfDir/lineitem.parquet' order by l_orderkey", limit = 200)
