@@ -170,6 +170,23 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language dynamic quality flooring: drop every doc below its
+    * language's p10 quality — thresholds DERIVED from the corpus, not
+    * hardcoded (the way production curation picks filter knobs). The
+    * per-lang percentile is one tiny aggregate broadcast back against
+    * the scan; the corpus itself is never shuffled.
+    */
+  def quality_floor(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val thresholds = q.groupBy(col("lang"))
+      .agg(round(expr("percentile(quality_score, 0.1D)"), 4).as("p10_quality"))
+    q.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("p10_quality"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("p10_quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def data_pack(spark: SparkSession, dir: String): DataFrame =
     Sampling.pack(docs(spark, dir), col("doc_id"),
       size(split(col("text"), "\\s+")))
@@ -456,6 +473,7 @@ object LlmOps {
     "dedup_cross_corpus" -> (dedup_cross_corpus _),
     "data_pack" -> (data_pack _),
     "data_budget_select" -> (data_budget_select _),
+    "quality_floor" -> (quality_floor _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -651,6 +669,21 @@ object LlmOps {
         |       cast(len(w.w) - coalesce(agg.n_kept, 0) as int) AS n_removed,
         |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    // Spark percentile() and DuckDB quantile_cont share the p*(n-1)
+    // interpolation (established by quality_quantiles)
+    "quality_floor" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, round(least(1.0,
+         |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
+         |  FROM documents),
+         |t AS (SELECT lang, round(quantile_cont(quality_score, 0.1), 4) AS p10_quality
+         |      FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality_score, t.p10_quality
+         |FROM q JOIN t USING (lang)
+         |WHERE q.quality_score >= t.p10_quality
+         |ORDER BY q.doc_id""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id, text,
