@@ -222,6 +222,22 @@ class LlmOpsSpec extends AnyFunSuite {
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
   }
 
+  test("quality floor keeps >=90% per lang and nothing below the lang's p10") {
+    val kept = queries.LlmOps.quality_floor(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, _, q, p10) =>
+      assert(q >= p10, s"doc $id kept below its floor")
+    }
+    val total = operators.TextAnalysis
+      .withQuality(Tables(spark, sfDir, "documents"), col("text"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    keptPerLang.foreach { case (lang, n) =>
+      assert(n >= (total(lang) * 0.9 - 1).floor.toLong, s"$lang dropped too much")
+    }
+  }
+
   test("normalization lowercases, strips sentence punct, collapses whitespace") {
     import spark.implicits._
     val df = Seq((1L, "  Hello,  WORLD!  It's  a Test.  ")).toDF("doc_id", "text")
