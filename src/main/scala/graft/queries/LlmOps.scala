@@ -187,6 +187,27 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Capstone curation chain — normalize → per-lang p10 quality floor
+    * → 15k-token budget select, composed as ONE Catalyst plan over the
+    * verified pieces: token counts come from the NORMALIZED text, the
+    * floor thresholds and budget prefix reuse quality_floor's and
+    * data_budget_select's exact shapes. What a production corpus prep
+    * actually runs; the oracle chains the same three verified stages.
+    */
+  def pipeline_curate(spark: SparkSession, dir: String): DataFrame = {
+    val normed = TextAnalysis.withNormalized(docs(spark, dir), col("text"))
+    val q = TextAnalysis.withQuality(normed, col("text"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        size(split(col("normalized"), " ")).as("_ntok"))
+    val thresholds = q.groupBy(col("lang"))
+      .agg(round(expr("percentile(quality_score, 0.1D)"), 4).as("_p10"))
+    val floored = q.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("_p10"))
+    Sampling.budgetSelect(floored, col("doc_id"), col("quality_score"),
+      col("_ntok"), budget = 15000L)
+      .orderBy(col("doc_id"))
+  }
+
   def data_pack(spark: SparkSession, dir: String): DataFrame =
     Sampling.pack(docs(spark, dir), col("doc_id"),
       size(split(col("text"), "\\s+")))
@@ -474,6 +495,7 @@ object LlmOps {
     "data_pack" -> (data_pack _),
     "data_budget_select" -> (data_budget_select _),
     "quality_floor" -> (quality_floor _),
+    "pipeline_curate" -> (pipeline_curate _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -669,6 +691,27 @@ object LlmOps {
         |       cast(len(w.w) - coalesce(agg.n_kept, 0) as int) AS n_removed,
         |       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    // the three verified stages chained: normalized token counts,
+    // per-lang p10 floor, budget prefix
+    "pipeline_curate" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lang, text,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, round(least(1.0,
+         |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS quality_score,
+         |    len(string_split(norm, ' ')) AS ntok
+         |  FROM n),
+         |t AS (SELECT lang, round(quantile_cont(quality_score, 0.1), 4) AS p10
+         |      FROM q GROUP BY lang),
+         |f AS (SELECT q.* FROM q JOIN t USING (lang) WHERE q.quality_score >= t.p10),
+         |c AS (SELECT *, sum(ntok) OVER (ORDER BY quality_score DESC, doc_id) AS cum FROM f)
+         |SELECT doc_id, quality_score, cast(ntok as bigint) AS n_tokens,
+         |       cast(cum as bigint) AS cum_tokens
+         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
     // Spark percentile() and DuckDB quantile_cont share the p*(n-1)
     // interpolation (established by quality_quantiles)
     "quality_floor" ->
