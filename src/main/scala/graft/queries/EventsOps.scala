@@ -21,11 +21,31 @@ object EventsOps {
     Events.sessionStats(Tables(spark, dir, "events"))
       .orderBy(col("user_id"))
 
+  /** Ordered view→click→purchase conversion funnel (first-touch). */
+  def evt_funnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnel(Tables(spark, dir, "events"))
+      .orderBy(col("stage"))
+
   val queries: Map[String, Q] = Map(
     "evt_window_agg" -> (evt_window_agg _),
+    "evt_funnel" -> (evt_funnel _),
     "evt_sessionize" -> (evt_sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     "evt_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         | event_type, count(*) AS n,

@@ -36,6 +36,32 @@ object Events {
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session_events"))
 
+  /** Ordered conversion funnel over `stages` (first-touch semantics):
+    * a user reaches stage i+1 with the EARLIEST stage-i+1 event
+    * strictly after their stage-i reach time. Returns one row per
+    * stage with the user count. Three filtered min-aggregates chained
+    * by user-keyed joins — each stage's relation shrinks, every
+    * aggregate is map-side combinable, and nothing is ever globally
+    * sorted; the standard scale shape for funnel analytics.
+    */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    var reached = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .withColumn("stage", lit(s"1_${stages.head}"))
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = events.filter(col("event_type") === s)
+        .join(reached.select(col("user_id"), col("_t").as("_prev")), "user_id")
+        .filter(col("ts") > col("_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
+      out = out.unionByName(reached.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(s"${i + 1}_$s")))
+    }
+    out.select(col("stage"), col("n_users"))
+  }
+
   /** Streaming source over the events parquet, with the same
     * nanosecond handling as the batch loader (Tables.apply).
     */

@@ -80,6 +80,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("funnel: only in-order first-touch progressions count") {
+    import spark.implicits._
+    val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off * 1000)
+    val df = Seq(
+      // user 1: full in-order funnel
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE first view — never reaches stage 2
+      (2L, "click", ts(0)), (2L, "view", ts(10)), (2L, "purchase", ts(20)),
+      // user 3: view then purchase without click — stops at stage 1
+      (3L, "view", ts(0)), (3L, "purchase", ts(5)),
+      // user 4: no view at all — not even stage 1
+      (4L, "click", ts(0)), (4L, "purchase", ts(10))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Events.funnel(df).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L), s"got $r")
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
