@@ -73,4 +73,34 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       val s1 = TextHashes.hyperplaneSig(ax, bits)
       s1 == TextHashes.hyperplaneSig(ax, bits) && s1 >= 0 && s1 < (1L << bits)
     }
+
+  // include some multi-byte (BMP) chars: positions are UTF-16 offsets
+  private val charText = Gen.chooseNum(0, 80).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('的', 'é', 'ß')))
+      .map(_.mkString))
+
+  property("charWindows: rolling hash equals the direct polynomial per offset") =
+    Prop.forAll(charText, Gen.chooseNum(1, 12)) { (s, l) =>
+      def direct(sub: String): Long = {
+        var h = 0L
+        sub.foreach(c => h = h * 0x100000001b3L + c)
+        h
+      }
+      val arr = TextHashes.charWindows(UTF8String.fromString(s), l)
+      val n = math.max(0, s.length - l + 1)
+      arr.numElements() == n &&
+        (0 until n).forall(i => arr.getLong(i) == direct(s.substring(i, i + l)))
+    }
+
+  property("stripSpans: equals brute-force covered-char filter") =
+    Prop.forAll(charText, Gen.chooseNum(1, 10),
+      Gen.listOf(Gen.chooseNum(0, 80))) { (s, l, rawPos) =>
+      val pos = rawPos.filter(p => p >= 0 && p <= s.length - l).distinct.sorted
+      val arr = new GenericArrayData(pos.toArray[Any])
+      val got = TextHashes.stripSpans(UTF8String.fromString(s), arr, l).toString
+      val covered = pos.flatMap(p => p until math.min(p + l, s.length)).toSet
+      val expected = s.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      got == expected
+    }
 }
