@@ -27,7 +27,9 @@ object ScaleBench {
     "text_gopher", "corpus_stats", "data_shuffle", "dedup_span_exact",
     "dedup_families", "quality_quantiles", "sim_topk_pq", "data_mix",
     "text_tfidf", "text_ccnet_bucket", "dedup_span_removal",
-    "dedup_span_chars", "contamination_stream", "sim_topk_ivfpq")
+    "dedup_span_chars", "contamination_stream", "sim_topk_ivfpq",
+    "dedup_keep_best", "dedup_cross_corpus", "data_budget_select",
+    "quality_floor", "text_normalize", "pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
