@@ -42,9 +42,9 @@ object EventsOps {
         |p AS (
         |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
-        |UNION ALL SELECT '2_click', count(*) FROM c
-        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |SELECT '01_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '02_click', count(*) FROM c
+        |UNION ALL SELECT '03_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
     "evt_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

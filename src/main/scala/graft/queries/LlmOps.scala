@@ -176,16 +176,22 @@ object LlmOps {
     * per-lang percentile is one tiny aggregate broadcast back against
     * the scan; the corpus itself is never shuffled.
     */
-  def quality_floor(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.withQuality(docs(spark, dir), col("text"))
-      .select(col("doc_id"), col("lang"), col("quality_score"))
+  /** Keep rows at/above their language's p10 quality — the shared
+    * floor of quality_floor and pipeline_curate (one definition, one
+    * place to change the percentile/rounding).
+    */
+  private def floorByLang(q: DataFrame): DataFrame = {
     val thresholds = q.groupBy(col("lang"))
       .agg(round(expr("percentile(quality_score, 0.1D)"), 4).as("p10_quality"))
     q.join(broadcast(thresholds), "lang")
       .filter(col("quality_score") >= col("p10_quality"))
+  }
+
+  def quality_floor(spark: SparkSession, dir: String): DataFrame =
+    floorByLang(TextAnalysis.withQuality(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("lang"), col("quality_score")))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("p10_quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** Capstone curation chain — normalize → per-lang p10 quality floor
     * → 15k-token budget select, composed as ONE Catalyst plan over the
@@ -199,11 +205,7 @@ object LlmOps {
     val q = TextAnalysis.withQuality(normed, col("text"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
         size(split(col("normalized"), " ")).as("_ntok"))
-    val thresholds = q.groupBy(col("lang"))
-      .agg(round(expr("percentile(quality_score, 0.1D)"), 4).as("_p10"))
-    val floored = q.join(broadcast(thresholds), "lang")
-      .filter(col("quality_score") >= col("_p10"))
-    Sampling.budgetSelect(floored, col("doc_id"), col("quality_score"),
+    Sampling.budgetSelect(floorByLang(q), col("doc_id"), col("quality_score"),
       col("_ntok"), budget = 15000L)
       .orderBy(col("doc_id"))
   }

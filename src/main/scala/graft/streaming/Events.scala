@@ -47,17 +47,20 @@ object Events {
   def funnel(events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty)
+    // zero-padded stage prefix so lexicographic order == funnel order
+    // even past 9 stages
+    def label(i: Int, s: String) = f"${i + 1}%02d_$s"
     var reached = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
     var out = reached.agg(count(lit(1)).as("n_users"))
-      .withColumn("stage", lit(s"1_${stages.head}"))
+      .withColumn("stage", lit(label(0, stages.head)))
     stages.zipWithIndex.drop(1).foreach { case (s, i) =>
       reached = events.filter(col("event_type") === s)
         .join(reached.select(col("user_id"), col("_t").as("_prev")), "user_id")
         .filter(col("ts") > col("_prev"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
       out = out.unionByName(reached.agg(count(lit(1)).as("n_users"))
-        .withColumn("stage", lit(s"${i + 1}_$s")))
+        .withColumn("stage", lit(label(i, s))))
     }
     out.select(col("stage"), col("n_users"))
   }

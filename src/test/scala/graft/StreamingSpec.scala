@@ -95,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
     ).toDF("user_id", "event_type", "ts")
     val r = Events.funnel(df).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(r == Map("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L), s"got $r")
+    assert(r == Map("01_view" -> 3L, "02_click" -> 1L, "03_purchase" -> 1L), s"got $r")
   }
 
   test("sessionization: single user with two bursts yields two sessions") {
