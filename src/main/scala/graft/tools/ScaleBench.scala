@@ -56,7 +56,14 @@ object ScaleBench {
       (name, t, r, w, s)
     }
 
-    val rows = keys.map { name =>
+    // events-table ops run when the corpus dir carries an events table
+    // (ScaleData now generates one; older dirs may not have it)
+    val allKeys = keys ++ (
+      if (new java.io.File(s"$dir/events.parquet").exists())
+        Seq("evt_window_agg", "evt_sessionize", "evt_funnel")
+      else Nil)
+
+    val rows = allKeys.map { name =>
       measure(name)(graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save())
     } :+ {

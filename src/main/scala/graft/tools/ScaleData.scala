@@ -58,8 +58,29 @@ object ScaleData {
            |             + (pmod(hash(vec_id * 524287 + d), 1000) / 1000.0 - 0.5) * 1.2)
            |            / sqrt($dims) as float))""".stripMargin))
 
+  /** `n` user events over a 31-day span: deterministic hash-based
+    * user/type/value assignment, `ts` written as int64 NANOS (the
+    * driver testdata's physical type — Tables reads both through the
+    * same nanosAsLong path).
+    */
+  def events(spark: SparkSession, n: Long, nUsers: Int = 2000): DataFrame = {
+    val spanNs = 31L * 24 * 3600 * 1000000000L
+    val gap = math.max(1L, spanNs / math.max(1L, n))
+    spark.range(n).toDF("event_id")
+      .withColumn("user_id", pmod(hash(col("event_id") * 37L), lit(nUsers)).cast("long"))
+      .withColumn("ts", lit(1704067200000000000L) + col("event_id") * lit(gap) +
+        pmod(hash(col("event_id") * 41L), lit(gap)))
+      .withColumn("event_type", element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(hash(col("event_id") * 13L), lit(5)) + 1).cast("int")))
+      .withColumn("value", pmod(hash(col("event_id") * 17L), lit(100000)).cast("double") / 100.0)
+      .withColumn("props", concat(lit("{\"k\": "),
+        pmod(hash(col("event_id") * 23L), lit(100)), lit("}")))
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(outDir, nDocs, nVecs) = args
+    val (outDir, nDocs, nVecs) = (args(0), args(1).toLong, args(2).toLong)
+    val nEvents = if (args.length > 3) args(3).toLong else nDocs * 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,11 +88,13 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    documents(spark, nDocs.toLong).repartition(32)
+    documents(spark, nDocs).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, nVecs.toLong).repartition(32)
+    embeddings(spark, nVecs).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"[scaledata] wrote $nDocs docs + $nVecs vecs to $outDir")
+    events(spark, nEvents).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"[scaledata] wrote $nDocs docs + $nVecs vecs + $nEvents events to $outDir")
     spark.stop()
   }
 }
