@@ -26,9 +26,15 @@ object EventsOps {
     Events.funnel(Tables(spark, dir, "events"))
       .orderBy(col("stage"))
 
+  /** Weekly retention cohorts anchored on signup. */
+  def evt_retention(spark: SparkSession, dir: String): DataFrame =
+    Events.retention(Tables(spark, dir, "events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   val queries: Map[String, Q] = Map(
     "evt_window_agg" -> (evt_window_agg _),
     "evt_funnel" -> (evt_funnel _),
+    "evt_retention" -> (evt_retention _),
     "evt_sessionize" -> (evt_sessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -46,6 +52,17 @@ object EventsOps {
         |UNION ALL SELECT '02_click', count(*) FROM c
         |UNION ALL SELECT '03_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "evt_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(cast(floor(epoch(ts) / 604800) as bigint)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, cast(floor(epoch(ts) / 604800) as bigint) AS w
+        |      FROM events)
+        |SELECT c.cohort_week, cast(a.w - c.cohort_week as int) AS week_offset,
+        |       count(DISTINCT c.user_id) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |WHERE a.w - c.cohort_week >= 0 AND a.w - c.cohort_week < 4
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         | event_type, count(*) AS n,

@@ -65,6 +65,26 @@ object Events {
     out.select(col("stage"), col("n_users"))
   }
 
+  /** Weekly retention cohorts: users cohorted by their FIRST `anchor`
+    * event's week; retained(k) = cohort members with ANY event in
+    * cohort-week + k. Two aggregates and one broadcast-able join —
+    * the (user, week) distinct relation is bounded by users×weeks,
+    * never raw events, and nothing globally sorts.
+    */
+  def retention(events: DataFrame, anchor: String = "signup",
+      maxWeeks: Int = 4): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / lit(7L * 24 * 3600)).cast("long")
+    val cohorts = events.filter(col("event_type") === anchor)
+      .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+    val active = events.select(col("user_id"), week(col("ts")).as("_w")).distinct()
+    cohorts.join(active, "user_id")
+      .withColumn("week_offset", (col("_w") - col("cohort_week")).cast("int"))
+      .filter(col("week_offset") >= 0 && col("week_offset") < maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Streaming source over the events parquet, with the same
     * nanosecond handling as the batch loader (Tables.apply).
     */

@@ -98,6 +98,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(r == Map("01_view" -> 3L, "02_click" -> 1L, "03_purchase" -> 1L), s"got $r")
   }
 
+  test("retention: cohort anchored on first signup, offsets windowed") {
+    import spark.implicits._
+    val wk = 7L * 24 * 3600 * 1000
+    val ts = (w: Long, off: Long) => new java.sql.Timestamp(w * wk + off)
+    val df = Seq(
+      // user 1 signs up week 100, active weeks 100, 101, 103
+      (1L, "signup", ts(100, 1000)), (1L, "view", ts(101, 5)), (1L, "click", ts(103, 9)),
+      // user 2 signs up week 100, never returns
+      (2L, "signup", ts(100, 2000)),
+      // user 3: events BEFORE its signup week don't count (offset < 0)
+      (3L, "view", ts(99, 0)), (3L, "signup", ts(101, 0)), (3L, "view", ts(102, 0))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Events.retention(df).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      (100L, 0) -> 2L, (100L, 1) -> 1L, (100L, 3) -> 1L,
+      (101L, 0) -> 1L, (101L, 1) -> 1L), s"got $r")
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
