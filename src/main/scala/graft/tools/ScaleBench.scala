@@ -60,7 +60,7 @@ object ScaleBench {
     // (ScaleData now generates one; older dirs may not have it)
     val allKeys = keys ++ (
       if (new java.io.File(s"$dir/events.parquet").exists())
-        Seq("evt_window_agg", "evt_sessionize", "evt_funnel")
+        Seq("evt_window_agg", "evt_sessionize", "evt_funnel", "evt_retention")
       else Nil)
 
     val rows = allKeys.map { name =>
