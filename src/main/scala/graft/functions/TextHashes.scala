@@ -206,19 +206,30 @@ object TextHashes {
     * interval merge + copy of the uncovered stretches. The rebuild
     * kernel behind char-granularity span removal — O(len), no
     * per-covered-char explosion.
+    *
+    * Offsets are UTF-16 units; when a span edge would split a
+    * surrogate pair, the edge snaps OUTWARD to the code-point boundary
+    * (one extra char removed) so the rebuilt string never contains a
+    * lone surrogate. No-op on BMP-only text (the test corpora).
     */
   def stripSpans(s: UTF8String, positions: org.apache.spark.sql.catalyst.util.ArrayData,
       L: Int): UTF8String = {
     val np = positions.numElements()
     if (np == 0) return s
     val str = s.toString
+    def splitsPair(off: Int): Boolean =
+      off > 0 && off < str.length &&
+        Character.isLowSurrogate(str.charAt(off)) &&
+        Character.isHighSurrogate(str.charAt(off - 1))
     val sb = new java.lang.StringBuilder(str.length)
     var copied = 0 // everything before this offset is emitted or skipped
     var i = 0
     while (i < np) {
-      val p = positions.getInt(i)
+      val p0 = positions.getInt(i)
+      val p = if (splitsPair(p0)) p0 - 1 else p0
       if (p > copied) sb.append(str, copied, p)
-      val end = math.min(p + L, str.length)
+      val e0 = math.min(p0 + L, str.length)
+      val end = if (splitsPair(e0)) e0 + 1 else e0
       if (end > copied) copied = end
       i += 1
     }

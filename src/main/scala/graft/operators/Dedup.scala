@@ -191,11 +191,25 @@ object Dedup {
     * so bucket sizes stay tiny at scale; candidates are then verified
     * with exact Jaccard as usual.
     *
-    * Cost: one shingle-frequency aggregate + one join + one per-doc
-    * sort-and-slice — all keyed by high-cardinality shingles. This is
-    * the exact-result path; minhashLsh remains the probabilistic one.
+    * Cost: one sampled shingle-frequency aggregate + one broadcast
+    * join + one per-doc sort-and-slice. This is the exact-result path;
+    * minhashLsh remains the probabilistic one.
+    *
+    * `freqSampleRate`: the global frequency order exists ONLY to make
+    * pruning effective (rare shingles first ⇒ tiny blocking buckets);
+    * ANY total order keeps recall exactly 1 by the prefix theorem. So
+    * the frequencies are estimated from a deterministic hash sample of
+    * shingle occurrences — heavy hitters (the shingles that would blow
+    * up buckets) are reliably estimated at 1%, unseen shingles default
+    * to count 0 (treated as rare, harmless) — and the sampled
+    * histogram is broadcast instead of shuffling the full corpus token
+    * stream through a frequency aggregate and a shuffle join (three
+    * O(corpus-words) exchanges collapse to one: the per-doc regroup).
+    * Set 1.0 for the exact-frequency order (identical output either
+    * way; only bucket sizes differ).
     */
-  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7): DataFrame = {
+  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
+      freqSampleRate: Double = 0.01): DataFrame = {
     val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping runs on the 64-bit
     // shingle fingerprint, not the shingle string — the global-order
@@ -206,8 +220,21 @@ object Dedup {
     val ex = sh.select(col("doc_id"),
       explode(col("_shingles")).as("_s"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
-    val counts = ex.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val prefixes = ex.join(counts, "h")
+    // deterministic occurrence sample: (doc_id, h) is unique per
+    // occurrence (shingles are per-doc distinct), so hashing the pair
+    // picks the same ~rate fraction on every run/partitioning
+    val mod = math.max(1, math.round(1.0 / freqSampleRate).toInt)
+    val exact = freqSampleRate >= 1.0
+    val sampled =
+      if (exact) ex
+      else ex.filter(pmod(xxhash64(col("doc_id"), col("h")), lit(mod)) === 0)
+    // sampled singletons carry no more signal than unseen shingles —
+    // dropping them bounds the broadcast histogram to the sample's
+    // repeated shingles (the heavy hitters that matter), not its vocab
+    val counts = sampled.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val hist = if (exact) counts else counts.filter(col("cnt") >= 2)
+    val prefixes = ex.join(broadcast(hist), Seq("h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("_sorted"))
       .select(col("doc_id"), explode(expr(
@@ -235,8 +262,15 @@ object Dedup {
     * chain. Only edge-endpoint docs carry labels; the full corpus is
     * touched once, by the final keep-set anti-join.
     */
-  def resolveComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = propagateLabels(pairs)
+  def resolveComponents(docs: DataFrame, pairs: DataFrame): DataFrame =
+    resolveComponents(docs, pairs, DefaultLocalThreshold)
+
+  /** As [[resolveComponents]], with the driver-local/distributed
+    * switchover edge count exposed (set 0 to force the distributed
+    * path on any graph, e.g. on a memory-constrained driver).
+    */
+  def resolveComponents(docs: DataFrame, pairs: DataFrame, localThreshold: Long): DataFrame = {
+    val labels = propagateLabels(pairs, localThreshold)
     // kept = all docs minus non-representative members of components
     val dropped = labels.filter(col("doc_id") =!= col("label")).select(col("doc_id"))
     docs.select(col("doc_id"))
@@ -252,15 +286,17 @@ object Dedup {
     * are singletons, so the map stays proportional to the duplicated
     * subset, not the corpus.
     */
-  def componentMap(pairs: DataFrame): DataFrame =
-    propagateLabels(pairs).select(col("doc_id"), col("label").as("family_id"))
+  def componentMap(pairs: DataFrame): DataFrame = componentMap(pairs, DefaultLocalThreshold)
 
-  /** Min-label propagation fixpoint over the pair graph — the shared
-    * engine of [[resolveComponents]] and [[componentMap]] (see the
-    * scale notes on the former).
+  /** As [[componentMap]], with the switchover edge count exposed. */
+  def componentMap(pairs: DataFrame, localThreshold: Long): DataFrame =
+    propagateLabels(pairs, localThreshold).select(col("doc_id"), col("label").as("family_id"))
+
+  /** Default driver-local union-find switchover (see
+    * [[propagateLabels]]'s JVM sizing note); callers with tighter
+    * drivers pass their own via the public overloads.
     */
-  private def propagateLabels(pairs: DataFrame): DataFrame =
-    propagateLabels(pairs, localThreshold = 1000000L)
+  val DefaultLocalThreshold: Long = 1000000L
 
   /** `localThreshold`: edge counts at or below it run a driver-local
     * union-find instead of the iterative join loop. The edge relation
@@ -346,13 +382,17 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
+    // snapshot the key set: find() path-compresses (writes parent(c))
+    // mid-loop, and mutable.HashMap iteration during modification is
+    // undefined even when no keys are added
+    val ks = parent.keys.toArray
     val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
-    parent.keys.foreach { n =>
+    ks.foreach { n =>
       val r = find(n)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
     }
     import spark.implicits._
-    parent.keys.toSeq.map(n => (n, minOfRoot(find(n)))).sortBy(_._1)
+    ks.toSeq.map(n => (n, minOfRoot(find(n)))).sortBy(_._1)
       .toDF("doc_id", "label")
   }
 
@@ -443,15 +483,26 @@ object Dedup {
     * ≥ L covers each of its chars with some duplicated L-window, and
     * every duplicated L-window IS a duplicated substring — so marking
     * chars covered by duplicated fixed-L windows reproduces the
-    * suffix-array answer without one.
+    * suffix-array answer without one. EXACT including under hash
+    * collisions: windows sharing a 64-bit rolling hash are verified
+    * against the raw L-char substring before they mark anything (at
+    * 100 TB ≈ 1e14 windows, 64-bit birthday collisions are *expected*;
+    * unverified, each one silently deletes unrelated text — and the
+    * power-of-two-modulus Rabin-Karp is additionally adversarially
+    * collidable on crawled content).
+    *
+    * Positions are UTF-16 offsets; for non-BMP text the StripSpans
+    * rebuild snaps span edges outward to code-point boundaries so a
+    * removal can never emit a lone surrogate (see the kernel note).
     *
     * Scale shape: the per-offset rolling hashes come from the O(len)
     * codegen'd CharWindows kernel (8 B/offset through the frequency
     * shuffle — the honest O(corpus chars) cost, same as the suffix
-    * array's); the ONLY other exchange carries the positions of
-    * duplicated windows — O(duplication), not O(corpus) — and the
-    * rebuild is a single-pass interval-merge kernel (StripSpans), no
-    * per-covered-char explosion.
+    * array's); every other exchange is O(duplication), not O(corpus):
+    * the collision verify re-extracts raw substrings only for rows of
+    * repeated-hash groups and shuffles those L-char strings once, and
+    * the rebuild is a single-pass interval-merge kernel (StripSpans),
+    * no per-covered-char explosion.
     */
   def removeDuplicatedCharSpans(docs: DataFrame, id: Column, text: Column,
       L: Int = 20): DataFrame = {
@@ -460,7 +511,17 @@ object Dedup {
       posexplode(GraftFunctions.charWindows(t, L)).as(Seq("pos", "_h")))
     val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1).select(col("_h"))
-    val dupPos = wins.join(dup, "_h")
+    // hash-collision verify: candidates (rows of repeated-hash groups,
+    // O(duplication)) fetch their raw L-char window and must repeat as
+    // (hash, substring), not hash alone, before marking chars
+    val candRaw = wins.join(dup, "_h")
+      .join(docs.select(id.as("doc_id"), t.as("_t")), "doc_id")
+      .withColumn("_w", expr(s"substring(_t, pos + 1, $L)"))
+      .select(col("doc_id"), col("pos"), col("_h"), col("_w"))
+    val dupRaw = candRaw.groupBy(col("_h"), col("_w"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("_h"), col("_w"))
+    val dupPos = candRaw.join(dupRaw, Seq("_h", "_w"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
     docs.select(id.as("doc_id"), t.as("_t"))

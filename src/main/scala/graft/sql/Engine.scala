@@ -72,15 +72,56 @@ class Engine(
     * source at `tablePath` stays untouched. One-off cost — every
     * subsequent same-key equijoin/agg on the table skips its shuffle,
     * which is the point of declaring the bucket spec at 100 TB.
+    *
+    * Concurrency/consistency: the output dir is VERSIONED by the
+    * effective bucket spec (path|key|sort|buckets hash), so a
+    * re-registered LOCATION materializes into a fresh dir instead of
+    * overwriting files another session is mid-scan on; a cross-process
+    * file lock serializes writers of the same version, and a finished
+    * version (Hadoop `_SUCCESS` marker) is re-registered into a fresh
+    * session via DDL over the existing files — no rewrite. Old
+    * versions are engine-managed state a deployment GCs with the
+    * catalog dir. When the DDL had no SORTED BY, the effective sort
+    * key (= bucket key) is recorded back into the catalog so the
+    * persisted metadata describes the materialized layout.
     */
   private def materializeBucketed(name: String, e: graft.catalog.CatalogEntry): Unit = {
     val key = e.bucketBy.getOrElse(
       throw new GraftSqlException(s"Catalog entry '$name' has buckets but no CLUSTERED BY column"))
-    Formats.readAuto(spark, resolvePath(e.tablePath))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(e.numBuckets.get, key).sortBy(e.sortBy.getOrElse(key))
-      .option("path", s"$catalogDir/bucketed/$name")
-      .saveAsTable(name)
+    val sortKey = e.sortBy.getOrElse(key)
+    val nBuckets = e.numBuckets.get
+    val ver = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"${e.tablePath}|$key|$sortKey|$nBuckets") & 0x7fffffff)
+    val outDir = java.nio.file.Paths.get(catalogDir, "bucketed", s"$name-$ver")
+    java.nio.file.Files.createDirectories(outDir.getParent)
+    val lockPath = outDir.getParent.resolve(s".$name-$ver.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks while another process writes this version
+      try {
+        val done = java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+        if (done) {
+          // files are complete — register them in THIS session without
+          // rewriting (keeps the bucket metadata via DDL)
+          val schemaDdl = spark.read.parquet(outDir.toString).schema.toDDL
+          spark.sql(s"DROP TABLE IF EXISTS `$name`") // DDL-rebuild path may hold an older registration
+          spark.sql(
+            s"""CREATE TABLE `$name` ($schemaDdl) USING parquet
+               |CLUSTERED BY (`$key`) SORTED BY (`$sortKey`) INTO $nBuckets BUCKETS
+               |LOCATION '${outDir.toString}'""".stripMargin)
+        } else {
+          Formats.readAuto(spark, resolvePath(e.tablePath))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(nBuckets, key).sortBy(sortKey)
+            .option("path", outDir.toString)
+            .saveAsTable(name)
+        }
+      } finally lock.release()
+    } finally ch.close()
+    if (e.sortBy.isEmpty)
+      catalog.register(name, e.tablePath, e.schema, e.comment, e.entryType,
+        e.bucketBy, Some(sortKey), e.numBuckets)
   }
 
   /** The /fetch DataFrame: SELECT wrapped with a row cap

@@ -69,6 +69,11 @@ object StreamingCuration {
       .start()
     try q.awaitTermination()
     finally if (q.isActive) q.stop()
-    spark.table(sinkName)
+    // decouple the result from the memory sink and drop the temp view:
+    // repeated invocations in one session must not accumulate
+    // fully-materialized sink tables in driver memory
+    val drained = spark.table(sinkName).localCheckpoint()
+    spark.catalog.dropTempView(sinkName)
+    drained
   }
 }
