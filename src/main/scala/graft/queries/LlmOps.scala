@@ -318,6 +318,47 @@ object LlmOps {
       .orderBy(col("lang"))
   }
 
+  /** The SCALE path of [[quality_quantiles]]: `approx_percentile`
+    * (Greenwald-Khanna sketch — bounded O(accuracy) memory per group,
+    * mergeable map-side) instead of exact `percentile`, whose
+    * sort-based aggregate buffers one group's ENTIRE value list in one
+    * executor: a single dominant language at 100 TB is billions of
+    * doubles in one buffer, an OOM. Rule of thumb: switch to the
+    * sketch once a group exceeds ~10 M values (~100 MB of buffered
+    * doubles); below that exact is fine and is what the report
+    * operator ships.
+    *
+    * Gated HARD despite being approximate: the entry emits the exact
+    * percentiles (hash-checked against DuckDB as usual) plus
+    * `approx_ok` — the Spark-side assertion that every sketch estimate
+    * lands within tolerance of exact (words: ±max(2, 5%); quality:
+    * ±0.05) — which the oracle pins to `true`. A drifting sketch fails
+    * the gate, not just a spec.
+    */
+  def quality_quantiles_approx(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(docs(spark, dir), col("text"))
+    q.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_words, array(0.5D, 0.9D))").as("_pw"),
+        expr("percentile(quality_score, array(0.5D, 0.9D))").as("_pq"),
+        expr("approx_percentile(n_words, array(0.5D, 0.9D), 10000)").as("_aw"),
+        expr("approx_percentile(quality_score, array(0.5D, 0.9D), 10000)").as("_aq"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("_pw"), 1), 4).as("p50_words"),
+        round(element_at(col("_pw"), 2), 4).as("p90_words"),
+        round(element_at(col("_pq"), 1), 4).as("p50_quality"),
+        round(element_at(col("_pq"), 2), 4).as("p90_quality"),
+        (abs(element_at(col("_aw"), 1) - element_at(col("_pw"), 1)) <=
+          greatest(lit(2.0), element_at(col("_pw"), 1) * 0.05) &&
+         abs(element_at(col("_aw"), 2) - element_at(col("_pw"), 2)) <=
+          greatest(lit(2.0), element_at(col("_pw"), 2) * 0.05) &&
+         abs(element_at(col("_aq"), 1) - element_at(col("_pq"), 1)) <= 0.05 &&
+         abs(element_at(col("_aq"), 2) - element_at(col("_pq"), 2)) <= 0.05)
+          .as("approx_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Incremental dedup: the corpus arrives in micro-batches; the
     * drained stream must equal batch minhashLsh (same hard oracle).
     */
@@ -508,6 +549,7 @@ object LlmOps {
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
     "quality_quantiles" -> (quality_quantiles _),
+    "quality_quantiles_approx" -> (quality_quantiles_approx _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_pq" -> (sim_topk_pq _),
@@ -981,6 +1023,24 @@ object LlmOps {
          |  round(quantile_cont(nw, 0.9), 4) AS p90_words,
          |  round(quantile_cont(qs, 0.5), 4) AS p50_quality,
          |  round(quantile_cont(qs, 0.9), 4) AS p90_quality
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    // exact percentiles hash-checked as in quality_quantiles; the
+    // sketch-within-tolerance assertion is computed Spark-side and
+    // pinned to `true` here — an out-of-tolerance sketch hash-fails
+    "quality_quantiles_approx" ->
+      s"""WITH q AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS nw,
+         |    round(least(1.0,
+         |      len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+         |      CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+         |      CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS qs
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(quantile_cont(nw, 0.5), 4) AS p50_words,
+         |  round(quantile_cont(nw, 0.9), 4) AS p90_words,
+         |  round(quantile_cont(qs, 0.5), 4) AS p50_quality,
+         |  round(quantile_cont(qs, 0.9), 4) AS p90_quality,
+         |  true AS approx_ok
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_simhash" -> fixtureSql("dedup_simhash", "documents"),
     "text_langid" -> fixtureSql("text_langid", "documents"),

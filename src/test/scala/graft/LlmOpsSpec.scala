@@ -238,6 +238,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles agree with exact within tolerance on every lang group") {
+    val rows = queries.LlmOps.quality_quantiles_approx(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("approx_ok")),
+        s"lang ${r.getString(0)}: approx_percentile outside tolerance of exact")
+    }
+    // the exact columns must equal the exact report operator's
+    val exact = queries.LlmOps.quality_quantiles(spark, sfDir)
+      .select("lang", "p50_words", "p90_words", "p50_quality", "p90_quality")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.foreach { r =>
+      val got = (r.getDouble(r.fieldIndex("p50_words")), r.getDouble(r.fieldIndex("p90_words")),
+        r.getDouble(r.fieldIndex("p50_quality")), r.getDouble(r.fieldIndex("p90_quality")))
+      assert(got == exact(r.getString(0)), s"lang ${r.getString(0)} exact columns diverge")
+    }
+  }
+
   test("normalization lowercases, strips sentence punct, collapses whitespace") {
     import spark.implicits._
     val df = Seq((1L, "  Hello,  WORLD!  It's  a Test.  ")).toDF("doc_id", "text")
