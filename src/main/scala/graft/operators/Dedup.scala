@@ -542,17 +542,25 @@ object Dedup {
     * at 100 k vectors vs 4 MB with bits=14), and since per-bucket
     * recall decays as agreement^bits, larger `bits` needs multiple
     * independent `tables` to recover it (recall ≈ 1-(1-p^bits)^tables,
-    * the same trade as [[Similarity.topKLsh]]). bits≈log2(n/16),
-    * tables≈8 is a good 100 TB operating point for true near-dups
-    * (cosine ≥ 0.9); the 8-bit single-table default matches the small
-    * driver corpora and their committed fixtures.
+    * the same trade as [[Similarity.topKLsh]]). The DEFAULT is the
+    * scaled operating point: bits auto-sized to ceil(log2(n/16))
+    * (clamped [4, 24] — ~16 vectors/bucket at any corpus size, one
+    * count() to size it) with 8 plane families; pass explicit `bits`
+    * to pin a configuration (sweeps, the *_mt fixture entry).
     */
-  def embeddingCosine(embeddings: DataFrame, bits: Int = 8, threshold: Double = 0.35,
-      tables: Int = 1): DataFrame = {
+  def embeddingCosine(embeddings: DataFrame, bits: Int = 0, threshold: Double = 0.35,
+      tables: Int = 8): DataFrame = {
+    val effBits =
+      if (bits > 0) bits
+      else {
+        val n = embeddings.count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).toInt))
+      }
     val sigs = embeddings
       .select(col("vec_id").as("doc_id"),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), Similarity.signature(col("embedding"), bits, t).as("_sig"))): _*)).as("ts"))
+          struct(lit(t).as("t"), Similarity.signature(col("embedding"), effBits, t).as("_sig"))): _*)).as("ts"))
       .select(col("doc_id"), col("ts.t").as("t"), col("ts._sig").as("_sig"))
     val pairs = candidatePairs(sigs, Seq("t", "_sig"))
     val vecs = embeddings.select(col("vec_id"), col("embedding"),

@@ -66,11 +66,14 @@ object Pq {
   /** Lloyd-refined codebooks: `iters` rounds of assign (argmin-L2,
     * same struct-min as encode) + per-(block, cid, dim) mean — the
     * per-block k-means that production PQ trains (PqSweep measures the
-    * recall lift). NOT used by the oracle-gated query: `avg` over
-    * doubles is partial-order-dependent, so trained centroids are not
-    * bit-reproducible across partitionings — the same reason IVF's
-    * kmeans path is exercised by the (rows-only) recall report, not a
-    * fixture. Cells that lose all members drop out of the codebook.
+    * recall lift). The mean is accumulated as FIXED-POINT LONGS
+    * (x·2^20 truncated) so the centroid update is an integer sum —
+    * exact and independent of partial-aggregation order, unlike `avg`
+    * over doubles — which makes trained codebooks bit-reproducible
+    * across partitionings and therefore oracle-gateable (the ~1e-6
+    * quantization of the mean is irrelevant to an ANN codebook and is
+    * mirrored exactly by tools/make_expected.py). Cells that lose all
+    * members drop out of the codebook.
     */
   def trainCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
       iters: Int): DataFrame = {
@@ -78,6 +81,7 @@ object Pq {
       .select(col("vec_id"), blocks(col("embedding"), m, dim).as("bs"))
       .select(col("vec_id"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val Fp = 1048576.0 // 2^20 fixed-point scale for order-free means
     var books = codebooks(corpus, m, ksub, dim)
     var i = 0
     while (i < iters) {
@@ -90,7 +94,8 @@ object Pq {
       books = assigned
         .select(col("b"), col("cid"), posexplode(col("_sub")).as(Seq("dim", "x")))
         .groupBy(col("b"), col("cid"), col("dim"))
-        .agg(avg(col("x")).as("mn"))
+        .agg((sum((col("x") * Fp).cast("long")).cast("double") /
+          (count(lit(1)) * Fp)).as("mn"))
         .groupBy(col("b"), col("cid"))
         .agg(expr("array_sort(collect_list(struct(dim, mn)))").as("dm"))
         .select(col("b"), col("cid"),

@@ -366,14 +366,18 @@ object LlmOps {
     graft.streaming.StreamingDedup.runIncremental(spark, docs(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Gates the operator's DEFAULT — which since round 3 IS the scaled
+    * operating point (auto bits=ceil(log2(n/16)), 8 plane families),
+    * not the old fixed-8-bit config SCALE.md measured turning
+    * superlinear. The fixture mirrors the auto-sizing.
+    */
   def dedup_embed_cosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_a"), col("vec_b"))
 
-  /** The SCALED embedding-dedup operating point (bits grown with the
-    * corpus, multiple plane families — see SCALE.md): oracle-checked
-    * against its own planted fixture, so the 100 TB configuration is
-    * gate-verified, not just benchmarked.
+  /** A second, PINNED multi-table configuration (bits=10, 4 tables):
+    * keeps an explicit-knob path gate-verified alongside the
+    * auto-sized default.
     */
   def dedup_embed_cosine_mt(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables(spark, dir, "embeddings"),
@@ -443,11 +447,19 @@ object LlmOps {
   }
 
   /** IVF-PQ composition: cells prune, codes score, exact re-rank —
-    * the full production ANN index shape (operators.Pq.topKIvfPq).
+    * gated on the PRODUCTION configuration: Lloyd-TRAINED codebooks
+    * (2 iters, bit-reproducible via Pq.trainCodebooks' fixed-point
+    * means) and norm-corrected ADC (divide by the reconstruction's
+    * norm — the knob SCALE.md measured lifting recall 0.731→0.992 on
+    * trained books), not the seed/classic fallback a deployment would
+    * never run.
     */
   def sim_topk_ivfpq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    Pq.topKIvfPq(emb, emb.filter(col("vec_id") < 64), k = 5)
+    Pq.topKIvfPqWith(emb, emb.filter(col("vec_id") < 64), k = 5,
+      Similarity.centroidsFor(emb, 16, kmeansIters = 0),
+      Pq.trainCodebooks(emb, m = 8, ksub = 16, dim = 64, iters = 2),
+      nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -348,12 +348,62 @@ def gen_sim_topk_pq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64):
     return topk_table(rank_topk(rows, k))
 
 
+def f32(x):
+    """Round a double to float32 and back — mirrors Spark's
+    cast(double as float) (round-to-nearest-even, like C)."""
+    import struct as _struct
+    return _struct.unpack("f", _struct.pack("f", x))[0]
+
+
+def seed_books(emb, m, ksub, sub):
+    books = [[] for _ in range(m)]
+    for e in emb:
+        if e["vec_id"] < ksub:
+            for b in range(m):
+                cent = e["embedding"][b * sub:(b + 1) * sub]
+                books[b].append((e["vec_id"], cent, dot(cent, cent)))
+    return books
+
+
+def train_books(emb, m, ksub, sub, iters):
+    """Mirror of Pq.trainCodebooks: argmin-L2 assignment with
+    (dist, cid) tie-break, then per-(block, cid, dim) means accumulated
+    as x*2^20 LONGS truncated toward zero (the order-free fixed-point
+    sum the Spark side uses), means cast to float32. Cells that lose
+    all members drop out."""
+    FP = 1048576.0
+    books = seed_books(emb, m, ksub, sub)
+    for _ in range(iters):
+        sums, counts = {}, {}
+        for e in emb:
+            for b in range(m):
+                s = e["embedding"][b * sub:(b + 1) * sub]
+                dists = [(cn2 - 2.0 * dot(s, cent), cid) for cid, cent, cn2 in books[b]]
+                cid = min(dists)[1]
+                key = (b, cid)
+                if key not in sums:
+                    sums[key] = [0] * sub
+                    counts[key] = 0
+                acc = sums[key]
+                for d, x in enumerate(s):
+                    acc[d] += int(x * FP)  # int() truncates toward zero, like Spark's cast to long
+                counts[key] += 1
+        books = [[] for _ in range(m)]
+        for (b, cid), acc in sorted(sums.items()):
+            n = counts[(b, cid)]
+            cent = [f32(float(a) / (n * FP)) for a in acc]
+            books[b].append((cid, cent, dot(cent, cent)))
+    return books
+
+
 def gen_sim_topk_ivfpq(emb, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
-                       rerank_mult=8, max_query=64):
-    """Mirror of graft.operators.Pq.topKIvfPq: IVF cells (seed
-    centroids, argmax-cosine assignment, no ties asserted) prune the
-    candidate set; seed-codebook ADC scores survivors in block order;
-    exact cosine re-rank of the ADC top-(rerank_mult*k).
+                       rerank_mult=8, max_query=64, train_iters=2):
+    """Mirror of the gated LlmOps.sim_topk_ivfpq — the PRODUCTION
+    configuration: IVF cells (seed centroids, argmax-cosine assignment,
+    no ties asserted) prune the candidate set; Lloyd-TRAINED codebooks
+    (fixed-point means, see train_books) ADC-score survivors in block
+    order with NORM-CORRECTED denominators (reconstruction norm, not
+    vector norm); exact cosine re-rank of the ADC top-(rerank_mult*k).
     """
     dim = len(emb[0]["embedding"])
     sub = dim // m
@@ -368,20 +418,18 @@ def gen_sim_topk_ivfpq(emb, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
         winners = [cid for s, cid in scored if s == best]
         assert len(winners) == 1, f"centroid tie for vec {e['vec_id']}"
         cells.setdefault(winners[0], []).append(e["vec_id"])
-    books = [[] for _ in range(m)]
+    books = train_books(emb, m, ksub, sub, train_iters)
+    codes, rnorms = {}, {}
     for e in emb:
-        if e["vec_id"] < ksub:
-            for b in range(m):
-                cent = e["embedding"][b * sub:(b + 1) * sub]
-                books[b].append((e["vec_id"], cent, dot(cent, cent)))
-    codes = {}
-    for e in emb:
-        cs = []
+        cs, cn2_sum = [], 0.0
         for b in range(m):
             s = e["embedding"][b * sub:(b + 1) * sub]
-            dists = [(cn2 - 2.0 * dot(s, cent), cid) for cid, cent, cn2 in books[b]]
-            cs.append(min(dists)[1])
+            dists = [(cn2 - 2.0 * dot(s, cent), cid, cn2) for cid, cent, cn2 in books[b]]
+            best = min(dists)
+            cs.append(best[1])
+            cn2_sum += best[2]  # block order, like the Spark partial agg
         codes[e["vec_id"]] = cs
+        rnorms[e["vec_id"]] = cn2_sum ** 0.5
     rows = {}
     for q in (e for e in emb if e["vec_id"] < max_query):
         qid, qn = q["vec_id"], norms[q["vec_id"]]
@@ -399,7 +447,7 @@ def gen_sim_topk_ivfpq(emb, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
                 acc = 0.0
                 for b in range(m):
                     acc += lut[b][codes[nid][b]]
-                adc.append((nid, acc / (qn * norms[nid])))
+                adc.append((nid, acc / (qn * rnorms[nid])))
         top_r = sorted(adc, key=lambda t: (-t[1], t[0]))[:rerank_mult * k]
         rows[qid] = [
             (nid, dot(q["embedding"], vecs[nid]) / (qn * norms[nid]))
@@ -407,34 +455,16 @@ def gen_sim_topk_ivfpq(emb, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
     return topk_table(rank_topk(rows, k))
 
 
-def gen_dedup_embed_cosine(emb, bits=8, threshold=0.35):
-    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
-    vecs = {e["vec_id"]: e["embedding"] for e in emb}
-    buckets = {}
-    for e in emb:
-        buckets.setdefault(hyperplane_sig(e["embedding"], bits, 0), []).append(e["vec_id"])
-    rows = []
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = ids[i], ids[j]
-                cos = dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
-                if cos >= threshold:
-                    rows.append((a, b, round4(cos)))
-    rows.sort()
-    return pa.table({
-        "vec_a": pa.array([r[0] for r in rows], pa.int64()),
-        "vec_b": pa.array([r[1] for r in rows], pa.int64()),
-        "cosine": pa.array([r[2] for r in rows], pa.float64()),
-    })
+def gen_dedup_embed_cosine(emb, threshold=0.35, tables=8):
+    """Mirror of Dedup.embeddingCosine's DEFAULT (the scaled operating
+    point): bits auto-sized to ceil(log2(n/16)) clamped [4, 24], 8
+    independent plane families (table t at plane_offset t*bits)."""
+    import math
+    bits = min(24, max(4, math.ceil(math.log(max(1.0, len(emb) / 16.0)) / math.log(2.0))))
+    return _embed_cosine_pairs(emb, bits, tables, threshold)
 
 
-def gen_dedup_embed_cosine_mt(emb, bits=10, tables=4, threshold=0.35):
-    """The scaled operating point of Dedup.embeddingCosine: bits grown
-    with the corpus, multiple independent plane families (table t uses
-    plane_offset t*bits, mirroring Similarity.signature), candidate
-    pairs unioned across tables before the cosine verify."""
+def _embed_cosine_pairs(emb, bits, tables, threshold):
     norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
     vecs = {e["vec_id"]: e["embedding"] for e in emb}
     pairs = set()
@@ -458,6 +488,12 @@ def gen_dedup_embed_cosine_mt(emb, bits=10, tables=4, threshold=0.35):
         "vec_b": pa.array([r[1] for r in rows], pa.int64()),
         "cosine": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+def gen_dedup_embed_cosine_mt(emb, bits=10, tables=4, threshold=0.35):
+    """The PINNED explicit-knob configuration of Dedup.embeddingCosine
+    (bits=10, 4 plane families) gated beside the auto-sized default."""
+    return _embed_cosine_pairs(emb, bits, tables, threshold)
 
 
 # ------------------------------------------------------------------ main
