@@ -31,10 +31,27 @@ object EventsOps {
     Events.retention(Tables(spark, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Incremental (streamed) funnel: the drained changelog stream must
+    * equal batch [[evt_funnel]] — gated by the SAME oracle.
+    */
+  def evt_funnel_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runFunnel(spark, Tables(spark, dir, "events"))
+      .orderBy(col("stage"))
+
+  /** Incremental (streamed) retention cohorts — same oracle as batch
+    * [[evt_retention]]; late-signup cohort revisions are handled by
+    * the changelog weights.
+    */
+  def evt_retention_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runRetention(spark, Tables(spark, dir, "events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   val queries: Map[String, Q] = Map(
     "evt_window_agg" -> (evt_window_agg _),
     "evt_funnel" -> (evt_funnel _),
     "evt_retention" -> (evt_retention _),
+    "evt_funnel_stream" -> (evt_funnel_stream _),
+    "evt_retention_stream" -> (evt_retention_stream _),
     "evt_sessionize" -> (evt_sessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -53,6 +70,32 @@ object EventsOps {
         |UNION ALL SELECT '03_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
     "evt_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(cast(floor(epoch(ts) / 604800) as bigint)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, cast(floor(epoch(ts) / 604800) as bigint) AS w
+        |      FROM events)
+        |SELECT c.cohort_week, cast(a.w - c.cohort_week as int) AS week_offset,
+        |       count(DISTINCT c.user_id) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |WHERE a.w - c.cohort_week >= 0 AND a.w - c.cohort_week < 4
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // drained stream ≡ batch: the SAME oracles gate both entries
+    "evt_funnel_stream" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT '01_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '02_click', count(*) FROM c
+        |UNION ALL SELECT '03_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "evt_retention_stream" ->
       """WITH c AS (
         |  SELECT user_id, min(cast(floor(epoch(ts) / 604800) as bigint)) AS cohort_week
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -44,12 +44,16 @@ object Events {
     * aggregate is map-side combinable, and nothing is ever globally
     * sorted; the standard scale shape for funnel analytics.
     */
+  /** Zero-padded stage prefix so lexicographic order == funnel order
+    * even past 9 stages — shared with the streaming funnel so the
+    * drained stream is oracle-equal to batch.
+    */
+  private[graft] def stageLabel(i: Int, s: String): String = f"${i + 1}%02d_$s"
+
   def funnel(events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty)
-    // zero-padded stage prefix so lexicographic order == funnel order
-    // even past 9 stages
-    def label(i: Int, s: String) = f"${i + 1}%02d_$s"
+    def label(i: Int, s: String) = stageLabel(i, s)
     var reached = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
     var out = reached.agg(count(lit(1)).as("n_users"))

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Incremental funnel + retention analytics over an event STREAM —
+  * the stateful counterparts of [[Events.funnel]] / [[Events.retention]]
+  * producing the SAME oracle-checked tables when drained (the pattern
+  * of [[StreamingDedup]]/[[StreamingCuration]], extended to operators
+  * whose per-user derivation can CHANGE as late facts arrive).
+  *
+  * The robustness trick is a per-user CHANGELOG: `flatMapGroupsWithState`
+  * keeps each user's raw facts (stage event times / active weeks +
+  * cohort), recomputes the user's derived row set every batch, and
+  * emits weighted diffs — +1 for rows entering the set, -1 for rows
+  * leaving it (a late signup can move a user's cohort; a late view can
+  * re-time a funnel stage). The downstream aggregate sums weights, so
+  * the drained table equals batch regardless of event arrival order —
+  * no ordering assumption on the stream at all.
+  *
+  * Scale notes: state per user is O(their funnel-stage events /
+  * distinct active weeks), not O(events); a production deployment
+  * bounds it with the same TTL pattern as [[StreamingDedup]] under the
+  * assumption that a user's funnel/retention horizon is finite (the
+  * test path keeps state unbounded so drained ≡ batch exactly).
+  */
+object StreamingEvents {
+
+  /** times(i) = every stage-i event time seen so far (µs); emitted =
+    * stage labels already counted downstream.
+    */
+  case class FunnelState(times: Seq[Seq[Long]], emitted: Seq[String])
+
+  /** Recompute the user's reached-stage set from ALL times seen (the
+    * batch first-touch recurrence: t_i = min stage-i time strictly
+    * after t_{i-1}), emit newly reached stages. Reachability is
+    * monotone under fact arrival — adding events can only lower the
+    * thresholds — so funnel diffs are always +1 (weights kept for
+    * uniformity with [[retentionUpdate]]).
+    */
+  private[graft] def funnelUpdate(stages: Seq[String])(
+      user: Long,
+      rows: Iterator[(Long, Int, Long)],
+      state: GroupState[FunnelState]): Iterator[(String, Long)] = {
+    val prev = state.getOption.getOrElse(FunnelState(Seq.fill(stages.size)(Nil), Nil))
+    val times: Array[List[Long]] = prev.times.map(_.toList).toArray
+    rows.foreach { case (_, si, t) => times(si) = t :: times(si) }
+    var reached = List.empty[String]
+    var tPrev = 0L
+    var i = 0
+    var ok = true
+    while (ok && i < stages.size) {
+      val cand = if (i == 0) times(0) else times(i).filter(_ > tPrev)
+      if (cand.isEmpty) ok = false
+      else {
+        tPrev = cand.min
+        reached = Events.stageLabel(i, stages(i)) :: reached
+        i += 1
+      }
+    }
+    val newly = reached.filterNot(prev.emitted.contains)
+    state.update(FunnelState(times.toSeq.map(_.toSeq), prev.emitted ++ newly))
+    newly.iterator.map(s => (s, 1L))
+  }
+
+  /** cohort = min anchor week seen (Long.MaxValue = none yet); weeks =
+    * distinct active weeks; emitted = (cohort_week, week_offset) rows
+    * currently counted downstream.
+    */
+  case class RetentionState(cohort: Long, weeks: Seq[Long], emitted: Seq[(Long, Int)])
+
+  private[graft] def retentionUpdate(maxWeeks: Int)(
+      user: Long,
+      rows: Iterator[(Long, Long, Boolean)],
+      state: GroupState[RetentionState]): Iterator[(Long, Int, Long)] = {
+    val prev = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil, Nil))
+    var cohort = prev.cohort
+    val weeks = scala.collection.mutable.Set(prev.weeks: _*)
+    rows.foreach { case (_, w, anchor) =>
+      weeks += w
+      if (anchor) cohort = math.min(cohort, w)
+    }
+    val current: Set[(Long, Int)] =
+      if (cohort == Long.MaxValue) Set.empty
+      else weeks.iterator.map(w => (cohort, (w - cohort).toInt))
+        .filter(p => p._2 >= 0 && p._2 < maxWeeks).toSet
+    val old = prev.emitted.toSet
+    state.update(RetentionState(cohort, weeks.toSeq, current.toSeq))
+    (current -- old).iterator.map(p => (p._1, p._2, 1L)) ++
+      (old -- current).iterator.map(p => (p._1, p._2, -1L))
+  }
+
+  /** Stage `prepared` as `batches` parquet files, stream them one per
+    * trigger through `pipeline`, drain, decouple, return.
+    */
+  private def drain(spark: SparkSession, prepared: DataFrame, batches: Int,
+      rangeCol: String, sinkPrefix: String)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$sinkPrefix")
+    dir.toFile.deleteOnExit()
+    prepared.repartitionByRange(batches, col(rangeCol))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val sinkName = s"graft_${sinkPrefix.replace('-', '_')}_${System.nanoTime()}"
+    val q = pipeline(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+    val drained = spark.table(sinkName).localCheckpoint()
+    spark.catalog.dropTempView(sinkName)
+    drained
+  }
+
+  /** Drive the incremental funnel over the events table in `batches`
+    * micro-batches; the drained table must equal [[Events.funnel]]
+    * under the same DuckDB oracle. (A stage no user ever completes
+    * would be absent here but a zero row in batch — can't happen on a
+    * corpus with all stages populated, and a zero-stage funnel is
+    * vacuous.)
+    */
+  def runFunnel(spark: SparkSession, events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, i).otherwise(acc) }
+    val prepared = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), stageIdx.as("stage_idx"),
+        unix_micros(col("ts")).as("ts_us"))
+    drain(spark, prepared, batches, "ts_us", "funnel-stream") { stream =>
+      stream.as[(Long, Int, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          funnelUpdate(stages))
+        .toDF("stage", "weight")
+        .groupBy(col("stage")).agg(sum(col("weight")).as("n_users"))
+        .filter(col("n_users") > 0)
+    }
+  }
+
+  /** Drive the incremental retention cohorts; the drained table must
+    * equal [[Events.retention]] under the same DuckDB oracle. The
+    * changelog weights make this exact even when a user's cohort week
+    * is revised by a late-arriving signup.
+    */
+  def runRetention(spark: SparkSession, events: DataFrame,
+      anchor: String = "signup", maxWeeks: Int = 4, batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val prepared = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / lit(7L * 24 * 3600)).cast("long").as("week"),
+      (col("event_type") === anchor).as("is_anchor"))
+    drain(spark, prepared, batches, "week", "retention-stream") { stream =>
+      stream.as[(Long, Long, Boolean)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          retentionUpdate(maxWeeks))
+        .toDF("cohort_week", "week_offset", "weight")
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(sum(col("weight")).as("n_users"))
+        .filter(col("n_users") > 0)
+    }
+  }
+}

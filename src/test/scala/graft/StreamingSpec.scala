@@ -117,6 +117,48 @@ class StreamingSpec extends AnyFunSuite {
       (101L, 0) -> 1L, (101L, 1) -> 1L), s"got $r")
   }
 
+  test("streaming funnel: drained changelog equals the batch funnel") {
+    val events = Tables(spark, sfDir, "events")
+    val streamed = graft.streaming.StreamingEvents.runFunnel(spark, events)
+      .collect().map(r => r.getString(r.fieldIndex("stage")) -> r.getLong(r.fieldIndex("n_users"))).toMap
+    val batch = Events.funnel(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("streaming retention: drained changelog equals the batch cohorts") {
+    val events = Tables(spark, sfDir, "events")
+    val streamed = graft.streaming.StreamingEvents.runRetention(spark, events)
+      .collect().map(r => (r.getLong(r.fieldIndex("cohort_week")),
+        r.getInt(r.fieldIndex("week_offset"))) -> r.getLong(r.fieldIndex("n_users"))).toMap
+    val batch = Events.retention(events).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("retention changelog: late signup revises the cohort with -1/+1 weights") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingEvents.{retentionUpdate, RetentionState}
+    def step(rows: Seq[(Long, Long, Boolean)], st: TestGroupState[RetentionState]) =
+      retentionUpdate(4)(1L, rows.iterator, st).toList
+    val st = TestGroupState.create[RetentionState](
+      org.apache.spark.api.java.Optional.empty(), // memory: java.util.Optional does NOT compile here
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(), 0L,
+      org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // batch 1: signup week 101 + activity weeks 101, 102
+    val e1 = step(Seq((1L, 101L, true), (1L, 102L, false)), st)
+    assert(e1.toSet == Set((101L, 0, 1L), (101L, 1, 1L)), s"e1 $e1")
+    // batch 2 (late fact): an EARLIER signup in week 100 moves the
+    // cohort — old rows retract at weight -1, revised rows emit at +1
+    val e2 = step(Seq((1L, 100L, true)), st)
+    assert(e2.toSet == Set((101L, 0, -1L), (101L, 1, -1L),
+      (100L, 0, 1L), (100L, 1, 1L), (100L, 2, 1L)), s"e2 $e2")
+    // net weights per (cohort, offset) row now equal the batch answer
+    val net = (e1 ++ e2).groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).filter(_._2 != 0).toMap
+    assert(net == Map((100L, 0) -> 1L, (100L, 1) -> 1L, (100L, 2) -> 1L), s"net $net")
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
