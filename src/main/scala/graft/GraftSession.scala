@@ -51,6 +51,11 @@ object GraftSession {
       // static conf: default 100-entry codegen class cache evicts and
       // re-pays multi-second compilation in many-query workloads
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // FAIR job scheduling (static conf): concurrent API requests get
+      // round-robin executor time via per-request pools (HttpApi sets
+      // spark.scheduler.pool per handler thread) instead of FIFO
+      // head-of-line blocking behind one big query
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
 
   def apply(master: String = "local[*]", app: String = "graft"): SparkSession = {

@@ -80,6 +80,12 @@ class HttpApi(engine: Engine, port: Int = 8080) {
     */
   private def handle(ex: HttpExchange, path: String, method: String)(f: => Unit): Unit =
     try {
+      // per-request scheduler pool (thread-local): under FAIR mode
+      // (GraftSession) concurrent requests' Spark jobs round-robin
+      // instead of queueing FIFO behind the first big query. Pools are
+      // auto-created per executor thread, so at most poolSize of them.
+      engine.spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", s"graft-api-${Thread.currentThread().getId}")
       if (ex.getRequestURI.getPath != path)
         respond(ex, 404, envelope(null, "not found", 1))
       else if (ex.getRequestMethod != method)

@@ -92,4 +92,44 @@ class HttpApiSpec extends AnyFunSuite {
     assert(r.body().contains("select 42 as answer"))
     assert(r.body().contains("\"status\":\"successful\""))
   }
+
+  test("parallel /fetch + /query/export: every response intact, history consistent") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    // FAIR mode + per-request pools is the serving posture under test
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR")
+    val nFetch = 12
+    val sqls = (0 until nFetch).map(i =>
+      s"select $i as tag, count(*) as n from '$sfDir/nation.parquet' where n_nationkey >= 0")
+    val clientPool = Executors.newFixedThreadPool(16)
+    try {
+      val fetches = sqls.map { s =>
+        clientPool.submit(new Callable[java.net.http.HttpResponse[String]] {
+          def call() = post("/fetch", s"""{"sql": "$s"}""")
+        })
+      }
+      val exports = (0 until 4).map { _ =>
+        clientPool.submit(new Callable[java.net.http.HttpResponse[String]] {
+          def call() = post("/query/export",
+            s"""{"sql": "select n_name from '$sfDir/nation.parquet' order by n_name", "file_type": "CSV"}""")
+        })
+      }
+      // every fetch returns ITS OWN tag (no cross-thread result bleed
+      // through the shared session) and the same nation count
+      fetches.zipWithIndex.foreach { case (f, i) =>
+        val r = f.get(180, TimeUnit.SECONDS)
+        assert(r.statusCode() == 200, s"fetch $i: ${r.body().take(200)}")
+        assert(r.body().contains("\"header\":[\"tag\",\"n\"]"), s"fetch $i header")
+        assert(r.body().contains(s"""["$i","25"]"""), s"fetch $i rows: ${r.body().take(200)}")
+      }
+      exports.foreach { f =>
+        val r = f.get(180, TimeUnit.SECONDS)
+        assert(r.statusCode() == 200)
+        assert(r.body().linesIterator.next() == "n_name")
+      }
+      // the synchronized history log absorbed every concurrent append
+      // intact: all 12 fetch statements present, none torn
+      val hist = get("/query/history").body()
+      sqls.foreach(s => assert(hist.contains(s), s"history lost: $s"))
+    } finally clientPool.shutdown()
+  }
 }
