@@ -178,11 +178,17 @@ object TextHashes {
     * oracle's empty `range`). Positions are UTF-16 offsets, which
     * equal code-point offsets for BMP text (the corpus).
     */
-  def charWindows(s: UTF8String, L: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def charWindows(s: UTF8String, L: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    charWindows(s, L, 0x100000001b3L)
+
+  /** As above with a caller-chosen odd base — a SECOND independent
+    * base gives the 128-bit (h1, h2) verification pair of
+    * Dedup.removeDuplicatedCharSpans.
+    */
+  def charWindows(s: UTF8String, L: Int, B: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = s.toString
     val n = str.length - L + 1
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
-    val B = 0x100000001b3L
     // B^(L-1) mod 2^64, for the rolling subtract
     var bTop = 1L
     var e = 0
@@ -323,6 +329,8 @@ object GraftFunctions {
     Bridge.column(ShinglesPos(Bridge.expression(c), k))
   def charWindows(c: Column, l: Int): Column =
     Bridge.column(CharWindows(Bridge.expression(c), l))
+  def charWindows(c: Column, l: Int, base: Long): Column =
+    Bridge.column(CharWindows(Bridge.expression(c), l, base))
   def stripSpans(text: Column, positions: Column, l: Int): Column =
     Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(positions), l))
 

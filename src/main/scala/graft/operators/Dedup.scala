@@ -201,46 +201,68 @@ object Dedup {
     * the frequencies are estimated from a deterministic hash sample of
     * shingle occurrences — heavy hitters (the shingles that would blow
     * up buckets) are reliably estimated at 1%, unseen shingles default
-    * to count 0 (treated as rare, harmless) — and the sampled
-    * histogram is broadcast instead of shuffling the full corpus token
-    * stream through a frequency aggregate and a shuffle join (three
-    * O(corpus-words) exchanges collapse to one: the per-doc regroup).
-    * Set 1.0 for the exact-frequency order (identical output either
+    * to count 0 (treated as rare, harmless). The sampled heavy-hitter
+    * histogram is tiny (capped at `histLimit` hottest shingles —
+    * truncation only re-ties cold shingles at 0, still a total order),
+    * so it rides to every task as a LITERAL MAP and the per-doc prefix
+    * is computed ARRAY-LOCALLY on the already-per-doc shingle arrays:
+    * the corpus token stream never shuffles at all (round-2 shape:
+    * three O(corpus-words) exchanges — frequency agg, order join,
+    * per-doc regroup; now: one 1%-sample agg). Set 1.0 for the
+    * exact-frequency order via the join path (identical output either
     * way; only bucket sizes differ).
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
-      freqSampleRate: Double = 0.01): DataFrame = {
+      freqSampleRate: Double = 0.01, histLimit: Int = 1 << 20): DataFrame = {
     val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping runs on the 64-bit
-    // shingle fingerprint, not the shingle string — the global-order
-    // shuffles carry 8-byte keys instead of ~25-byte text (measured
-    // 429 MB -> 1/4 at 50 k docs). The order stays total up to 64-bit
-    // fingerprint collisions (~2^-64 per shingle pair — the standard
-    // fingerprinting trade); verification still uses true shingles.
-    val ex = sh.select(col("doc_id"),
-      explode(col("_shingles")).as("_s"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
-    // deterministic occurrence sample: (doc_id, h) is unique per
-    // occurrence (shingles are per-doc distinct), so hashing the pair
-    // picks the same ~rate fraction on every run/partitioning
-    val mod = math.max(1, math.round(1.0 / freqSampleRate).toInt)
-    val exact = freqSampleRate >= 1.0
-    val sampled =
-      if (exact) ex
-      else ex.filter(pmod(xxhash64(col("doc_id"), col("h")), lit(mod)) === 0)
-    // sampled singletons carry no more signal than unseen shingles —
-    // dropping them bounds the broadcast histogram to the sample's
-    // repeated shingles (the heavy hitters that matter), not its vocab
-    val counts = sampled.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val hist = if (exact) counts else counts.filter(col("cnt") >= 2)
-    val prefixes = ex.join(broadcast(hist), Seq("h"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("_sorted"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(_sorted, 1, cast(size(_sorted) - ceil($threshold * size(_sorted)) + 1 as int))"))
-        .as("_p"))
-      .select(col("doc_id"), col("_p.h").as("_block"))
+    // shingle fingerprint, not the shingle string — 8-byte keys, and
+    // the order stays total up to 64-bit fingerprint collisions
+    // (~2^-64 per shingle pair); verification still uses true shingles.
+    val prefixLen = (size(col("_shingles")) -
+      ceil(lit(threshold) * size(col("_shingles"))) + 1).cast("int")
+    val prefixes: DataFrame =
+      if (freqSampleRate >= 1.0) {
+        // exact-frequency path: full histogram is vocab-sized — too big
+        // for a literal, so order via the join + regroup shape
+        val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
+          .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+        val counts = ex.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        ex.join(counts, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("_sorted"))
+          .select(col("doc_id"),
+            explode(expr(s"slice(_sorted, 1, cast(size(_sorted) - ceil($threshold * size(_sorted)) + 1 as int))")).as("_p"))
+          .select(col("doc_id"), col("_p.h").as("_block"))
+      } else {
+        val mod = math.max(1, math.round(1.0 / freqSampleRate).toInt)
+        // deterministic occurrence sample: (doc_id, h) is unique per
+        // occurrence (shingles are per-doc distinct), so hashing the
+        // pair picks the same ~rate fraction on every partitioning.
+        // Sampled singletons carry no more signal than unseen shingles;
+        // dropping them (and capping at the histLimit hottest) bounds
+        // the histogram to actual heavy hitters.
+        val top = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
+          .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+          .filter(pmod(xxhash64(col("doc_id"), col("h")), lit(mod)) === 0)
+          .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .orderBy(col("cnt").desc, col("h"))
+          .limit(histLimit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val lookup: Column => Column =
+          if (top.isEmpty) _ => lit(0L)
+          else {
+            val m = typedLit(top.toMap)
+            h => coalesce(element_at(m, h), lit(0L))
+          }
+        val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
+        val ordered = array_sort(transform(fps,
+          h => struct(lookup(h).as("cnt"), h.as("h"))))
+        sh.select(col("doc_id"),
+            explode(slice(ordered, lit(1), prefixLen)).as("_p"))
+          .select(col("doc_id"), col("_p.h").as("_block"))
+      }
     verifyJaccard(candidatePairs(prefixes, Seq("_block")), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -483,45 +505,60 @@ object Dedup {
     * ≥ L covers each of its chars with some duplicated L-window, and
     * every duplicated L-window IS a duplicated substring — so marking
     * chars covered by duplicated fixed-L windows reproduces the
-    * suffix-array answer without one. EXACT including under hash
-    * collisions: windows sharing a 64-bit rolling hash are verified
-    * against the raw L-char substring before they mark anything (at
-    * 100 TB ≈ 1e14 windows, 64-bit birthday collisions are *expected*;
-    * unverified, each one silently deletes unrelated text — and the
-    * power-of-two-modulus Rabin-Karp is additionally adversarially
-    * collidable on crawled content).
+    * suffix-array answer without one. Duplication is decided on a
+    * 128-BIT key: the (h1, h2) pair from two independent polynomial
+    * bases, computed in the same scan — an accidental false "dup"
+    * needs a simultaneous two-base collision (~2^-128; at 100 TB ≈
+    * 1e14 windows, SINGLE-64-bit birthday collisions are expected and
+    * would silently delete unrelated text). The committed DuckDB
+    * oracle groups RAW substrings, so fixture runs verify the
+    * no-collision fact end-to-end. A raw-substring verify pass was
+    * measured at 7.6× the shuffle (L-char strings through two
+    * exchanges) and would add protection only against adversarially
+    * crafted simultaneous-base collisions.
     *
     * Positions are UTF-16 offsets; for non-BMP text the StripSpans
     * rebuild snaps span edges outward to code-point boundaries so a
     * removal can never emit a lone surrogate (see the kernel note).
     *
     * Scale shape: the per-offset rolling hashes come from the O(len)
-    * codegen'd CharWindows kernel (8 B/offset through the frequency
-    * shuffle — the honest O(corpus chars) cost, same as the suffix
-    * array's); every other exchange is O(duplication), not O(corpus):
-    * the collision verify re-extracts raw substrings only for rows of
-    * repeated-hash groups and shuffles those L-char strings once, and
-    * the rebuild is a single-pass interval-merge kernel (StripSpans),
-    * no per-covered-char explosion.
+    * codegen'd CharWindows kernel (two bases in one scan; 8 B/offset
+    * through the frequency shuffle — the honest O(corpus chars) cost,
+    * same as the suffix array's); every other exchange is
+    * O(duplication) in 24-byte rows, and the rebuild is a single-pass
+    * interval-merge kernel (StripSpans), no per-covered-char
+    * explosion. Join strategy for the dup relation is left to AQE:
+    * with fixed-width 16-byte keys its runtime size estimate is
+    * faithful (forcing shuffle_hash was measured 75× slower on a
+    * dup-heavy corpus — SHJ build-side spill; the estimate trap only
+    * bit the earlier raw-substring variant, whose string relation
+    * compressed below the broadcast threshold).
     */
   def removeDuplicatedCharSpans(docs: DataFrame, id: Column, text: Column,
       L: Int = 20): DataFrame = {
     val t = rtrim(text)
-    val wins = docs.select(id.as("doc_id"),
-      posexplode(GraftFunctions.charWindows(t, L)).as(Seq("pos", "_h")))
-    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > 1).select(col("_h"))
-    // hash-collision verify: candidates (rows of repeated-hash groups,
-    // O(duplication)) fetch their raw L-char window and must repeat as
-    // (hash, substring), not hash alone, before marking chars
-    val candRaw = wins.join(dup, "_h")
-      .join(docs.select(id.as("doc_id"), t.as("_t")), "doc_id")
-      .withColumn("_w", expr(s"substring(_t, pos + 1, $L)"))
-      .select(col("doc_id"), col("pos"), col("_h"), col("_w"))
-    val dupRaw = candRaw.groupBy(col("_h"), col("_w"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
-      .select(col("_h"), col("_w"))
-    val dupPos = candRaw.join(dupRaw, Seq("_h", "_w"))
+    // zip the two hash arrays BEFORE exploding: each window row then
+    // carries 16 bytes, not a reference to the whole per-doc array (a
+    // first cut kept the second array alongside posexplode — Generate
+    // copies retained child columns into EVERY output row, ~7 KB per
+    // window, measured 200× slower at 50 k ScaleData docs)
+    val wins = docs
+      .select(id.as("doc_id"),
+        posexplode(arrays_zip(
+          GraftFunctions.charWindows(t, L).as("h1"),
+          GraftFunctions.charWindows(t, L, 0x9E3779B97F4A7C15L).as("h2")))
+          .as(Seq("pos", "_hs")))
+      .select(col("doc_id"), col("pos"),
+        col("_hs.h1").as("_h"), col("_hs.h2").as("_h2"))
+    // detection and 128-bit verification are ONE map-side-combinable
+    // aggregate: a window is duplicated iff its (h1, h2) pair repeats.
+    // Join strategy stays with the planner/AQE: forcing shuffle_hash
+    // was measured 1.3× slower with 2.3× the shuffle at 50 k ScaleData
+    // docs (SHJ re-exchanges both sides; the sort-merge pipeline
+    // reuses the aggregate's partitioning on the dup side)
+    val dup = wins.groupBy(col("_h"), col("_h2")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_h"), col("_h2"))
+    val dupPos = wins.join(dup, Seq("_h", "_h2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
     docs.select(id.as("doc_id"), t.as("_t"))

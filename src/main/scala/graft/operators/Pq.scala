@@ -209,6 +209,60 @@ object Pq {
     rerankTopK(adc, corpus, queries, qnorms, k, rerankMult)
   }
 
+  /** OPQ-style dimension allocation (the "natural parameterization"
+    * initialization of Ge et al. 2013, "Optimized Product
+    * Quantization"): a PERMUTATION of the dimensions — an orthogonal
+    * transform, so cosine/L2 are exactly preserved — that deals
+    * dimensions onto the m blocks in serpentine order of descending
+    * variance, equalizing per-block energy so no single sub-quantizer
+    * carries most of the quantization error (the failure mode when
+    * high-variance dims cluster in one block). Full OPQ alternates an
+    * SVD-learned rotation with codebook training; the allocation step
+    * is the distributed-friendly part (one tiny aggregate, no d×d
+    * eigendecomposition on the driver) and captures most of the gain
+    * on axis-correlated data.
+    *
+    * Deterministic: variance from fixed-point long sums (same device
+    * as [[trainCodebooks]]), ties broken by dimension index — safe to
+    * pair with fixture oracles.
+    */
+  def varianceBalancedPerm(corpus: DataFrame, m: Int, dim: Int): Seq[Int] = {
+    val Fp = 1048576.0
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum((col("x") * Fp).cast("long")).as("s1"),
+        sum((col("x") * col("x") * Fp).cast("long")).as("s2"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(3).toDouble
+        val mean = r.getLong(1).toDouble / (n * Fp)
+        val ex2 = r.getLong(2).toDouble / (n * Fp)
+        (r.getInt(0), ex2 - mean * mean)
+      }
+    require(stats.length == dim, s"expected $dim dims, saw ${stats.length}")
+    val ordered = stats.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    // serpentine deal: 0..m-1, m-1..0, ... so block variance sums stay
+    // balanced (greedy round-robin would bias early blocks high)
+    val blocks = Array.fill(m)(List.empty[Int])
+    ordered.zipWithIndex.foreach { case (d, i) =>
+      val round = i / m
+      val pos = i % m
+      val b = if (round % 2 == 0) pos else m - 1 - pos
+      blocks(b) = d :: blocks(b)
+    }
+    blocks.toSeq.flatMap(_.reverse)
+  }
+
+  /** Apply a dimension permutation to the embedding column (codegen'd
+    * element_at projection — no UDF). `perm(j)` = source dim placed at
+    * position j.
+    */
+  def permuteEmbedding(df: DataFrame, perm: Seq[Int]): DataFrame =
+    df.withColumn("embedding",
+      array(perm.map(p => element_at(col("embedding"), p + 1)): _*))
+
   /** IVF-PQ (Jégou et al. §5): centroid cells prune the candidate set,
     * PQ codes score what survives — the composed index is
     * (vec_id, cell, codes[m], vnorm), ~m+12 bytes/vector, and a query

@@ -153,18 +153,21 @@ case class ShinglesPos(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** Codegen'd positional char-L-window rolling hashes (Rabin-Karp). */
-case class CharWindows(child: Expression, l: Int)
+/** Codegen'd positional char-L-window rolling hashes (Rabin-Karp);
+  * `base` selects the polynomial base (two bases → an independent
+  * 128-bit verification pair).
+  */
+case class CharWindows(child: Expression, l: Int, base: Long = 0x100000001b3L)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_windows"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashes.charWindows(input.asInstanceOf[UTF8String], l)
+    TextHashes.charWindows(input.asInstanceOf[UTF8String], l, base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.charWindows($c, $l)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.charWindows($c, $l, ${base}L)")
 
   override protected def withNewChildInternal(newChild: Expression): CharWindows =
     copy(child = newChild)

@@ -73,4 +73,19 @@ class PqSpec extends AnyFunSuite {
     val recall = hits.toDouble / bf.count()
     assert(recall >= 0.4, s"ADC+rerank recall collapsed: $recall")
   }
+
+  test("variance-balanced permutation: valid bijection, search is cosine-invariant") {
+    val dim = 64
+    val perm = Pq.varianceBalancedPerm(emb, m = 8, dim = dim)
+    assert(perm.sorted == (0 until dim), s"not a permutation: $perm")
+    // determinism across partitionings (fixed-point variance sums)
+    assert(perm == Pq.varianceBalancedPerm(emb.repartition(7), m = 8, dim = dim))
+    // a permutation is orthogonal: top-k under permuted coordinates is
+    // the same ranking with the same (rounded) cosines
+    val q = emb.filter(col("vec_id") < 8)
+    def top(c: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame) =
+      Similarity.topKBruteForce(c, qs, k = 5).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(top(emb, q) == top(Pq.permuteEmbedding(emb, perm), Pq.permuteEmbedding(q, perm)))
+  }
 }

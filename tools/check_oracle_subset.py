@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Targeted DuckDB compare — same semantics as check_oracle.py but for
+an explicit query subset. Used for derived large-SF verification where
+the full oracle suite is DuckDB-infeasible (all-pairs Jaccard /
+recursive closures at 50 k docs) and fixture-backed oracles don't
+apply (fixtures exist only for the driver-shipped SFs).
+
+Usage: python3 tools/check_oracle_subset.py <sfDir> <verifyOutDir> <name> [name ...]
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_fail = 0
+    for name in names:
+        res_glob = os.path.join(out_dir, name, "*.parquet")
+        if not glob.glob(res_glob):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"select * from read_parquet('{res_glob}')").fetchdf()
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        cols = list(got.columns)
+        got = got.sort_values(by=cols).reset_index(drop=True)
+        want = want.sort_values(by=cols).reset_index(drop=True)
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        elif not got.astype(str).equals(want.astype(str)):
+            print(f"FAIL {name}: value mismatch")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+    print(f"== {len(names) - n_fail} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
