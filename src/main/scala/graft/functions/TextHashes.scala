@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -273,6 +273,41 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(mn, mx))
   }
 
+  /** Frequency-ordered prefix kernel for AllPairs prefix filtering:
+    * given a doc's shingle fingerprints and a (sorted-key, count)
+    * heavy-hitter histogram, sort the fps by (count, fp) — unseen fps
+    * count 0 — and return the first `n - ceil(threshold*n) + 1`
+    * (the prefix whose emptiness would certify Jaccard < threshold).
+    * All array-local: one binary search per fp, one local sort, no
+    * shuffle. Matches the SQL `array_sort(struct(cnt, h))` + `slice`
+    * ordering exactly (struct compare = field-by-field; ceil on the
+    * same IEEE double product).
+    */
+  def prefixByFreq(fps: org.apache.spark.sql.catalyst.util.ArrayData,
+      keys: Array[Long], vals: Array[Long], threshold: Double):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = fps.numElements()
+    val take = math.min(n.toLong,
+      math.max(0L, n - math.ceil(threshold * n).toLong + 1L)).toInt
+    if (take <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val pairs = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) {
+      val h = fps.getLong(i)
+      val j = java.util.Arrays.binarySearch(keys, h)
+      val cnt = if (j >= 0) vals(j) else 0L
+      pairs(i) = (cnt, h)
+      i += 1
+    }
+    java.util.Arrays.sort(pairs.asInstanceOf[Array[AnyRef]],
+      implicitly[Ordering[(Long, Long)]].asInstanceOf[java.util.Comparator[AnyRef]])
+    val out = new Array[Long](take)
+    i = 0
+    while (i < take) { out(i) = pairs(i)._2; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -333,6 +368,9 @@ object GraftFunctions {
     Bridge.column(CharWindows(Bridge.expression(c), l, base))
   def stripSpans(text: Column, positions: Column, l: Int): Column =
     Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(positions), l))
+  def freqPrefix(fps: Column, keys: Array[Long], vals: Array[Long],
+      threshold: Double): Column =
+    Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
   def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =

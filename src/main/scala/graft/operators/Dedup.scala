@@ -105,7 +105,15 @@ object Dedup {
     */
   private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int): DataFrame = {
     val sh = shingled(docs, k)
-    pairs
+    // candidate pairs are BYTE-tiny but COMPUTE-heavy (set ops over
+    // ~100-element shingle arrays per pair), so AQE's size-based
+    // coalesce funnels them into one partition and the verify runs
+    // single-threaded — measured 9.6 s vs 2.3 s at 202 k pairs. The
+    // explicit partition count pins the exchange against re-coalesce;
+    // the exchange itself moves only 16-byte id pairs.
+    val spread = pairs.repartition(
+      pairs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_a"))
+    spread
       .join(sh.select(col("doc_id").as("doc_a"), col("_shingles").as("_sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("_shingles").as("_sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -191,78 +199,69 @@ object Dedup {
     * so bucket sizes stay tiny at scale; candidates are then verified
     * with exact Jaccard as usual.
     *
-    * Cost: one sampled shingle-frequency aggregate + one broadcast
-    * join + one per-doc sort-and-slice. This is the exact-result path;
-    * minhashLsh remains the probabilistic one.
+    * Cost: one shingle-frequency aggregate (map-side combined, 8-byte
+    * fp keys) + one per-doc array-local order-and-cut. This is the
+    * exact-result path; minhashLsh remains the probabilistic one.
     *
-    * `freqSampleRate`: the global frequency order exists ONLY to make
-    * pruning effective (rare shingles first ⇒ tiny blocking buckets);
-    * ANY total order keeps recall exactly 1 by the prefix theorem. So
-    * the frequencies are estimated from a deterministic hash sample of
-    * shingle occurrences — heavy hitters (the shingles that would blow
-    * up buckets) are reliably estimated at 1%, unseen shingles default
-    * to count 0 (treated as rare, harmless). The sampled heavy-hitter
-    * histogram is tiny (capped at `histLimit` hottest shingles —
-    * truncation only re-ties cold shingles at 0, still a total order),
-    * so it rides to every task as a LITERAL MAP and the per-doc prefix
-    * is computed ARRAY-LOCALLY on the already-per-doc shingle arrays:
-    * the corpus token stream never shuffles at all (round-2 shape:
-    * three O(corpus-words) exchanges — frequency agg, order join,
-    * per-doc regroup; now: one 1%-sample agg). Set 1.0 for the
-    * exact-frequency order via the join path (identical output either
-    * way; only bucket sizes differ).
+    * The global frequency order exists ONLY to make pruning effective
+    * (rare shingles first ⇒ tiny blocking buckets); ANY total order
+    * keeps recall exactly 1 by the prefix theorem. The order ships to
+    * tasks as a bounded histogram: the `histLimit` hottest repeated
+    * shingles (TakeOrdered — no full-vocab driver collect), as two
+    * sorted primitive arrays; unlisted shingles count 0. Dropping
+    * singletons to 0 is order-preserving (they only ever tied with
+    * each other), so below `histLimit` the candidate set is IDENTICAL
+    * to a full exact-frequency order; above it, truncation re-ties
+    * only the coldest shingles. The per-doc prefix is then computed
+    * ARRAY-LOCALLY (codegen'd FreqOrderedPrefix kernel) on the
+    * already-per-doc shingle arrays — the round-2 shape's order join
+    * and per-doc regroup (two more O(corpus-words) exchanges) are
+    * gone, and the one remaining aggregate moves O(distinct
+    * fingerprints), not O(corpus words), thanks to partial aggregation.
+    *
+    * `freqSampleRate` < 1 additionally estimates the histogram from a
+    * deterministic hash sample of shingle occurrences — the zero-
+    * corpus-shuffle posture for when even the frequency aggregate is
+    * too much. Output pairs are unchanged (the verify is exact either
+    * way) but pruning degrades: mid-frequency shingles the sample
+    * misses tie at 0 and inflate buckets — measured 1.6x the
+    * candidates and 4x the wall time at sf0.1, so the exact histogram
+    * is the default.
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
-      freqSampleRate: Double = 0.01, histLimit: Int = 1 << 20): DataFrame = {
+      freqSampleRate: Double = 1.0, histLimit: Int = 1 << 20): DataFrame = {
     val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping runs on the 64-bit
     // shingle fingerprint, not the shingle string — 8-byte keys, and
     // the order stays total up to 64-bit fingerprint collisions
     // (~2^-64 per shingle pair); verification still uses true shingles.
-    val prefixLen = (size(col("_shingles")) -
-      ceil(lit(threshold) * size(col("_shingles"))) + 1).cast("int")
-    val prefixes: DataFrame =
-      if (freqSampleRate >= 1.0) {
-        // exact-frequency path: full histogram is vocab-sized — too big
-        // for a literal, so order via the join + regroup shape
-        val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
-          .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
-        val counts = ex.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        ex.join(counts, Seq("h"))
-          .groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("_sorted"))
-          .select(col("doc_id"),
-            explode(expr(s"slice(_sorted, 1, cast(size(_sorted) - ceil($threshold * size(_sorted)) + 1 as int))")).as("_p"))
-          .select(col("doc_id"), col("_p.h").as("_block"))
-      } else {
-        val mod = math.max(1, math.round(1.0 / freqSampleRate).toInt)
-        // deterministic occurrence sample: (doc_id, h) is unique per
-        // occurrence (shingles are per-doc distinct), so hashing the
-        // pair picks the same ~rate fraction on every partitioning.
-        // Sampled singletons carry no more signal than unseen shingles;
-        // dropping them (and capping at the histLimit hottest) bounds
-        // the histogram to actual heavy hitters.
-        val top = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
-          .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
-          .filter(pmod(xxhash64(col("doc_id"), col("h")), lit(mod)) === 0)
-          .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 2)
-          .orderBy(col("cnt").desc, col("h"))
-          .limit(histLimit)
-          .collect().map(r => r.getLong(0) -> r.getLong(1))
-        val lookup: Column => Column =
-          if (top.isEmpty) _ => lit(0L)
-          else {
-            val m = typedLit(top.toMap)
-            h => coalesce(element_at(m, h), lit(0L))
-          }
-        val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
-        val ordered = array_sort(transform(fps,
-          h => struct(lookup(h).as("cnt"), h.as("h"))))
-        sh.select(col("doc_id"),
-            explode(slice(ordered, lit(1), prefixLen)).as("_p"))
-          .select(col("doc_id"), col("_p.h").as("_block"))
-      }
+    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    // deterministic occurrence sample: (doc_id, h) is unique per
+    // occurrence (shingles are per-doc distinct), so hashing the pair
+    // picks the same ~rate fraction on every partitioning
+    val mod = math.max(1, math.round(1.0 / freqSampleRate).toInt)
+    val sampled = if (mod <= 1) ex
+      else ex.filter(pmod(xxhash64(col("doc_id"), col("h")), lit(mod)) === 0)
+    val top = sampled
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("h"))
+      .limit(histLimit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // the histogram rides to tasks as two sorted primitive arrays
+    // (codegen reference objects); the whole per-doc order-and-cut
+    // happens in one array-local kernel — binary-searched counts,
+    // local sort, prefix out. (element_at on a literal MAP is a linear
+    // scan per lookup — O(shingles x histogram), measured 3.6x slower
+    // whole-query at 5 k docs; the kernel is O(log K).)
+    val keys = top.map(_._1)
+    val vals = top.map(_._2)
+    val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
+    val prefixes = sh.select(col("doc_id"),
+      explode(GraftFunctions.freqPrefix(fps, keys, vals, threshold))
+        .as("_block"))
     verifyJaccard(candidatePairs(prefixes, Seq("_block")), docs, k)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

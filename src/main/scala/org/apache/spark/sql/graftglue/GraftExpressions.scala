@@ -173,6 +173,34 @@ case class CharWindows(child: Expression, l: Int, base: Long = 0x100000001b3L)
     copy(child = newChild)
 }
 
+/** Codegen'd frequency-ordered prefix for AllPairs prefix filtering:
+  * per-doc shingle fps → the `n - ceil(threshold*n) + 1` rarest by
+  * (count, fp), counts binary-searched from a task-local sorted
+  * histogram (arrays ride in as codegen reference objects — O(log K)
+  * per fp, vs the linear scan of element_at on a literal map, which
+  * measured 3.6x slower whole-query at 5 k docs).
+  */
+case class FreqOrderedPrefix(child: Expression, keys: Array[Long],
+    vals: Array[Long], threshold: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "freq_ordered_prefix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.prefixByFreq(input.asInstanceOf[ArrayData], keys, vals, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("fpKeys", keys, "long[]")
+    val valsRef = ctx.addReferenceObj("fpVals", vals, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.prefixByFreq($c, $keysRef, $valsRef, $threshold)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FreqOrderedPrefix =
+    copy(child = newChild)
+}
+
 /** Codegen'd span removal: drop chars covered by L-windows at the
   * given ASCENDING start offsets (single-pass interval merge).
   */
