@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -308,6 +308,30 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Jaccard of two SORTED long-fingerprint sets by linear merge —
+    * no intersection/union arrays are materialized (array_intersect +
+    * array_union allocate both per pair just to take their sizes).
+    * Elements are assumed distinct within each input (shingle sets
+    * are per-doc distinct), so |union| = na + nb - |common|.
+    */
+  def jaccardSortedFp(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common.toDouble / (na + nb - common)
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -371,6 +395,8 @@ object GraftFunctions {
   def freqPrefix(fps: Column, keys: Array[Long], vals: Array[Long],
       threshold: Double): Column =
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
+  def jaccardSortedFp(a: Column, b: Column): Column =
+    Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
   def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =

@@ -99,26 +99,34 @@ object Dedup {
             .stripMargin)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-  /** Fetch shingle sets for both sides of candidate pairs and compute
-    * exact Jaccard. Shared with the streaming path (stream-static
-    * joins use the same expression).
+  /** Fetch shingle-set fingerprints for both sides of candidate pairs
+    * and compute Jaccard (exact modulo 2^-64 fingerprint collisions —
+    * the same device the prefix ordering runs on). Shared with the
+    * streaming path (stream-static joins use the same expression).
+    *
+    * Two measured choices:
+    *  - Jaccard runs on SORTED 64-bit fingerprint arrays through a
+    *    linear-merge kernel. array_intersect + array_union on string
+    *    arrays MATERIALIZE both result arrays per pair just to take
+    *    their sizes — on a clone-heavy corpus (20 M candidates, sf1d)
+    *    that allocation churn was the dominant cost of the whole op.
+    *  - candidate pairs are BYTE-tiny but COMPUTE-heavy, so AQE's
+    *    size-based coalesce funnels them into one partition and the
+    *    verify runs single-threaded — measured 9.6 s vs 2.3 s at
+    *    202 k pairs. The explicit partition count pins the exchange
+    *    against re-coalesce; it moves only 16-byte id pairs.
     */
   private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int): DataFrame = {
-    val sh = shingled(docs, k)
-    // candidate pairs are BYTE-tiny but COMPUTE-heavy (set ops over
-    // ~100-element shingle arrays per pair), so AQE's size-based
-    // coalesce funnels them into one partition and the verify runs
-    // single-threaded — measured 9.6 s vs 2.3 s at 202 k pairs. The
-    // explicit partition count pins the exchange against re-coalesce;
-    // the exchange itself moves only 16-byte id pairs.
+    val sh = shingled(docs, k).select(col("doc_id"),
+      array_sort(transform(col("_shingles"),
+        s => GraftFunctions.fnv1a64(s))).as("_fps"))
     val spread = pairs.repartition(
       pairs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_a"))
     spread
-      .join(sh.select(col("doc_id").as("doc_a"), col("_shingles").as("_sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("_shingles").as("_sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("_fps").as("_fp_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("_fps").as("_fp_b")), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))))
+        GraftFunctions.jaccardSortedFp(col("_fp_a"), col("_fp_b")))
   }
 
   /** MinHash + LSH near-dup pairs: k-shingles → `bands`×`rowsPerBand`
@@ -231,10 +239,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
       freqSampleRate: Double = 1.0, histLimit: Int = 1 << 20): DataFrame = {
     val sh = shingled(docs, k)
-    // all frequency/order/blocking bookkeeping runs on the 64-bit
-    // shingle fingerprint, not the shingle string — 8-byte keys, and
-    // the order stays total up to 64-bit fingerprint collisions
-    // (~2^-64 per shingle pair); verification still uses true shingles.
+    // all frequency/order/blocking bookkeeping — and the Jaccard
+    // verify itself (see verifyJaccard) — runs on the 64-bit shingle
+    // fingerprint, not the shingle string: 8-byte keys, exact up to
+    // 2^-64-probability fingerprint collisions per shingle pair.
     val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
     // deterministic occurrence sample: (doc_id, h) is unique per

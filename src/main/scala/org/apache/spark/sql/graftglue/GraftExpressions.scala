@@ -201,6 +201,28 @@ case class FreqOrderedPrefix(child: Expression, keys: Array[Long],
     copy(child = newChild)
 }
 
+/** Codegen'd Jaccard of two sorted long-fingerprint sets (linear
+  * merge, no intersection/union materialization — measured the
+  * dominant cost of candidate verification on clone-heavy corpora).
+  */
+case class JaccardSortedFp(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted_fp"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.jaccardSortedFp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes$$.MODULE$$.jaccardSortedFp($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSortedFp =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd span removal: drop chars covered by L-windows at the
   * given ASCENDING start offsets (single-pass interval merge).
   */

@@ -51,8 +51,25 @@ def main():
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
-        elif not got.astype(str).equals(want.astype(str)):
-            print(f"FAIL {name}: value mismatch")
+            continue
+        # float columns compare with a relative tolerance: at derived-SF
+        # data volumes Spark and DuckDB legitimately diverge by ~1 ulp
+        # on decimal-product precision rules (observed 1.75e-16 rel on
+        # q01 sum_charge at 10x sf0.1); the strict check_oracle.py gate
+        # (exact string compare, mirroring the driver) stays as is.
+        ok = True
+        for c in cols:
+            if got[c].dtype.kind == "f":
+                denom = want[c].abs().combine(got[c].abs(), max).fillna(0.0)
+                bad = ((got[c] - want[c]).abs() > 1e-12 * denom.where(denom > 0, 1.0))
+                bad |= got[c].isna() != want[c].isna()
+            else:
+                bad = got[c].astype(str) != want[c].astype(str)
+            if bad.any():
+                print(f"FAIL {name}: column {c}, {int(bad.sum())} rows differ")
+                ok = False
+                break
+        if not ok:
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
