@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -384,6 +384,17 @@ object LlmOps {
       bits = 10, threshold = 0.35, tables = 4)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** SemDeDup semantic dedup (SemanticDedup.scala): Lloyd-trained
+    * k-means cells, intra-cell cosine pairs, keep the least
+    * prototypical member per duplicate group. Gated on the trained
+    * configuration (2 Lloyd iters — bit-reproducible via the
+    * fixed-point mean update), mirrored by make_expected
+    * gen_dedup_semantic.
+    */
+  def dedup_semantic(spark: SparkSession, dir: String): DataFrame =
+    SemanticDedup.semantic(Tables(spark, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -558,6 +569,7 @@ object LlmOps {
     "dedup_stream_minhash" -> (dedup_stream_minhash _),
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
     "dedup_embed_cosine_mt" -> (dedup_embed_cosine_mt _),
+    "dedup_semantic" -> (dedup_semantic _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
     "quality_quantiles" -> (quality_quantiles _),
@@ -1065,6 +1077,7 @@ object LlmOps {
     "sim_topk_ivfpq" -> fixtureSql("sim_topk_ivfpq", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
+    "dedup_semantic" -> fixtureSql("dedup_semantic", "embeddings"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

@@ -335,6 +335,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits == Map(2L -> 1L), s"got $hits")
   }
 
+  test("semantic dedup groups = closure of intra-cluster cosine pairs") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val verdict = operators.SemanticDedup.semantic(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(verdict.keySet == vecs.keySet, "one verdict row per input vector")
+    // driver-side reference: union-find over all same-cluster pairs with
+    // cosine >= tau, using the operator's own cluster assignment
+    val tau = 0.4
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    verdict.groupBy(_._2._1).values.foreach { members =>
+      val ids = members.keys.toArray.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        if (cos(vecs(ids(i)), vecs(ids(j))) >= tau) {
+          val (ra, rb) = (find(ids(i)), find(ids(j)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+    }
+    verdict.foreach { case (vid, (_, grp, _)) =>
+      assert(grp == find(vid), s"vec $vid group label")
+    }
+    // exactly one kept representative per group
+    val byGrp = verdict.values.groupBy(_._2)
+    byGrp.foreach { case (grp, vs) =>
+      assert(vs.count(_._3) == 1, s"group $grp must keep exactly one member")
+    }
+    assert(byGrp.exists(_._2.size > 1), "corpus should contain semantic dups")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

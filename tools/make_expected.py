@@ -496,6 +496,60 @@ def gen_dedup_embed_cosine_mt(emb, bits=10, tables=4, threshold=0.35):
     return _embed_cosine_pairs(emb, bits, tables, threshold)
 
 
+def gen_dedup_semantic(emb, n_clusters=16, iters=2, tau=0.4):
+    """Mirror of SemanticDedup.semantic: whole-vector Lloyd centroids
+    via train_books(m=1) (fixed-point means), argmin-L2 assignment
+    with (dist, cid) tie-break, intra-cluster cosine pairs >= tau,
+    min-id union-find groups, keep = min (centroid_cosine, vec_id)
+    per group (SemDeDup's farthest-from-centroid rule)."""
+    dim = len(emb[0]["embedding"])
+    books = train_books(emb, 1, n_clusters, dim, iters)[0]
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    assign, ccos = {}, {}
+    for e in emb:
+        v = e["embedding"]
+        dists = [(cn2 - 2.0 * dot(v, cent), cid) for cid, cent, cn2 in books]
+        _, cid = min(dists)
+        assign[e["vec_id"]] = cid
+        cent, cn2 = next((c, n2) for ci, c, n2 in books if ci == cid)
+        ccos[e["vec_id"]] = dot(v, cent) / (norms[e["vec_id"]] * cn2 ** 0.5)
+    clusters = {}
+    for vid, cid in assign.items():
+        clusters.setdefault(cid, []).append(vid)
+    parent = {vid: vid for vid in assign}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in clusters.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                if dot(vecs[a], vecs[b]) / (norms[a] * norms[b]) >= tau:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # min-id as root, mirroring componentMap labels
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for vid in assign:
+        groups.setdefault(find(vid), []).append(vid)
+    keep = {}
+    for grp, members in groups.items():
+        keep[grp] = min((ccos[v], v) for v in members)[1]
+    rows = sorted((vid, assign[vid], find(vid)) for vid in assign)
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cid": pa.array([r[1] for r in rows], pa.int64()),
+        "grp": pa.array([r[2] for r in rows], pa.int64()),
+        "keep": pa.array([keep[r[2]] == r[0] for r in rows], pa.bool_()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -510,6 +564,7 @@ GENERATORS = {
     "sim_topk_ivfpq": ("embeddings", gen_sim_topk_ivfpq),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
+    "dedup_semantic": ("embeddings", gen_dedup_semantic),
 }
 
 
