@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -41,14 +42,17 @@ object SemanticDedup {
     * prototypical example, which preserves diversity where keep-any
     * would collapse toward cluster centers.
     */
-  def semantic(emb: DataFrame, nClusters: Int = 16, iters: Int = 2,
-      tau: Double = 0.4, dim: Int = 64): DataFrame = {
+  /** Lloyd-trained cluster assignment: one row per input vector with
+    * its argmin-L2 cluster id and centroid-cosine (prototypicality).
+    * The shared first stage of [[semantic]] and [[prunePrototypes]] —
+    * an argmin over BROADCAST centroids folded into a partial-
+    * aggregate struct-min, so the only corpus-sized exchange carries
+    * one row per vector. Caller unpersists via the returned frame.
+    */
+  def assign(emb: DataFrame, nClusters: Int, iters: Int, dim: Int): DataFrame = {
     val cents = Pq.trainCodebooks(emb, m = 1, ksub = nClusters, dim = dim,
       iters = iters).select(col("cid"), col("cent"), col("cn2"))
-    // assign: argmin-L2 over broadcast centroids, (dist, cid) struct
-    // min — one row per vector leaves the partial aggregate. The
-    // centroid-cosine rides along for the keep rule.
-    val assigned = emb
+    emb
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("_vn"))
       .join(broadcast(cents))
       .withColumn("_dist", col("cn2") - lit(2.0) * vecDot(col("embedding"), col("cent")))
@@ -59,6 +63,11 @@ object SemanticDedup {
       .select(col("vec_id"), col("_b._dist").as("_dist"), col("_b.cid").as("cid"),
         col("_b._cc").as("_ccos"), col("_b.embedding").as("embedding"),
         col("_b._vn").as("_vn"))
+  }
+
+  def semantic(emb: DataFrame, nClusters: Int = 16, iters: Int = 2,
+      tau: Double = 0.4, dim: Int = 64): DataFrame = {
+    val assigned = assign(emb, nClusters, iters, dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cluster-local pair scan: each side shuffles the corpus once,
     // keyed by cid; the quadratic stays inside a cell.
@@ -83,5 +92,36 @@ object SemanticDedup {
     verdict.join(keepers, Seq("grp"))
       .select(col("vec_id"), col("cid"), col("grp"),
         (col("vec_id") === col("_keep_id")).as("keep"))
+  }
+
+  /** SSL-prototype / D4-style data pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486; Tirumala et al. 2023 D4): rank each vector by
+    * prototypicality (cosine to its k-means centroid) and PRUNE the
+    * most prototypical `pruneFrac` of every cluster — with abundant
+    * data, easy/redundant prototypical examples contribute least to
+    * training, so dropping them per-cluster preserves coverage of the
+    * embedding space where a global quality cut would not.
+    *
+    * Output: (vec_id, cid, rank, n_cluster, keep) — rank 1 = most
+    * prototypical in its cluster (ties by vec_id), keep = rank past
+    * the pruned prefix.
+    *
+    * Scale shape: centroid training/assignment as in [[assign]]
+    * (broadcast centroids, one row per vector through the exchanges);
+    * the ranking is ONE shuffle keyed by cluster id followed by a
+    * partition-local sort — per-cell work is bounded because
+    * `nClusters` scales as ~n/1000 (the SemDeDup operating rule), so
+    * no single cell's sort grows with the corpus.
+    */
+  def prunePrototypes(emb: DataFrame, nClusters: Int = 16, iters: Int = 2,
+      pruneFrac: Double = 0.25, dim: Int = 64): DataFrame = {
+    val byCell = Window.partitionBy(col("cid"))
+    val protoOrder = byCell.orderBy(col("_ccos").desc, col("vec_id"))
+    assign(emb, nClusters, iters, dim)
+      .select(col("vec_id"), col("cid"), col("_ccos"))
+      .withColumn("rank", row_number().over(protoOrder))
+      .withColumn("n_cluster", count(lit(1)).over(byCell))
+      .withColumn("keep", col("rank") > floor(lit(pruneFrac) * col("n_cluster")))
+      .select(col("vec_id"), col("cid"), col("rank"), col("n_cluster"), col("keep"))
   }
 }

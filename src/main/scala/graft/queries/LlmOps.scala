@@ -395,6 +395,15 @@ object LlmOps {
     SemanticDedup.semantic(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  /** SSL-prototype/D4 pruning (SemanticDedup.prunePrototypes): rank
+    * by centroid-cosine within each k-means cell, prune the most
+    * prototypical 25% per cell. Mirrored by make_expected
+    * gen_data_prune_prototypes.
+    */
+  def data_prune_prototypes(spark: SparkSession, dir: String): DataFrame =
+    SemanticDedup.prunePrototypes(Tables(spark, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -570,6 +579,7 @@ object LlmOps {
     "dedup_embed_cosine" -> (dedup_embed_cosine _),
     "dedup_embed_cosine_mt" -> (dedup_embed_cosine_mt _),
     "dedup_semantic" -> (dedup_semantic _),
+    "data_prune_prototypes" -> (data_prune_prototypes _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
     "quality_quantiles" -> (quality_quantiles _),
@@ -1078,6 +1088,7 @@ object LlmOps {
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "dedup_semantic" -> fixtureSql("dedup_semantic", "embeddings"),
+    "data_prune_prototypes" -> fixtureSql("data_prune_prototypes", "embeddings"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

@@ -373,6 +373,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byGrp.exists(_._2.size > 1), "corpus should contain semantic dups")
   }
 
+  test("prototype pruning drops floor(frac*n) most-prototypical per cluster") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val out = operators.SemanticDedup.prunePrototypes(emb, pruneFrac = 0.25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == emb.count(), "one verdict row per vector")
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val n = rows.length
+      assert(rows.forall(_._4 == n), s"cluster $cid count column")
+      assert(rows.map(_._3).sorted.toSeq == (1 to n), s"cluster $cid ranks are 1..n")
+      val pruned = rows.count(!_._5)
+      assert(pruned == math.floor(0.25 * n).toInt, s"cluster $cid prunes floor(frac*n)")
+      // the pruned prefix is exactly the lowest ranks (most prototypical)
+      assert(rows.filter(!_._5).map(_._3).sorted.toSeq == (1 to pruned),
+        s"cluster $cid prunes the rank prefix")
+    }
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

@@ -550,6 +550,42 @@ def gen_dedup_semantic(emb, n_clusters=16, iters=2, tau=0.4):
     })
 
 
+def gen_data_prune_prototypes(emb, n_clusters=16, iters=2, prune_frac=0.25):
+    """Mirror of SemanticDedup.prunePrototypes: same train/assign as
+    gen_dedup_semantic, rank per cluster by (centroid_cosine desc,
+    vec_id), keep = rank > floor(prune_frac * cluster_size)."""
+    import math
+    dim = len(emb[0]["embedding"])
+    books = train_books(emb, 1, n_clusters, dim, iters)[0]
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    assign, ccos = {}, {}
+    for e in emb:
+        v = e["embedding"]
+        dists = [(cn2 - 2.0 * dot(v, cent), cid) for cid, cent, cn2 in books]
+        _, cid = min(dists)
+        assign[e["vec_id"]] = cid
+        cent, cn2 = next((c, n2) for ci, c, n2 in books if ci == cid)
+        ccos[e["vec_id"]] = dot(v, cent) / (norms[e["vec_id"]] * cn2 ** 0.5)
+    clusters = {}
+    for vid, cid in assign.items():
+        clusters.setdefault(cid, []).append(vid)
+    rank, nclus = {}, {}
+    for members in clusters.values():
+        order = sorted(members, key=lambda v: (-ccos[v], v))
+        for i, v in enumerate(order):
+            rank[v] = i + 1
+            nclus[v] = len(members)
+    rows = sorted(assign)
+    return pa.table({
+        "vec_id": pa.array(rows, pa.int64()),
+        "cid": pa.array([assign[v] for v in rows], pa.int64()),
+        "rank": pa.array([rank[v] for v in rows], pa.int32()),
+        "n_cluster": pa.array([nclus[v] for v in rows], pa.int64()),
+        "keep": pa.array(
+            [rank[v] > math.floor(prune_frac * nclus[v]) for v in rows], pa.bool_()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -565,6 +601,7 @@ GENERATORS = {
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
+    "data_prune_prototypes": ("embeddings", gen_data_prune_prototypes),
 }
 
 
