@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -332,6 +332,83 @@ object TextHashes {
     common.toDouble / (na + nb - common)
   }
 
+  /** Initial BPE symbol sequence of a word: one symbol per CODE POINT
+    * (surrogate pairs stay together, matching Python's per-character
+    * iteration in the oracle mirror) plus the `</w>` end-of-word
+    * marker that lets merges distinguish word-final from word-internal
+    * contexts — the classic Sennrich et al. 2016 setup.
+    */
+  def bpeInitSyms(w: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = w.toString
+    val out = new java.util.ArrayList[AnyRef](str.length + 1)
+    var i = 0
+    while (i < str.length) {
+      val n = Character.charCount(str.codePointAt(i))
+      out.add(UTF8String.fromString(str.substring(i, i + n)))
+      i += n
+    }
+    out.add(UTF8String.fromString("</w>"))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  /** Apply learned BPE merges IN RANK ORDER to a symbol sequence: for
+    * each merge one greedy left-to-right pass replaces every
+    * non-overlapping adjacent (left, right) with their concatenation.
+    * Deterministic and incremental-equivalent (re-applying the full
+    * chain from the initial symbols equals extending a previously
+    * merged sequence), which is what lets the trainer recompute symbol
+    * columns purely from the persisted word relation each round.
+    */
+  def bpeApply(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      lefts: Array[UTF8String], rights: Array[UTF8String]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    var cur = new Array[UTF8String](syms.numElements())
+    var i = 0
+    while (i < cur.length) { cur(i) = syms.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < lefts.length) {
+      val l = lefts(m)
+      val r = rights(m)
+      val n = cur.length
+      val next = new Array[UTF8String](n)
+      var src = 0
+      var dst = 0
+      while (src < n) {
+        if (src + 1 < n && cur(src).equals(l) && cur(src + 1).equals(r)) {
+          next(dst) = UTF8String.concat(l, r)
+          src += 2
+        } else {
+          next(dst) = cur(src)
+          src += 1
+        }
+        dst += 1
+      }
+      cur = if (dst == n) next else java.util.Arrays.copyOf(next, dst)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cur.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Token count of a whole document under a learned BPE merge table:
+    * Σ over space-separated words of |bpeApply(bpeInitSyms(word))| —
+    * the per-doc "how many tokens will this cost" pass of a training
+    * pipeline, one kernel call per doc.
+    */
+  def bpeTokenCount(s: UTF8String, lefts: Array[UTF8String],
+      rights: Array[UTF8String]): Int = {
+    val words = s.toString.split(" ")
+    var total = 0
+    var wi = 0
+    while (wi < words.length) {
+      total += bpeApply(bpeInitSyms(UTF8String.fromString(words(wi))),
+        lefts, rights).numElements()
+      wi += 1
+    }
+    total
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -397,6 +474,21 @@ object GraftFunctions {
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
+
+  private def utf8(merges: Seq[(String, String)]): (Array[UTF8String], Array[UTF8String]) =
+    (merges.map(m => UTF8String.fromString(m._1)).toArray,
+      merges.map(m => UTF8String.fromString(m._2)).toArray)
+
+  def bpeInitSyms(c: Column): Column =
+    Bridge.column(BpeInitSyms(Bridge.expression(c)))
+  def bpeApply(c: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = utf8(merges)
+    Bridge.column(BpeApply(Bridge.expression(c), l, r))
+  }
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = utf8(merges)
+    Bridge.column(BpeTokenCount(Bridge.expression(c), l, r))
+  }
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */
   def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -404,6 +404,24 @@ object LlmOps {
     SemanticDedup.prunePrototypes(Tables(spark, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  /** BPE tokenizer training (Bpe.trainDf): 24 merges learned from the
+    * word-frequency table — one corpus-sized aggregation, then
+    * vocab-bounded rounds. Mirrored by make_expected gen_bpe_train.
+    */
+  def bpe_train(spark: SparkSession, dir: String): DataFrame =
+    Bpe.trainDf(spark, Tables(spark, dir, "documents"), col("text"), nMerges = 24)
+      .orderBy(col("rank"))
+
+  /** Per-doc token counts under the corpus's own learned BPE table —
+    * the "token budget" pass. Mirrored by gen_bpe_token_count.
+    */
+  def bpe_token_count(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = Bpe.trainMerges(docs, col("text"), nMerges = 24)
+    Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .orderBy(col("doc_id"))
+  }
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -580,6 +598,8 @@ object LlmOps {
     "dedup_embed_cosine_mt" -> (dedup_embed_cosine_mt _),
     "dedup_semantic" -> (dedup_semantic _),
     "data_prune_prototypes" -> (data_prune_prototypes _),
+    "bpe_train" -> (bpe_train _),
+    "bpe_token_count" -> (bpe_token_count _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
     "quality_quantiles" -> (quality_quantiles _),
@@ -1089,6 +1109,8 @@ object LlmOps {
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "dedup_semantic" -> fixtureSql("dedup_semantic", "embeddings"),
     "data_prune_prototypes" -> fixtureSql("data_prune_prototypes", "embeddings"),
+    "bpe_train" -> fixtureSql("bpe_train", "documents"),
+    "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

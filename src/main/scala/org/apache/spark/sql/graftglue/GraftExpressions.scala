@@ -261,3 +261,71 @@ case class WinnowMinMax(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowMinMax =
     copy(child = newChild)
 }
+
+/** Codegen'd initial BPE symbols of a word: code-point chars + `</w>`. */
+case class BpeInitSyms(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_init_syms"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeInitSyms(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.bpeInitSyms($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeInitSyms =
+    copy(child = newChild)
+}
+
+/** Codegen'd application of a learned BPE merge table (in rank order)
+  * to a symbol-array column. The merges ride as codegen reference
+  * objects — broadcast-free constants of the generated class.
+  */
+case class BpeApply(child: Expression, lefts: Array[UTF8String],
+    rights: Array[UTF8String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeApply(input.asInstanceOf[ArrayData], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.bpeApply($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-document BPE token count under a learned merge table. */
+case class BpeTokenCount(child: Expression, lefts: Array[UTF8String],
+    rights: Array[UTF8String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeTokenCount(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.bpeTokenCount($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}

@@ -391,6 +391,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe trains the expected merges on a toy corpus and counts tokens") {
+    import spark.implicits._
+    // "low low low low low lower lower newest newest" classic example:
+    // most frequent pair is (l, o) with 7 occurrences
+    val docs = Seq((1L, "low low low low low lower lower newest newest")).toDF("doc_id", "text")
+    val merges = operators.Bpe.trainMerges(docs, col("text"), nMerges = 4)
+    assert(merges.head.left == "l" && merges.head.right == "o" &&
+      merges.head.pairCount == 7L, s"first merge should be (l,o)x7, got ${merges.head}")
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4))
+    // second merge: "lo"+"w" appears 7 times too; ties/order resolved
+    // deterministically — re-training must reproduce identically
+    val again = operators.Bpe.trainMerges(docs, col("text"), nMerges = 4)
+    assert(again == merges, "training is deterministic")
+    // token counts shrink as merges apply: 9 words, fully merged "low"
+    // words cost fewer symbols than raw chars
+    val n0 = operators.Bpe.tokenCounts(docs, col("doc_id"), col("text"), Nil)
+      .collect()(0).getInt(1)
+    val n4 = operators.Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .collect()(0).getInt(1)
+    // no merges: every char + one </w> per word
+    val text = "low low low low low lower lower newest newest"
+    val expect0 = text.split(" ").map(_.length + 1).sum
+    assert(n0 == expect0, s"unmerged token count $n0 != $expect0")
+    assert(n4 < n0, "merges must reduce the token count")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

@@ -586,6 +586,63 @@ def gen_data_prune_prototypes(emb, n_clusters=16, iters=2, prune_frac=0.25):
     })
 
 
+def _bpe_learn(docs, n_merges=24):
+    """Mirror of Bpe.trainMerges: word counts, then per round count
+    adjacent symbol pairs weighted by word frequency, take
+    (count desc, pair asc), apply greedily left-to-right."""
+    counts = {}
+    for d in docs:
+        for w in d["text"].rstrip(" ").split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    vocab = {w: list(w) + ["</w>"] for w in counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, counts
+
+
+def gen_bpe_train(docs):
+    merges, _, _ = _bpe_learn(docs)
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int32()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
+def gen_bpe_token_count(docs):
+    _, vocab, _ = _bpe_learn(docs)
+    ids, toks = [], []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        n = sum(len(vocab[w]) for w in d["text"].rstrip(" ").split(" "))
+        ids.append(d["doc_id"])
+        toks.append(n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bpe_tokens": pa.array(toks, pa.int32()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -602,6 +659,8 @@ GENERATORS = {
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
     "data_prune_prototypes": ("embeddings", gen_data_prune_prototypes),
+    "bpe_train": ("documents", gen_bpe_train),
+    "bpe_token_count": ("documents", gen_bpe_token_count),
 }
 
 
