@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Dsir, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -422,6 +422,17 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weights (Dsir.importanceWeights): hashed-n-gram
+    * target-vs-raw LM log-ratio per doc; the gated target domain is
+    * the first five sources. Mirrored by make_expected
+    * gen_dsir_importance.
+    */
+  def dsir_importance(spark: SparkSession, dir: String): DataFrame =
+    Dsir.importanceWeights(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"),
+      col("source").isin("src1", "src2", "src3", "src4", "src5"))
+      .orderBy(col("doc_id"))
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -600,6 +611,7 @@ object LlmOps {
     "data_prune_prototypes" -> (data_prune_prototypes _),
     "bpe_train" -> (bpe_train _),
     "bpe_token_count" -> (bpe_token_count _),
+    "dsir_importance" -> (dsir_importance _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
     "quality_quantiles" -> (quality_quantiles _),
@@ -1111,6 +1123,7 @@ object LlmOps {
     "data_prune_prototypes" -> fixtureSql("data_prune_prototypes", "embeddings"),
     "bpe_train" -> fixtureSql("bpe_train", "documents"),
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
+    "dsir_importance" -> fixtureSql("dsir_importance", "documents"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

@@ -417,6 +417,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n4 < n0, "merges must reduce the token count")
   }
 
+  test("dsir weights rank target-like docs above off-domain docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma", true),
+      (3L, "alpha beta alpha", false),  // target-like but not flagged
+      (4L, "omega psi omega psi", false),
+      (5L, "omega psi chi", false)).toDF("doc_id", "text", "tgt")
+    val w = operators.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+      col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs made of target-domain grams score above off-domain docs,
+    // whether or not they were in the flagged subset themselves —
+    // weights are RELATIVE (the target is part of the raw pool being
+    // selected from, so even pure-target docs sit near zero; only the
+    // ordering drives resampling)
+    assert(w(1L) > w(4L), s"target doc ${w(1L)} vs off-domain ${w(4L)}")
+    assert(w(3L) > w(4L), s"target-LIKE doc ${w(3L)} vs off-domain ${w(4L)}")
+    assert(w(3L) > w(5L), s"target-LIKE doc ${w(3L)} vs off-domain ${w(5L)}")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

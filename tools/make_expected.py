@@ -643,6 +643,49 @@ def gen_bpe_token_count(docs):
     })
 
 
+def gen_dsir_importance(docs, buckets=4096):
+    """Mirror of Dsir.importanceWeights: hashed unigram+bigram buckets
+    (fnv1a64 mod buckets), Laplace-smoothed target/raw LMs, per-gram
+    log-ratio quantized to decimal(28,12) HALF_UP, exact decimal sum,
+    round4. Target = source in src1..src5."""
+    import math
+    target = {"src1", "src2", "src3", "src4", "src5"}
+    q12 = Decimal("0.000000000001")
+
+    def doc_buckets(text):
+        ws = text.rstrip(" ").split(" ")
+        bs = [fnv1a64(w.encode("utf-8")) % buckets for w in ws]
+        bs += [fnv1a64((ws[i] + " " + ws[i + 1]).encode("utf-8")) % buckets
+               for i in range(len(ws) - 1)]
+        return bs
+
+    cr, ct = {}, {}
+    for d in docs:
+        t = d["source"] in target
+        for b in doc_buckets(d["text"]):
+            cr[b] = cr.get(b, 0) + 1
+            if t:
+                ct[b] = ct.get(b, 0) + 1
+    R = sum(cr.values())
+    T = sum(ct.values())
+    ids, ngrams, weights = [], [], []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        bs = doc_buckets(d["text"])
+        acc = Decimal(0)
+        for b in bs:
+            term = (math.log((ct.get(b, 0) + 1) / (T + buckets))
+                    - math.log((cr[b] + 1) / (R + buckets)))
+            acc += Decimal(repr(term)).quantize(q12, rounding=ROUND_HALF_UP)
+        ids.append(d["doc_id"])
+        ngrams.append(len(bs))
+        weights.append(round4(float(acc)))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_grams": pa.array(ngrams, pa.int64()),
+        "dsir_weight": pa.array(weights, pa.float64()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -661,6 +704,7 @@ GENERATORS = {
     "data_prune_prototypes": ("embeddings", gen_data_prune_prototypes),
     "bpe_train": ("documents", gen_bpe_train),
     "bpe_token_count": ("documents", gen_bpe_token_count),
+    "dsir_importance": ("documents", gen_dsir_importance),
 }
 
 
