@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -409,6 +409,49 @@ object TextHashes {
     total
   }
 
+  /** Bloom-filter bit positions of one gram fingerprint: k positions
+    * by double hashing (h + i·splitmix64(h)|1) masked to the
+    * power-of-two filter size — the standard Kirsch-Mitzenmacher
+    * construction, deterministic for the oracle mirror.
+    */
+  def bloomPositions(h: Long, numHashes: Int, m: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h2 = splitmix64(h) | 1L
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      out(i) = (h + i * h2) & (m - 1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Count how many of a doc's gram fingerprints fully hit the bloom
+    * filter (all k bits set). `words` is the filter as packed 64-bit
+    * words, length m/64 — a codegen reference object, so probing is a
+    * pure in-loop bit test with zero per-row allocation.
+    */
+  def bloomCountHits(fps: org.apache.spark.sql.catalyst.util.ArrayData,
+      words: Array[Long], numHashes: Int, m: Int): Int = {
+    val n = fps.numElements()
+    var hits = 0
+    var j = 0
+    while (j < n) {
+      val h = fps.getLong(j)
+      val h2 = splitmix64(h) | 1L
+      var ok = true
+      var i = 0
+      while (ok && i < numHashes) {
+        val pos = (h + i * h2) & (m - 1)
+        if (((words((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L) ok = false
+        i += 1
+      }
+      if (ok) hits += 1
+      j += 1
+    }
+    hits
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -478,6 +521,11 @@ object GraftFunctions {
   private def utf8(merges: Seq[(String, String)]): (Array[UTF8String], Array[UTF8String]) =
     (merges.map(m => UTF8String.fromString(m._1)).toArray,
       merges.map(m => UTF8String.fromString(m._2)).toArray)
+
+  def bloomPositions(c: Column, numHashes: Int, m: Int): Column =
+    Bridge.column(BloomPositions(Bridge.expression(c), numHashes, m))
+  def bloomCountHits(c: Column, words: Array[Long], numHashes: Int, m: Int): Column =
+    Bridge.column(BloomCountHits(Bridge.expression(c), words, numHashes, m))
 
   def bpeInitSyms(c: Column): Column =
     Bridge.column(BpeInitSyms(Bridge.expression(c)))

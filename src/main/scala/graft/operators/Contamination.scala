@@ -62,4 +62,52 @@ object Contamination {
     docs
       .select(col("doc_id"), explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_g")).as("_h"))
+
+  /** Bloom-filter decontamination — the scale path when even the eval
+    * set's DISTINCT n-gram relation is too big to broadcast exactly
+    * (a full benchmark suite can be 10^8+ grams; the exact relation is
+    * ~GBs, a bloom of it is `m/8` bytes regardless). One-sided error:
+    * every truly-shared gram hits (no false negatives), a false
+    * positive rate of ~(1-e^(-kn/m))^k marks extra grams — for a
+    * REMOVAL gate that is the safe direction. Deterministic double
+    * hashing (Kirsch-Mitzenmacher over splitmix64) makes even the
+    * false positives reproducible, so the op is fixture-oracle-able.
+    *
+    * Build shape: eval gram fps → k positions each (codegen kernel) →
+    * `bit_or` aggregate over m/64 PACKED WORDS — the exchange carries
+    * at most m/64 = 2048 rows, and the driver materializes a 16 KB
+    * long[] that probes ride as a codegen reference object. The
+    * corpus side is a shuffle-free scan: per-doc hit counting happens
+    * INSIDE the scan projection (one kernel call per doc), so unlike
+    * [[evalOverlap]] there is no per-gram join at all — nothing
+    * corpus-sized ever leaves the scan stage.
+    */
+  def bloomOverlap(docs: DataFrame, evalPred: Column, k: Int = 5,
+      m: Int = 1 << 17, numHashes: Int = 4): DataFrame = {
+    require((m & (m - 1)) == 0, "bloom size must be a power of two")
+    val spark = docs.sparkSession
+    val words = docs
+      .filter(evalPred)
+      .select(explode(GraftFunctions.shingles(col("text"), k)).as("_g"))
+      .select(explode(GraftFunctions.bloomPositions(
+        GraftFunctions.fnv1a64(col("_g")), numHashes, m)).as("_pos"))
+      .select(shiftright(col("_pos"), 6).as("_w"),
+        expr("shiftleft(1L, cast(_pos % 64 as int))").as("_bit"))
+      .groupBy(col("_w")).agg(bit_or(col("_bit")).as("_word"))
+      .collect()
+    val packed = new Array[Long](m / 64)
+    words.foreach(r => packed(r.getLong(0).toInt) = r.getLong(1))
+    docs
+      .filter(!evalPred)
+      .select(col("doc_id"),
+        GraftFunctions.bloomCountHits(
+          transformShingleFps(col("text"), k), packed, numHashes, m).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") > 0)
+  }
+
+  /** Distinct shingle fps as one array per doc — the probe kernel
+    * takes the whole array, so the doc row never fans out.
+    */
+  private def transformShingleFps(text: Column, k: Int): Column =
+    transform(GraftFunctions.shingles(text, k), g => GraftFunctions.fnv1a64(g))
 }

@@ -52,9 +52,13 @@ object Dsir {
           col("_p").getField("1"))).as("_h"))
     val grams = uni.unionAll(bi).withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
     // one pass builds BOTH LMs: raw count + target-conditional count
+    // ≤`buckets` rows — persisting it means the corpus-sized gram
+    // stream is scanned exactly twice (histogram, scoring), not three
+    // times (the totals aggregate below reuses the cached histogram)
     val hist = grams.groupBy(col("_b")).agg(
       count(lit(1)).as("_cr"),
       sum(when(col("_t"), lit(1L)).otherwise(lit(0L))).as("_ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = hist.agg(sum(col("_cr")).as("_rawTot"), sum(col("_ct")).as("_tgtTot"))
     grams
       .join(broadcast(hist), "_b")

@@ -159,6 +159,17 @@ object LlmOps {
       Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
       .orderBy(col("doc_id"))
 
+  /** Bloom-filter decontamination (Contamination.bloomOverlap): the
+    * constant-size-sketch scale path of contamination_check — same
+    * eval split, hits counted against a 2^17-bit bloom of the eval
+    * grams (no false negatives; deterministic false positives).
+    * Mirrored by make_expected gen_contamination_bloom.
+    */
+  def contamination_bloom(spark: SparkSession, dir: String): DataFrame =
+    Contamination.bloomOverlap(docs(spark, dir),
+      Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
+      .orderBy(col("doc_id"))
+
   /** Token-budget selection: the 20k best-quality tokens (exact prefix
     * of the (quality desc, doc_id) order — Sampling.budgetSelect's
     * two-phase bucketed cumsum, no global sort).
@@ -592,6 +603,7 @@ object LlmOps {
     "dedup_span_removal" -> (dedup_span_removal _),
     "contamination_check" -> (contamination_check _),
     "contamination_stream" -> (contamination_stream _),
+    "contamination_bloom" -> (contamination_bloom _),
     "dedup_span_chars" -> (dedup_span_chars _),
     "text_normalize" -> (text_normalize _),
     "dedup_keep_best" -> (dedup_keep_best _),
@@ -1124,6 +1136,7 @@ object LlmOps {
     "bpe_train" -> fixtureSql("bpe_train", "documents"),
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
     "dsir_importance" -> fixtureSql("dsir_importance", "documents"),
+    "contamination_bloom" -> fixtureSql("contamination_bloom", "documents"),
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

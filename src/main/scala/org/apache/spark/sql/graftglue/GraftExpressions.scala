@@ -329,3 +329,44 @@ case class BpeTokenCount(child: Expression, lefts: Array[UTF8String],
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
+
+/** Codegen'd bloom-filter bit positions of a 64-bit fingerprint. */
+case class BloomPositions(child: Expression, numHashes: Int, m: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_positions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bloomPositions(input.asInstanceOf[Long], numHashes, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.bloomPositions($c, $numHashes, $m)")
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
+/** Codegen'd bloom probe: how many of the input fingerprints have all
+  * k bits set in the packed-word filter (a codegen reference object).
+  */
+case class BloomCountHits(child: Expression, words: Array[Long],
+    numHashes: Int, m: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bloom_count_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bloomCountHits(input.asInstanceOf[ArrayData], words, numHashes, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.bloomCountHits($c, $wRef, $numHashes, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomCountHits =
+    copy(child = newChild)
+}

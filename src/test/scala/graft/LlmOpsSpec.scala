@@ -438,6 +438,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w(3L) > w(5L), s"target-LIKE doc ${w(3L)} vs off-domain ${w(5L)}")
   }
 
+  test("bloom decontamination has no false negatives vs exact overlap") {
+    val d = Tables(spark, sfDir, "documents")
+    val pred = operators.Sampling.bucket(col("doc_id"), 100) >= 98
+    val exact = operators.Contamination.evalOverlap(d, pred, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = operators.Contamination.bloomOverlap(d, pred, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact.nonEmpty, "fixture corpus should contain contamination")
+    // one-sided error: every exactly-contaminated doc is flagged with
+    // at least as many hits (bloom can only ADD false-positive grams)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id lost by bloom (false negative)")
+      assert(bloom(id) >= n, s"doc $id bloom hits ${bloom(id)} < exact $n")
+    }
+    // and at 2^17 bits / ~small eval set the FP rate is tiny: flagged
+    // docs should not explode beyond the exact set
+    assert(bloom.size <= exact.size * 2, s"bloom ${bloom.size} vs exact ${exact.size}")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

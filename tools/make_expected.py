@@ -686,6 +686,46 @@ def gen_dsir_importance(docs, buckets=4096):
     })
 
 
+def gen_contamination_bloom(docs, k=5, m=1 << 17, num_hashes=4):
+    """Mirror of Contamination.bloomOverlap: eval split = md5 bucket
+    >= 98, bloom of eval shingle fps (Kirsch-Mitzenmacher double
+    hashing, power-of-two mask), count fully-hitting fps per non-eval
+    doc, keep docs with >= 1 hit."""
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def shingle_set(text):
+        ws = text.rstrip(" ").split(" ")
+        if len(ws) <= k:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+    def positions(h):
+        h2 = (splitmix64(h) | 1) & M64
+        return [((h + i * h2) & M64) & (m - 1) for i in range(num_hashes)]
+
+    bits = set()
+    for d in docs:
+        if bucket(d["doc_id"]) >= 98:
+            for g in shingle_set(d["text"]):
+                bits.update(positions(fnv1a64(g.encode("utf-8"))))
+    ids, hits = [], []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        if bucket(d["doc_id"]) >= 98:
+            continue
+        n = sum(1 for g in shingle_set(d["text"])
+                if all(p in bits for p in positions(fnv1a64(g.encode("utf-8")))))
+        if n > 0:
+            ids.append(d["doc_id"])
+            hits.append(n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bloom_hits": pa.array(hits, pa.int32()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -705,6 +745,7 @@ GENERATORS = {
     "bpe_train": ("documents", gen_bpe_train),
     "bpe_token_count": ("documents", gen_bpe_token_count),
     "dsir_importance": ("documents", gen_dsir_importance),
+    "contamination_bloom": ("documents", gen_contamination_bloom),
 }
 
 
