@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -452,6 +452,28 @@ object TextHashes {
     hits
   }
 
+  /** Intersection size of two SORTED distinct long-fingerprint sets
+    * (linear merge) — the asymmetric-similarity counterpart of
+    * [[jaccardSortedFp]]: containment C(A→B) = common/|A| divides by
+    * ONE side, so the caller needs the raw count.
+    */
+  def commonSortedFp(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -517,6 +539,8 @@ object GraftFunctions {
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
+  def commonSortedFp(a: Column, b: Column): Column =
+    Bridge.column(CommonSortedFp(Bridge.expression(a), Bridge.expression(b)))
 
   private def utf8(merges: Seq[(String, String)]): (Array[UTF8String], Array[UTF8String]) =
     (merges.map(m => UTF8String.fromString(m._1)).toArray,

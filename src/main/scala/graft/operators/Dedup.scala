@@ -287,6 +287,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directional containment near-duplicates: ordered pairs
+    * (doc_src, doc_dst) with C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥
+    * `threshold` — the asymmetric relation Jaccard CANNOT see: a page
+    * quoting 95% of another, a doc embedded in a larger compilation,
+    * boilerplate-wrapped reposts. (A 100-shingle doc inside a
+    * 10 000-shingle doc has J ≈ 0.01 but C = 1.0 — minhash/LSH misses
+    * it by construction.)
+    *
+    * Blocking is the ASYMMETRIC prefix filter (PPJoin family, Xiao et
+    * al. 2008): probe side = each doc's freq-ordered containment
+    * prefix (first ⌊(1−t)·n⌋+1 fps — same cut as the Jaccard prefix,
+    * computed by the same array-local kernel); index side = EVERY fp
+    * of every doc. Recall is EXACT by pigeonhole — if no prefix
+    * element of A is in B then |A∩B| < t·|A| — for ANY prefix order,
+    * so the DuckDB all-pairs oracle is a hard gate; the rarest-first
+    * order only minimizes candidates. The index relation is
+    * O(corpus-shingles) of 16-byte rows — the same honest exact cost
+    * as [[ngramJaccard]]'s frequency aggregate, declared in SCALE.md;
+    * the verify joins fetch sorted fp arrays once per side and the
+    * containment divides the codegen'd linear-merge intersection by
+    * |src|.
+    */
+  def containment(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
+      histLimit: Int = 1 << 20): DataFrame = {
+    val sh = shingled(docs, k)
+    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    val top = ex
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("h"))
+      .limit(histLimit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val keys = top.map(_._1)
+    val vals = top.map(_._2)
+    val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
+    val prefixes = sh.select(col("doc_id").as("doc_src"),
+      explode(GraftFunctions.freqPrefix(fps, keys, vals, threshold)).as("_block"))
+    val index = ex.select(col("doc_id").as("doc_dst"), col("h").as("_block"))
+    val cands = prefixes.join(index, "_block")
+      .filter(col("doc_src") =!= col("doc_dst"))
+      .select(col("doc_src"), col("doc_dst")).distinct()
+    val sorted = sh.select(col("doc_id"),
+      array_sort(transform(col("_shingles"),
+        s => GraftFunctions.fnv1a64(s))).as("_fps"))
+    // same compute-funnel guard as verifyJaccard: candidate pairs are
+    // byte-tiny, pin the partition count against AQE coalesce
+    val spread = cands.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_src"))
+    spread
+      .join(sorted.select(col("doc_id").as("doc_src"), col("_fps").as("_fp_s")), "doc_src")
+      .join(sorted.select(col("doc_id").as("doc_dst"), col("_fps").as("_fp_d")), "doc_dst")
+      .withColumn("containment",
+        GraftFunctions.commonSortedFp(col("_fp_s"), col("_fp_d")).cast("double")
+          / size(col("_fp_s")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_src"), col("doc_dst"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Resolve near-dup pairs into kept documents: connected components
     * over the pair graph (a near-dup of a near-dup is the same
     * document family), keeping the minimum id per component.

@@ -159,6 +159,15 @@ object LlmOps {
       Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
       .orderBy(col("doc_id"))
 
+  /** Directional containment dedup (Dedup.containment): asymmetric
+    * prefix-filter blocking (recall exact by pigeonhole for any
+    * prefix order) + codegen linear-merge containment verify. Hard
+    * DuckDB all-ordered-pairs oracle.
+    */
+  def dedup_containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containment(docs(spark, dir), k = 3, threshold = 0.9)
+      .orderBy(col("doc_src"), col("doc_dst"))
+
   /** Bloom-filter decontamination (Contamination.bloomOverlap): the
     * constant-size-sketch scale path of contamination_check — same
     * eval split, hits counted against a 2^17-bit bloom of the eval
@@ -604,6 +613,7 @@ object LlmOps {
     "contamination_check" -> (contamination_check _),
     "contamination_stream" -> (contamination_stream _),
     "contamination_bloom" -> (contamination_bloom _),
+    "dedup_containment" -> (dedup_containment _),
     "dedup_span_chars" -> (dedup_span_chars _),
     "text_normalize" -> (text_normalize _),
     "dedup_keep_best" -> (dedup_keep_best _),
@@ -1137,6 +1147,23 @@ object LlmOps {
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
     "dsir_importance" -> fixtureSql("dsir_importance", "documents"),
     "contamination_bloom" -> fixtureSql("contamination_bloom", "documents"),
+    // exact all-ordered-pairs containment — an INDEPENDENT ground
+    // truth (the op's prefix blocking has provably exact recall, so
+    // the sets must match bit-for-bit). The len(b) >= t*len(a) join
+    // predicate is a necessary condition (|A∩B| <= |B|), pruning the
+    // quadratic space without changing the result.
+    "dedup_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shingleListSql(3)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)
+         |)
+         |SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+         |       round(len(list_intersect(a.s, b.s))::double / len(a.s), 4) AS containment
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id != b.doc_id
+         | AND len(b.s)::double >= 0.9 * len(a.s)
+         |WHERE len(list_intersect(a.s, b.s))::double / len(a.s) >= 0.9
+         |ORDER BY doc_src, doc_dst""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split_regex(text, '\s+')) as int) AS n_ws_tokens,

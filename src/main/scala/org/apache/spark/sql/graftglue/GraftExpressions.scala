@@ -370,3 +370,23 @@ case class BloomCountHits(child: Expression, words: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): BloomCountHits =
     copy(child = newChild)
 }
+
+/** Codegen'd intersection count of two sorted fingerprint sets. */
+case class CommonSortedFp(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "common_sorted_fp"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.commonSortedFp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes$$.MODULE$$.commonSortedFp($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonSortedFp =
+    copy(left = newLeft, right = newRight)
+}

@@ -457,6 +457,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bloom.size <= exact.size * 2, s"bloom ${bloom.size} vs exact ${exact.size}")
   }
 
+  test("containment finds asymmetric near-supersets that jaccard misses") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = (1 to 80).map(i => s"filler$i word$i token$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " " + filler),  // contains all of doc 1 + much more
+      (3L, filler)).toDF("doc_id", "text")
+    val pairs = operators.Dedup.containment(docs, k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1→2 is full containment; jaccard(1,2) is tiny so symmetric dedup
+    // would never pair them
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"expected (1,2,1.0) in ${pairs.mkString(",")}")
+    // 3→2 as well (doc 2 = doc1 + filler, so filler is contained too);
+    // but nothing is contained in doc 1 or doc 3 besides themselves
+    assert(!pairs.exists(p => p._2 == 1L), s"nothing fits in doc 1: ${pairs.mkString(",")}")
+    val j = operators.Dedup.ngramJaccard(docs, k = 3, threshold = 0.9).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard at the same threshold must NOT pair (1,2) — that asymmetry is the point")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(
