@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -474,6 +474,22 @@ object TextHashes {
     common
   }
 
+  /** Sum of 1e12-scaled weight-vector entries over a doc's feature
+    * bucket indices — the margin kernel of the logistic quality
+    * classifier. Pure LONG arithmetic: weights are decimal(·,12)
+    * values scaled to longs, so the sum is EXACT and
+    * order-independent (|w|≤2e12 scaled × ≤10^3 buckets per doc stays
+    * far under 2^63). The caller divides by 1e12 once.
+    */
+  def sumBucketWeights(buckets: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Array[Long]): Long = {
+    val n = buckets.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += w(buckets.getLong(i).toInt); i += 1 }
+    acc
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -548,6 +564,8 @@ object GraftFunctions {
 
   def bloomPositions(c: Column, numHashes: Int, m: Int): Column =
     Bridge.column(BloomPositions(Bridge.expression(c), numHashes, m))
+  def sumBucketWeights(c: Column, w: Array[Long]): Column =
+    Bridge.column(SumBucketWeights(Bridge.expression(c), w))
   def bloomCountHits(c: Column, words: Array[Long], numHashes: Int, m: Int): Column =
     Bridge.column(BloomCountHits(Bridge.expression(c), words, numHashes, m))
 

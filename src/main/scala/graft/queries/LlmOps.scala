@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Contamination, Dedup, Dsir, Multimodal, Pq, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,6 +158,21 @@ object LlmOps {
     graft.streaming.StreamingCuration.runDecontamination(spark, docs(spark, dir),
       Sampling.bucket(col("doc_id"), 100) >= 98, k = 5)
       .orderBy(col("doc_id"))
+
+  /** Trained logistic quality classifier
+    * (QualityClassifier.train/score): hashed binary unigram features,
+    * Adagrad on the exact-decimal grid; the gated label is "long
+    * document" (n_chars ≥ 300) — learnable but not identical to any
+    * single feature (char/word ratios vary per doc). Mirrored
+    * bit-for-bit by make_expected gen_quality_classifier.
+    */
+  def quality_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val label = col("n_chars") >= 300
+    val w = QualityClassifier.train(d, col("doc_id"), col("text"), label)
+    QualityClassifier.score(d, col("doc_id"), col("text"), label, w)
+      .orderBy(col("doc_id"))
+  }
 
   /** Directional containment dedup (Dedup.containment): asymmetric
     * prefix-filter blocking (recall exact by pigeonhole for any
@@ -614,6 +629,7 @@ object LlmOps {
     "contamination_stream" -> (contamination_stream _),
     "contamination_bloom" -> (contamination_bloom _),
     "dedup_containment" -> (dedup_containment _),
+    "quality_classifier" -> (quality_classifier _),
     "dedup_span_chars" -> (dedup_span_chars _),
     "text_normalize" -> (text_normalize _),
     "dedup_keep_best" -> (dedup_keep_best _),
@@ -1147,6 +1163,7 @@ object LlmOps {
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
     "dsir_importance" -> fixtureSql("dsir_importance", "documents"),
     "contamination_bloom" -> fixtureSql("contamination_bloom", "documents"),
+    "quality_classifier" -> fixtureSql("quality_classifier", "documents"),
     // exact all-ordered-pairs containment — an INDEPENDENT ground
     // truth (the op's prefix blocking has provably exact recall, so
     // the sets must match bit-for-bit). The len(b) >= t*len(a) join

@@ -390,3 +390,25 @@ case class CommonSortedFp(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CommonSortedFp =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd scaled-long margin: sum of weight entries at the given
+  * bucket indices (weights as a codegen reference object).
+  */
+case class SumBucketWeights(child: Expression, w: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_bucket_weights"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.sumBucketWeights(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lrWeights", w, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.sumBucketWeights($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumBucketWeights =
+    copy(child = newChild)
+}

@@ -479,6 +479,20 @@ class LlmOpsSpec extends AnyFunSuite {
       "jaccard at the same threshold must NOT pair (1,2) — that asymmetry is the point")
   }
 
+  test("quality classifier learns the label and trains deterministically") {
+    val d = Tables(spark, sfDir, "documents")
+    val label = col("n_chars") >= 300
+    val w1 = operators.QualityClassifier.train(d, col("doc_id"), col("text"), label)
+    val w2 = operators.QualityClassifier.train(d, col("doc_id"), col("text"), label)
+    assert(java.util.Arrays.equals(w1, w2), "training must be bit-reproducible")
+    val out = operators.QualityClassifier.score(d, col("doc_id"), col("text"), label, w1)
+      .collect().map(r => (r.getInt(1), r.getInt(3)))
+    val acc = out.count(p => p._1 == p._2).toDouble / out.length
+    val majority = math.max(out.count(_._1 == 1), out.count(_._1 == 0)).toDouble / out.length
+    assert(acc > majority, s"train accuracy $acc should beat majority baseline $majority")
+    assert(acc >= 0.7, s"train accuracy $acc too low for a separable label")
+  }
+
   test("langid detects unsegmented Chinese and English correctly") {
     import spark.implicits._
     val df = Seq(

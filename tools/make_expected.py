@@ -726,6 +726,58 @@ def gen_contamination_bloom(docs, k=5, m=1 << 17, num_hashes=4):
     })
 
 
+def gen_quality_classifier(docs, buckets=4096, iters=24, lr=0.5):
+    """Mirror of QualityClassifier.train+score: hashed binary unigram
+    buckets + bias + 32 length-bin indicators, Adagrad on the
+    decimal(.,12) grid (scaled-long margins, quantized residuals,
+    exact-decimal g^2 accumulator, one exact binary->decimal rounding
+    per step), label = n_chars >= 300."""
+    import math
+    q12 = Decimal("0.000000000001")
+    feats, ys = {}, {}
+    for d in docs:
+        ws = d["text"].rstrip(" ").split(" ")
+        lbin = buckets + 1 + min(31, math.floor(len(ws) / 8.0))
+        bs = list({fnv1a64(w.encode("utf-8")) % buckets for w in ws}) + [buckets, lbin]
+        feats[d["doc_id"]] = bs
+        ys[d["doc_id"]] = 1 if d["n_chars"] >= 300 else 0
+    dim = buckets + 33
+    w = [Decimal(0).quantize(q12)] * dim
+    gacc = [Decimal(0)] * dim
+    for _ in range(iters):
+        scaled = [int(x.scaleb(12)) for x in w]
+        grad = {}
+        for did, bs in feats.items():
+            m = sum(scaled[b] for b in bs) / 1e12
+            r = 1.0 / (1.0 + math.exp(-m)) - ys[did]
+            rq = Decimal(repr(r)).quantize(q12, rounding=ROUND_HALF_UP)
+            for b in bs:
+                grad[b] = grad.get(b, Decimal(0)) + rq
+        for b, g in grad.items():
+            gacc[b] += g * g
+            if gacc[b] != 0:
+                # float(Decimal) and math.sqrt are correctly rounded,
+                # Decimal(float) is the exact binary expansion — all
+                # value-identical to the JVM side
+                step_d = lr * float(g) / math.sqrt(float(gacc[b]))
+                w[b] = w[b] - Decimal(step_d).quantize(q12, rounding=ROUND_HALF_UP)
+    scaled = [int(x.scaleb(12)) for x in w]
+    ids, labels, scores, preds = [], [], [], []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        m = sum(scaled[b] for b in feats[d["doc_id"]]) / 1e12
+        sig = 1.0 / (1.0 + math.exp(-m))
+        ids.append(d["doc_id"])
+        labels.append(ys[d["doc_id"]])
+        scores.append(round4(sig))
+        preds.append(1 if sig >= 0.5 else 0)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "label": pa.array(labels, pa.int32()),
+        "score": pa.array(scores, pa.float64()),
+        "pred": pa.array(preds, pa.int32()),
+    })
+
+
 # ------------------------------------------------------------------ main
 
 GENERATORS = {
@@ -746,6 +798,7 @@ GENERATORS = {
     "bpe_token_count": ("documents", gen_bpe_token_count),
     "dsir_importance": ("documents", gen_dsir_importance),
     "contamination_bloom": ("documents", gen_contamination_bloom),
+    "quality_classifier": ("documents", gen_quality_classifier),
 }
 
 
