@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring for corpus curation: the exact
+  * two-sample Kolmogorov–Smirnov statistic of each group's value
+  * distribution against the whole corpus — "did src7's document-length
+  * profile shift away from the corpus?" is the standard gate before a
+  * new crawl snapshot is admitted into a training mix.
+  *
+  * Scale shape (100 TB): the ONLY corpus-sized job is the first
+  * map-side-combinable histogram aggregate on (group, value); every
+  * exchange after it carries histogram rows bounded by
+  * |groups| × |distinct values| (document lengths: ≤ a few 10⁵ rows
+  * regardless of corpus bytes). The per-group ECDF window partitions by
+  * group — each partition is one group's distinct-value list, never its
+  * rows — and the global ECDF window runs on the distinct-value
+  * relation alone. No global sort of data, no all-pairs anything.
+  *
+  * Exactness: the KS sup |F_g(x) − F(x)| over the reals is attained at
+  * a jump point of either ECDF, and every group's jump points are a
+  * subset of the corpus's value set, so evaluating at each global
+  * distinct value after its jump is exact, not a grid approximation.
+  * All cumulative counts are integers; each quotient is one
+  * correctly-rounded IEEE division of exact integers, so Spark and the
+  * DuckDB oracle produce bit-identical doubles with no rounding step.
+  */
+object Drift {
+
+  /** (group, n, ks): per-group exact KS statistic of `value` vs the
+    * global distribution, with the group's row count.
+    */
+  def ksPerGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val per = df.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    // histogram-sized relations from here on
+    val tot = per.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val glob = per.groupBy(col("v")).agg(sum(col("c")).as("gc"))
+    // global ECDF over the distinct-value relation only
+    val gcum = glob
+      .withColumn("gcum", sum(col("gc")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("gcum"))
+    val gtot = per.agg(sum(col("c")).as("g")) // 1-row broadcast aggregate
+    // every group evaluated at every global jump point
+    val grid = per.select(col("grp")).distinct().crossJoin(broadcast(gcum))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"))
+    grid
+      .join(per, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cs", sum(col("c")).over(wg))
+      .crossJoin(broadcast(gtot))
+      .join(broadcast(tot), "grp")
+      .groupBy(col("grp"), col("n"))
+      .agg(max(abs(col("cs").cast("double") / col("n").cast("double") -
+        col("gcum").cast("double") / col("g").cast("double"))).as("ks"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Contamination, Dedup, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -102,6 +102,16 @@ object LlmOps {
     TextAnalysis.corpusStats(docs(spark, dir),
       col("lang"), col("source"), col("text"))
       .orderBy(col("lang"), col("source"))
+
+  /** Per-source document-length drift vs the whole corpus: the exact
+    * two-sample KS statistic (see operators/Drift.scala for the
+    * histogram-bounded shape). The admission gate a pipeline runs
+    * before folding a new crawl snapshot into the mix.
+    */
+  def stats_ks_drift(spark: SparkSession, dir: String): DataFrame =
+    Drift.ksPerGroup(docs(spark, dir), col("source"), col("n_chars"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
 
   def data_shuffle(spark: SparkSession, dir: String): DataFrame =
     Sampling.shardShuffle(docs(spark, dir), col("doc_id"))
@@ -622,6 +632,7 @@ object LlmOps {
     "text_gopher" -> (text_gopher _),
     "text_tfidf" -> (text_tfidf _),
     "corpus_stats" -> (corpus_stats _),
+    "stats_ks_drift" -> (stats_ks_drift _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
@@ -805,6 +816,27 @@ object LlmOps {
         |       round(total_words::double / n_docs, 4) AS avg_doc_words,
         |       distinct_words
         |FROM tot JOIN v USING (lang, source) ORDER BY tot.lang, tot.source""".stripMargin,
+    // exact KS: all cumulative counts are integers, each quotient one
+    // correctly-rounded IEEE division -> bit-identical doubles, no
+    // rounding step needed on either side
+    "stats_ks_drift" ->
+      """WITH per AS (
+        |  SELECT source AS grp, n_chars AS v, count(*)::bigint AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT grp, sum(c)::bigint AS n FROM per GROUP BY grp),
+        |gv AS (SELECT v, sum(c)::bigint AS gc FROM per GROUP BY v),
+        |gcum AS (SELECT v, sum(gc) OVER (ORDER BY v)::bigint AS gcum FROM gv),
+        |gtot AS (SELECT sum(c)::bigint AS g FROM per),
+        |grid AS (SELECT t.grp, gc.v, gc.gcum
+        |         FROM (SELECT DISTINCT grp FROM per) t CROSS JOIN gcum gc),
+        |ecdf AS (
+        |  SELECT grid.grp, grid.v, grid.gcum,
+        |         sum(coalesce(per.c, 0)) OVER (PARTITION BY grid.grp ORDER BY grid.v)::bigint AS cs
+        |  FROM grid LEFT JOIN per ON per.grp = grid.grp AND per.v = grid.v)
+        |SELECT ecdf.grp AS source, tot.n AS n,
+        |       max(abs(ecdf.cs::double / tot.n::double - ecdf.gcum::double / gtot.g::double)) AS ks
+        |FROM ecdf, gtot, tot WHERE tot.grp = ecdf.grp
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // shard = portable md5 bucket; within-shard order = full md5 hex
     // (lowercase-hex string compare agrees between engines)
     "data_shuffle" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Drift, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -32,6 +32,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!r(3L)._4 && !r(3L)._6, "stopword-free doc fails stopword rule")
     assert(!r(4L)._5 && !r(4L)._6, "symbol-heavy doc fails symbol ratio")
     assert(!r(5L)._2 && !r(5L)._6, "long-word doc fails mean word length")
+  }
+
+  test("ks drift: hand-computed statistic; identical distribution gives zero") {
+    import spark.implicits._
+    // global cum at v=1..4: 2,3,6,8 (g=8); x cum: 2,3,4,4 (n=4)
+    // -> sup|F_x - F| = |3/4 - 3/8| = 0.375; y symmetric
+    val df = Seq(("x", 1), ("x", 1), ("x", 2), ("x", 3),
+      ("y", 3), ("y", 3), ("y", 4), ("y", 4)).toDF("src", "v")
+    val r = Drift.ksPerGroup(df, col("src"), col("v")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("x") == ((4L, 0.375)), s"x: ${r("x")}")
+    assert(r("y") == ((4L, 0.375)), s"y: ${r("y")}")
+    val one = Drift.ksPerGroup(df.filter(col("src") === "x"), col("src"), col("v"))
+      .collect()
+    assert(one.length == 1 && one.head.getDouble(2) == 0.0,
+      "a group that IS the corpus has zero drift")
   }
 
   test("corpus stats: exact totals and vocabulary per group") {
