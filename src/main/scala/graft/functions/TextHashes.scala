@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -409,6 +409,35 @@ object TextHashes {
     total
   }
 
+  /** Token-id encoding of a whole document under a learned BPE merge
+    * table and a symbol-id vocabulary: per space-separated word,
+    * bpeApply(bpeInitSyms(word)) mapped through `ids`, then one
+    * `eosId` document separator appended. Unknown symbols (impossible
+    * when the vocabulary was built from the same corpus; possible when
+    * encoding NEW text with a frozen tokenizer) encode as -1 rather
+    * than failing, mirroring fast-tokenizer UNK behavior.
+    */
+  def bpeEncodeIds(s: UTF8String, lefts: Array[UTF8String],
+      rights: Array[UTF8String], ids: java.util.HashMap[String, Integer],
+      eosId: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    val b = new scala.collection.mutable.ArrayBuilder.ofInt
+    var wi = 0
+    while (wi < words.length) {
+      val syms = bpeApply(bpeInitSyms(UTF8String.fromString(words(wi))), lefts, rights)
+      val n = syms.numElements()
+      var i = 0
+      while (i < n) {
+        val v = ids.get(syms.getUTF8String(i).toString)
+        b += (if (v == null) -1 else v.intValue())
+        i += 1
+      }
+      wi += 1
+    }
+    b += eosId
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(b.result())
+  }
+
   /** Bloom-filter bit positions of one gram fingerprint: k positions
     * by double hashing (h + i·splitmix64(h)|1) masked to the
     * power-of-two filter size — the standard Kirsch-Mitzenmacher
@@ -578,6 +607,11 @@ object GraftFunctions {
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column = {
     val (l, r) = utf8(merges)
     Bridge.column(BpeTokenCount(Bridge.expression(c), l, r))
+  }
+  def bpeEncodeIds(c: Column, merges: Seq[(String, String)],
+      ids: java.util.HashMap[String, Integer], eosId: Int): Column = {
+    val (l, r) = utf8(merges)
+    Bridge.column(BpeEncodeIds(Bridge.expression(c), l, r, ids, eosId))
   }
 
   /** Approximate heavy hitters (SpaceSaving sketch aggregate). */

@@ -3,8 +3,10 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.GraftFunctions
 
@@ -46,6 +48,14 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, text: Column, nMerges: Int): Seq[Merge] = {
     val vocab = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
+    try trainFromVocab(vocab, nMerges) finally vocab.unpersist()
+  }
+
+  /** Merge learning over an already-persisted word-frequency relation
+    * (lets callers that also need the vocabulary pay the corpus-sized
+    * word count only once).
+    */
+  def trainFromVocab(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
     val merges = ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < nMerges && !done) {
@@ -65,7 +75,6 @@ object Bpe {
       else merges += Merge(merges.length + 1, top(0).getString(0),
         top(0).getString(1), top(0).getLong(2))
     }
-    vocab.unpersist()
     merges.toSeq
   }
 
@@ -88,4 +97,74 @@ object Bpe {
     docs.select(id.as("doc_id"),
       GraftFunctions.bpeTokenCount(rtrim(text),
         merges.map(m => (m.left, m.right))).as("n_bpe_tokens"))
+
+  /** Tokenize-and-pack — the final materialization of a training-data
+    * pipeline: encode every document under the learned merge table and
+    * a deterministic symbol vocabulary, then pack the EOS-separated
+    * token stream (documents in `id` order) into fixed-`seqLen`
+    * training sequences, GPT-style (a document may straddle a sequence
+    * boundary; the trailing partial sequence is dropped).
+    *
+    * Symbol ids are a pure function of the corpus: base code-point
+    * symbols in UTF-8 byte order get 0..B-1, each merge product takes
+    * B+rank-1 (first producer wins on string collision), and EOS is
+    * B+|merges| — so the id table needs no side file and the Python
+    * oracle mirror rebuilds it exactly.
+    *
+    * 100 TB shape: NO global sort. Document offsets into the token
+    * stream come from the same bucketed two-phase prefix sum as
+    * Sampling.budgetSelect — per-bucket token totals (tiny relation,
+    * one ordered window over buckets only), broadcast bucket prefixes,
+    * then a within-bucket window bounded by `bucketSpan` documents.
+    * Each document then emits its sequence slices map-side, and the
+    * ONE data-sized exchange is keyed by seq_id and carries exactly
+    * the output tokens (4 B each) — the materialization itself, not
+    * overhead. The result is a pure function of (id, text) under any
+    * partitioning (asserted by spec).
+    */
+  def packIds(spark: SparkSession, docs: DataFrame, id: Column, text: Column,
+      nMerges: Int, seqLen: Int, bucketSpan: Int = 1024): DataFrame = {
+    val vocabRel = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = trainFromVocab(vocabRel, nMerges)
+    val baseSyms = vocabRel
+      .select(explode(GraftFunctions.bpeInitSyms(col("word"))).as("s"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    vocabRel.unpersist()
+    val ids = new java.util.HashMap[String, Integer]()
+    baseSyms.zipWithIndex.foreach { case (s, i) => ids.put(s, i) }
+    merges.foreach(m =>
+      ids.putIfAbsent(m.left + m.right, baseSyms.length + m.rank - 1))
+    val eosId = baseSyms.length + merges.length
+
+    val L = seqLen.toLong
+    val enc = docs.select(id.cast("long").as("doc_id"),
+        GraftFunctions.bpeEncodeIds(rtrim(text),
+          merges.map(m => (m.left, m.right)), ids, eosId).as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("_bkt", floor(col("doc_id") / bucketSpan))
+    val wb = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    // window over the bucket relation only — cardinality = #buckets
+    val bktPrev = enc.groupBy(col("_bkt")).agg(sum(col("n")).as("_btot"))
+      .withColumn("_prev", coalesce(sum(col("_btot")).over(wb), lit(0L)))
+      .select(col("_bkt"), col("_prev"))
+    val total = enc.agg(sum(col("n")).as("_t")) // 1-row broadcast aggregate
+    val wd = Window.partitionBy(col("_bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pieces = enc.join(broadcast(bktPrev), "_bkt")
+      .withColumn("off", col("_prev") + coalesce(sum(col("n")).over(wd), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("ids"), col("off"), col("n"), col("_t"),
+        explode(sequence(floor(col("off") / L),
+          floor((col("off") + col("n") - 1) / L))).as("seq_id"))
+      .filter((col("seq_id") + 1) * L <= col("_t")) // complete sequences only
+      .withColumn("start", greatest(col("seq_id") * L, col("off")))
+      .withColumn("piece", slice(col("ids"),
+        (col("start") - col("off") + 1).cast("int"),
+        (least((col("seq_id") + 1) * L, col("off") + col("n")) - col("start")).cast("int")))
+    pieces.groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("start"), col("piece")))).as("_ps"))
+      .select(col("seq_id"), flatten(col("_ps").getField("piece")).as("token_ids"))
+  }
 }

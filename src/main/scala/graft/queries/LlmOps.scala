@@ -467,6 +467,20 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The end artifact of the pipeline: BPE-tokenized, EOS-separated,
+    * fixed-length-packed training sequences (Bpe.packIds — same
+    * 24-merge table as bpe_train, seqLen=64). Gate output is the
+    * exploded (seq_id, pos, token_id) form — integer-only, so the
+    * fixture mirror (gen_bpe_pack_ids) is bit-exact by construction.
+    */
+  def bpe_pack_ids(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Bpe.packIds(spark, d, col("doc_id"), col("text"), nMerges = 24, seqLen = 64)
+      .select(col("seq_id"), posexplode(col("token_ids")))
+      .toDF("seq_id", "pos", "token_id")
+      .orderBy(col("seq_id"), col("pos"))
+  }
+
   /** DSIR importance weights (Dsir.importanceWeights): hashed-n-gram
     * target-vs-raw LM log-ratio per doc; the gated target domain is
     * the first five sources. Mirrored by make_expected
@@ -660,6 +674,7 @@ object LlmOps {
     "data_prune_prototypes" -> (data_prune_prototypes _),
     "bpe_train" -> (bpe_train _),
     "bpe_token_count" -> (bpe_token_count _),
+    "bpe_pack_ids" -> (bpe_pack_ids _),
     "dsir_importance" -> (dsir_importance _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
@@ -1193,6 +1208,7 @@ object LlmOps {
     "data_prune_prototypes" -> fixtureSql("data_prune_prototypes", "embeddings"),
     "bpe_train" -> fixtureSql("bpe_train", "documents"),
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),
+    "bpe_pack_ids" -> fixtureSql("bpe_pack_ids", "documents"),
     "dsir_importance" -> fixtureSql("dsir_importance", "documents"),
     "contamination_bloom" -> fixtureSql("contamination_bloom", "documents"),
     "quality_classifier" -> fixtureSql("quality_classifier", "documents"),

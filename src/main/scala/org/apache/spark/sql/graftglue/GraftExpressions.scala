@@ -330,6 +330,37 @@ case class BpeTokenCount(child: Expression, lefts: Array[UTF8String],
     copy(child = newChild)
 }
 
+/** Codegen'd per-document BPE token-id encoding: the merge table, the
+  * symbol-id vocabulary, and the EOS separator ride as codegen
+  * reference objects — one int per token, no per-row lookups outside
+  * the generated loop.
+  */
+case class BpeEncodeIds(child: Expression, lefts: Array[UTF8String],
+    rights: Array[UTF8String], ids: java.util.HashMap[String, Integer],
+    eosId: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeEncodeIds(input.asInstanceOf[UTF8String], lefts, rights, ids, eosId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val mRef = ctx.addReferenceObj("bpeIds", ids, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.bpeEncodeIds($c, $lRef, $rRef, $mRef, $eosId)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 /** Codegen'd bloom-filter bit positions of a 64-bit fingerprint. */
 case class BloomPositions(child: Expression, numHashes: Int, m: Int)
     extends UnaryExpression with ExpectsInputTypes {

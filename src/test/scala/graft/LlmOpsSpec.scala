@@ -417,6 +417,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n4 < n0, "merges must reduce the token count")
   }
 
+  test("bpe packIds: conservation, fixed length, doc-order stream, bucket-invariant") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "low low low lower"), (1L, "newest low lower"), (2L, "low"),
+      (3L, "lower lower newest newest low low"), (4L, "newest newest"),
+      (5L, "low lower newest low"))
+    val docs = texts.toDF("doc_id", "text").repartition(4)
+    val L = 7
+    val packed = operators.Bpe.packIds(spark, docs, col("doc_id"), col("text"),
+      nMerges = 3, seqLen = L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    // every sequence is exactly L tokens
+    assert(packed.forall(_._2.length == L), "all sequences full length")
+    // conservation: total packed tokens == floor(total stream / L) * L,
+    // where the stream is per-doc bpe token count + one EOS each
+    val merges = operators.Bpe.trainMerges(docs, col("text"), nMerges = 3)
+    val total = operators.Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0) + texts.length
+    assert(packed.map(_._2.length).sum == (total / L) * L,
+      s"packed ${packed.map(_._2.length).sum} vs stream $total")
+    // the EOS id appears exactly once per fully-packed document and the
+    // flattened stream is the doc_id-ordered concatenation: decoding
+    // doc boundaries from EOS positions must give back per-doc counts
+    val flat = packed.flatMap(_._2)
+    val eos = flat.max // EOS is the largest id by construction
+    val perDoc = operators.Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    var pos = 0
+    perDoc.foreach { case (id, n) =>
+      if (pos + n < flat.length) {
+        assert(flat(pos + n) == eos, s"doc $id should end with EOS at ${pos + n}")
+        pos += n + 1
+      } else pos = flat.length // tail doc truncated by the dropped partial seq
+    }
+    // partitioning/bucketing invariance: tiny buckets == one big bucket
+    val alt = operators.Bpe.packIds(spark, docs.repartition(7), col("doc_id"),
+      col("text"), nMerges = 3, seqLen = L, bucketSpan = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    assert(alt.toSeq == packed.toSeq, "bucketSpan and partitioning do not change output")
+  }
+
   test("dsir weights rank target-like docs above off-domain docs") {
     import spark.implicits._
     val docs = Seq(

@@ -643,6 +643,36 @@ def gen_bpe_token_count(docs):
     })
 
 
+def gen_bpe_pack_ids(docs, L=64):
+    """Mirror of Bpe.packIds: symbol ids = base code-point symbols in
+    UTF-8 byte order, then merge products at B+rank-1 (first producer
+    wins on collision), EOS at B+|merges|; documents encoded in doc_id
+    order, EOS-separated, chopped into complete length-L sequences
+    (trailing partial dropped). Integer-only, so exact by construction.
+    """
+    merges, vocab, counts = _bpe_learn(docs)
+    base = {"</w>"}
+    for w in counts:
+        for cp in w:
+            base.add(cp)
+    base = sorted(base, key=lambda s: s.encode("utf-8"))
+    ids = {s: i for i, s in enumerate(base)}
+    for rank, l, r, _ in merges:
+        ids.setdefault(l + r, len(base) + rank - 1)
+    eos = len(base) + len(merges)
+    stream = []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        for w in d["text"].rstrip(" ").split(" "):
+            stream.extend(ids[s] for s in vocab[w])
+        stream.append(eos)
+    nfull = len(stream) // L
+    return pa.table({
+        "seq_id": pa.array([i // L for i in range(nfull * L)], pa.int64()),
+        "pos": pa.array([i % L for i in range(nfull * L)], pa.int32()),
+        "token_id": pa.array(stream[:nfull * L], pa.int32()),
+    })
+
+
 def gen_dsir_importance(docs, buckets=4096):
     """Mirror of Dsir.importanceWeights: hashed unigram+bigram buckets
     (fnv1a64 mod buckets), Laplace-smoothed target/raw LMs, per-gram
@@ -796,6 +826,7 @@ GENERATORS = {
     "data_prune_prototypes": ("embeddings", gen_data_prune_prototypes),
     "bpe_train": ("documents", gen_bpe_train),
     "bpe_token_count": ("documents", gen_bpe_token_count),
+    "bpe_pack_ids": ("documents", gen_bpe_pack_ids),
     "dsir_importance": ("documents", gen_dsir_importance),
     "contamination_bloom": ("documents", gen_contamination_bloom),
     "quality_classifier": ("documents", gen_quality_classifier),
