@@ -53,7 +53,33 @@ object Bench {
       val (r, w, s) = shuffleBytes.getOrElse(k, (0L, 0L, 0L))
       s""""$k":{"read":$r,"write":$w,"spill":$s}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above runs ~10 KB at 115+ queries, but the driver
+    // keeps only a 2 KB tail of this process's output — so it has never
+    // successfully parsed a round's bench (BENCH_r{1,2,3}.json all have
+    // parsed:null). Persist the full detail to a file, then make the
+    // LAST printed line a compact summary that fits the tail whole:
+    // total + per-query seconds for the slowest queries only, 2-decimal.
+    try {
+      val dir = new java.io.File("bench"); dir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench/bench_detail_last.json"), full + "\n")
+    } catch { case _: Throwable => }
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val slowest = results.sortBy(-_._2)
+    val budget = 1400
+    val sb2 = new StringBuilder
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val frag = "\"" + k + "\":" + d2(v)
+      if (used + frag.length + 1 <= budget) { // +1 for comma
+        if (sb2.nonEmpty) sb2.append(',')
+        sb2.append(frag); used += frag.length + 1
+      }
+    }
+    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nqueries":${results.size},"queries":{${sb2.result()}},"detail":"bench/bench_detail_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

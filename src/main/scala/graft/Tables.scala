@@ -15,19 +15,31 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for. Read the raw int64 nanos (exactness preserved in
-      // `ts_ns`) and surface `ts` as a µs-truncated TimestampType for
-      // date/window functions. Integer `div` — a double division would
-      // lose precision above 2^53 ns.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"), col("ts_ns"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Normalize `events.ts` across driver testdata vintages. Earlier
+    * generations wrote parquet TIMESTAMP(NANOS), which Spark has no
+    * native type for — under `nanosAsLong` it surfaces as raw int64
+    * nanos; newer generations write TIMESTAMP(MICROS), which reads as
+    * a native (ntz) timestamp. Downstream code sees the same two
+    * columns either way: `ts` as a µs TimestampType for date/window
+    * functions, plus `ts_ns` as exact int64 nanos (integer `div` /
+    * `* 1000L` — double arithmetic would lose precision above 2^53).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
     }
 
   /** Register all tables as temp views (lazy — no IO until a query

@@ -105,9 +105,8 @@ object Events {
     // staging artifacts die with the JVM instead of accumulating
     link.toFile.deleteOnExit()
     dir.toFile.deleteOnExit()
-    spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
   }
 
   /** Streaming tumbling-window aggregate with a watermark bounding
