@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked retrieval over the documents corpus — the search
+  * capability of a data-curation stack (find near-matches of an eval
+  * prompt, audit what a crawl contains for a topic, build retrieval
+  * training pairs). The reference engine has no search operator; this
+  * extends SURVEY §2D (Robertson/Spärck Jones BM25, the Lucene
+  * `ln(1 + (N-df+0.5)/(df+0.5))` idf form).
+  *
+  * Plan shape, sized for 100 TB:
+  *  - the corpus scan computes doc length and explodes ONLY tokens
+  *    matching the query-term set (an `IN` filter against a bounded
+  *    literal list — codegen'd, no join): non-matching text never
+  *    leaves the scan;
+  *  - the one corpus-proportional exchange carries (doc_id, term)
+  *    pairs AFTER map-side combine, i.e. O(distinct matched doc-term
+  *    pairs), each row 8B id + a term from the fixed query vocabulary
+  *    (O(1) distinct values — dictionary-encodes to bytes);
+  *  - df / corpus stats / query relations are O(|terms|) and
+  *    broadcast — the scored relation never shuffles for them;
+  *  - per-term partial scores are decimal-summed per (query, doc)
+  *    (order-independent, hash-stable) and ranked by the bounded-heap
+  *    TopKAgg — no global sort, no window over the full posting list.
+  */
+object Bm25 {
+
+  /** BM25 constants (k1, b) at their canonical defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed keyword queries over the synthetic corpus vocabulary. */
+  val defaultQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark join agg",
+    2 -> "window sort merge",
+    3 -> "customer query fast",
+    4 -> "stream batch filter")
+
+  /** Top-k docs per keyword query: (query_id, rank, doc_id, score). */
+  def topK(docs: DataFrame, queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, t))
+    }
+    val termSet = qTerms.map(_._2).distinct
+
+    val words = split(rtrim(col("text")), " ")
+    // matched postings: tf per (doc, term), dl carried through (it is
+    // constant per doc — max() is just the cheapest way to keep it)
+    val tf = docs
+      .select(col("doc_id"), size(words).as("dl"), explode(words).as("w"))
+      .filter(col("w").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(split(rtrim(col("text")), " "))).as("sdl"))
+    val q = qTerms.toDF("query_id", "w")
+
+    // per-term score — written as the EXACT expression tree the DuckDB
+    // oracle uses (same literals, same associativity), so each term
+    // score is the same IEEE double on both engines; the per-doc sum
+    // is decimal for partition-order independence
+    val scored = tf
+      .join(broadcast(dfRel), "w")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "w")
+      .withColumn("_s",
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n")))))
+          .cast("decimal(28,12)"))
+
+    val perDoc = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_s")).cast("double").as("score"))
+
+    perDoc
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKAgg(col("score"), col("doc_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as("doc_id"), col("_t.score").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The oracle's VALUES fragment for a query set: (query_id, term). */
+  def oracleValues(queries: Seq[(Int, String)]): String =
+    queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+}

@@ -46,8 +46,14 @@ object EventsOps {
     graft.streaming.StreamingEvents.runRetention(spark, Tables(spark, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Hourly-count anomalies per event type (exact integer-core z). */
+  def evt_anomaly(spark: SparkSession, dir: String): DataFrame =
+    Events.hourlyAnomaly(Tables(spark, dir, "events"))
+      .orderBy(col("event_type"), col("hour"))
+
   val queries: Map[String, Q] = Map(
     "evt_window_agg" -> (evt_window_agg _),
+    "evt_anomaly" -> (evt_anomaly _),
     "evt_funnel" -> (evt_funnel _),
     "evt_retention" -> (evt_retention _),
     "evt_funnel_stream" -> (evt_funnel_stream _),
@@ -55,6 +61,25 @@ object EventsOps {
     "evt_sessionize" -> (evt_sessionize _))
 
   val oracles: Map[String, String] = Map(
+    // z computed on its integer core: exact numerator/radicand, one
+    // sqrt, one division -> bit-identical doubles on both engines
+    "evt_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |         count(*)::bigint AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::bigint AS k,
+        |         cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS ss
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n,
+        |       cast(h.n * st.k - st.s as double)
+        |         / sqrt(cast(st.k * st.ss - st.s * st.s as double)) AS z
+        |FROM h JOIN st USING (event_type)
+        |WHERE st.k * st.ss > st.s * st.s
+        |  AND abs(cast(h.n * st.k - st.s as double)
+        |          / sqrt(cast(st.k * st.ss - st.s * st.s as double))) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
     "evt_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

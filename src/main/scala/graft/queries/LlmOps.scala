@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Contamination, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Bpe, Contamination, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -595,6 +595,13 @@ object LlmOps {
     * persisted filtered corpus) — the result is a DataFrame, but its
     * construction is not free.
     */
+  /** BM25 ranked retrieval: top-10 docs for 4 fixed keyword queries
+    * (operators/Bm25.scala — matched-postings-only exchange, broadcast
+    * stats, bounded-heap top-k).
+    */
+  def search_bm25(spark: SparkSession, dir: String): DataFrame =
+    Bm25.topK(docs(spark, dir), Bm25.defaultQueries, 10)
+
   def pipeline_clean(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
@@ -690,6 +697,7 @@ object LlmOps {
     "mm_decode_meta" -> (mm_decode_meta _),
     "mm_frame_sample" -> (mm_frame_sample _),
     "mm_resize_meta" -> (mm_resize_meta _),
+    "search_bm25" -> (search_bm25 _),
     "pipeline_clean" -> (pipeline_clean _))
 
   /** Derived from the single source of truth so an edit to the
@@ -787,6 +795,29 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical expression tree as the Spark side (same literals, same
+    // associativity): every per-term score is the same IEEE double;
+    // the per-doc sum runs in decimal on both engines
+    "search_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(rtrim(text), ' ') AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+         |st AS (SELECT count(*) AS n, cast(sum(dl) AS bigint) AS sdl FROM dl),
+         |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |q(query_id, w) AS (VALUES ${graft.operators.Bm25.oracleValues(graft.operators.Bm25.defaultQueries)}),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+         |       WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |  cast(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * (tf.tf * 2.2)
+         |       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sdl / st.n)))
+         |    AS decimal(28,12)) AS s
+         |  FROM tf JOIN dfr USING (w) JOIN q USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id, cast(sum(s) AS double) AS score FROM sc GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |       FROM agg)
+         |SELECT query_id, cast(rnk AS integer) AS rank, doc_id, score
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // same arithmetic as the Spark side: float division throughout
     // (DuckDB int/int is float division, matching Spark's Divide), and
     // the rule flags test the ROUNDED metrics

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -184,6 +185,53 @@ object SqlSurfaceC {
       .orderBy(col("cntry"))
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — bag (multiset) set-op semantics,
+    * preserving duplicate multiplicities (min for intersect,
+    * difference for except).
+    */
+  def q39_set_ops_all(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_nationkey").as("nk"))
+    val suppNations = Tables(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nk"))
+    custNations.intersectAll(suppNations).withColumn("op", lit("intersect_all"))
+      .unionByName(custNations.exceptAll(suppNations).withColumn("op", lit("except_all")))
+      .groupBy(col("op"), col("nk")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("op"), col("nk"))
+  }
+
+  /** UNPIVOT (wide → long): per-order measure columns melted into
+    * (measure, value) rows via `stack` — the inverse of q29_pivot.
+    */
+  def q40_unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        expr("stack(2, 'totalprice', cast(cast(o_totalprice as decimal(12,2)) as double), " +
+          "'custkey', cast(o_custkey as double)) as (measure, value)"))
+      .orderBy(col("o_orderkey"), col("measure"))
+
+  /** Window navigation functions: lag/lead with defaults, first/last
+    * value over a running frame, nth_value — per-customer order
+    * timeline.
+    */
+  def q41_window_nav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+        first(col("o_orderkey")).over(wRun).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(wRun).as("second_key"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -194,6 +242,9 @@ object SqlSurfaceC {
 
   val queries: Map[String, Q] = Map(
     "q26_percentile" -> (q26_percentile _),
+    "q39_set_ops_all" -> (q39_set_ops_all _),
+    "q40_unpivot" -> (q40_unpivot _),
+    "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
     "q28_cube" -> (q28_cube _),
     "q29_pivot" -> (q29_pivot _),
@@ -209,6 +260,36 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q39_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0),
+        |s AS (SELECT s_nationkey AS nk FROM supplier),
+        |i AS (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s),
+        |e AS (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s)
+        |SELECT 'intersect_all' AS op, nk, count(*) AS multiplicity FROM i GROUP BY 1, 2
+        |UNION ALL SELECT 'except_all' AS op, nk, count(*) FROM e GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q40_unpivot" ->
+      """SELECT o_orderkey, measure, value FROM (
+        |  SELECT o_orderkey, 'totalprice' AS measure,
+        |         cast(cast(o_totalprice as decimal(12,2)) as double) AS value
+        |  FROM orders WHERE o_orderkey <= 200
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey', cast(o_custkey as double)
+        |  FROM orders WHERE o_orderkey <= 200)
+        |ORDER BY o_orderkey, measure""".stripMargin,
+    "q41_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderkey, 1, -1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER wr AS first_key,
+        |  nth_value(o_orderkey, 2) OVER wr AS second_key,
+        |  cast(date_diff('day', cast(lag(o_orderdate, 1) OVER w as date),
+        |                 cast(o_orderdate as date)) as int) AS days_since_prev
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q26_percentile" ->
       """SELECT l_returnflag,
         | round((quantile_cont(l_quantity, [0.25, 0.5, 0.75]))[1], 4) AS p25,

@@ -23,6 +23,37 @@ object Events {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hourly-count anomaly detection per event type: hours whose event
+    * count sits ≥ `threshold` population standard deviations from that
+    * type's mean hourly count.
+    *
+    * The z-score is computed on its INTEGER core,
+    * `z = (n·K − Σn) / sqrt(K·Σn² − (Σn)²)`, so both engines evaluate
+    * one exact integer numerator/radicand, one correctly-rounded sqrt
+    * and one division — bit-identical doubles with no epsilon. Scale:
+    * two aggregates bounded by distinct (type, hour) pairs, then a
+    * broadcast of the per-type stats (O(#types) rows) — raw events are
+    * partially aggregated map-side and never re-shuffled.
+    */
+  def hourlyAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    val z = (col("n") * col("k") - col("s")).cast("double") /
+      sqrt((col("k") * col("ss") - col("s") * col("s")).cast("double"))
+    hourly
+      .join(broadcast(stats), "event_type")
+      .filter(col("k") * col("ss") > col("s") * col("s"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_type"), col("hour"), col("n"), col("z"))
+  }
+
   /** Gap-based sessionization per user via `session_window`, rolled up
     * to per-user session stats. A session extends while consecutive
     * events arrive within `gap`.
