@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bm25, Bpe, Contamination, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Bpe, Contamination, Graph, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -595,6 +595,15 @@ object LlmOps {
     * persisted filtered corpus) — the result is a DataFrame, but its
     * construction is not free.
     */
+  /** PageRank over the LSH-verified near-dup pair graph — template /
+    * boilerplate hubs concentrate mass (operators/Graph.scala; one
+    * O(edges) exchange per superstep, decimal-summed contributions,
+    * unrolled DuckDB oracle).
+    */
+  def graph_pagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(docs(spark, dir), Dedup.minhashLsh(docs(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** BM25 ranked retrieval: top-10 docs for 4 fixed keyword queries
     * (operators/Bm25.scala — matched-postings-only exchange, broadcast
     * stats, bounded-heap top-k).
@@ -698,6 +707,7 @@ object LlmOps {
     "mm_frame_sample" -> (mm_frame_sample _),
     "mm_resize_meta" -> (mm_resize_meta _),
     "search_bm25" -> (search_bm25 _),
+    "graph_pagerank" -> (graph_pagerank _),
     "pipeline_clean" -> (pipeline_clean _))
 
   /** Derived from the single source of truth so an edit to the
@@ -795,6 +805,15 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same edge relation as the dedup_minhash_lsh oracle (exact
+    // all-pairs Jaccard >= 0.8), then 10 unrolled PageRank iterations
+    // mirroring the Spark expression tree step for step
+    "graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(
+      s"""${jaccardPairsSql(0.8).replace("pairs AS (", "pairs AS MATERIALIZED (")},
+         |ed AS MATERIALIZED (
+         |       SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE j >= 0.8
+         |       UNION ALL
+         |       SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE j >= 0.8)""".stripMargin),
     // identical expression tree as the Spark side (same literals, same
     // associativity): every per-term score is the same IEEE double;
     // the per-doc sum runs in decimal on both engines
