@@ -221,7 +221,22 @@ object EngineOps {
          |FROM $name WHERE l_orderkey <= 1000 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
   }
 
+  /** Z-ordered layout key: rows sorted by the rank-bucketed Morton
+    * value of (l_partkey, l_suppkey) cluster BOTH dimensions, so a
+    * range-partitioned write produces files whose parquet min/max
+    * stats prune box queries on either column (ZorderSpec measures
+    * the file-hit counts vs a single-column sort). The gate checks
+    * the layout key itself: the IDENTICAL SQL string runs on both
+    * engines (QueryUtil.zorderBucketedSql).
+    */
+  def opt_zorder(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(QueryUtil.zorderBucketedSql("l_partkey", "l_suppkey",
+      where = "WHERE t.l_orderkey <= 1000"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "opt_zorder" -> (opt_zorder _),
     "eng_bucketed_ddl" -> (eng_bucketed_ddl _),
     "opt_partition_pruning" -> (opt_partition_pruning _),
     "opt_bucketed_join" -> (opt_bucketed_join _),
@@ -236,6 +251,8 @@ object EngineOps {
     "fmt_json_array" -> (fmt_json_array _))
 
   val oracles: Map[String, String] = Map(
+    "opt_zorder" -> QueryUtil.zorderBucketedSql("l_partkey", "l_suppkey",
+      where = "WHERE t.l_orderkey <= 1000"),
     "eng_bucketed_ddl" ->
       """SELECT l_orderkey, count(*) AS n,
         | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty

@@ -232,6 +232,36 @@ object SqlSurfaceC {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Correlation / covariance / stddev computed from exact decimal
+    * power sums (Σx, Σy, Σx², Σxy, Σy²) combined in double with an
+    * oracle-identical expression tree. Spark's own corr/stddev are
+    * streaming merge formulas whose doubles depend on partial-agg
+    * order — this form is the partition-order-DETERMINISTIC way to
+    * ship second-moment statistics at scale (one map-side-combinable
+    * aggregate, exchange = groups × 6 decimals).
+    */
+  def q42_corr_stats(spark: SparkSession, dir: String): DataFrame = {
+    val qty = money(col("l_quantity"))
+    val price = money(col("l_extendedprice"))
+    val g = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qty).as("_sx"), sum(price).as("_sy"),
+        sum(qty * qty).as("_sxx"), sum(qty * price).as("_sxy"),
+        sum(price * price).as("_syy"))
+    val kd = col("n").cast("double")
+    val (sx, sy) = (col("_sx").cast("double"), col("_sy").cast("double"))
+    val (sxx, sxy, syy) =
+      (col("_sxx").cast("double"), col("_sxy").cast("double"), col("_syy").cast("double"))
+    g.select(col("l_returnflag"), col("n"),
+      ((kd * sxy - sx * sy) /
+        (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy))).as("corr_qty_price"),
+      ((kd * sxy - sx * sy) / (kd * kd)).as("covar_pop"),
+      (sqrt(kd * sxx - sx * sx) / kd).as("stddev_qty"),
+      (sqrt(kd * syy - sy * sy) / kd).as("stddev_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -243,6 +273,7 @@ object SqlSurfaceC {
   val queries: Map[String, Q] = Map(
     "q26_percentile" -> (q26_percentile _),
     "q39_set_ops_all" -> (q39_set_ops_all _),
+    "q42_corr_stats" -> (q42_corr_stats _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -260,6 +291,24 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    // exact decimal power sums -> double combination with the same
+    // expression tree as the Spark side: deterministic, no tolerance
+    "q42_corr_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sx,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sy,
+        |    cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double) AS sxx,
+        |    cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS sxy,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (cast(n as double) * sxy - sx * sy)
+        |    / (sqrt(cast(n as double) * sxx - sx * sx) * sqrt(cast(n as double) * syy - sy * sy)) AS corr_qty_price,
+        |  (cast(n as double) * sxy - sx * sy) / (cast(n as double) * cast(n as double)) AS covar_pop,
+        |  sqrt(cast(n as double) * sxx - sx * sx) / cast(n as double) AS stddev_qty,
+        |  sqrt(cast(n as double) * syy - sy * sy) / cast(n as double) AS stddev_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q39_set_ops_all" ->
       """WITH c AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0),
         |s AS (SELECT s_nationkey AS nk FROM supplier),
