@@ -51,9 +51,18 @@ object EventsOps {
     Events.hourlyAnomaly(Tables(spark, dir, "events"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Incremental (streamed) anomaly detector — same oracle as batch
+    * [[evt_anomaly]]; non-monotone membership handled by changelog
+    * retraction.
+    */
+  def evt_anomaly_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runAnomaly(spark, Tables(spark, dir, "events"))
+      .orderBy(col("event_type"), col("hour"))
+
   val queries: Map[String, Q] = Map(
     "evt_window_agg" -> (evt_window_agg _),
     "evt_anomaly" -> (evt_anomaly _),
+    "evt_anomaly_stream" -> (evt_anomaly_stream _),
     "evt_funnel" -> (evt_funnel _),
     "evt_retention" -> (evt_retention _),
     "evt_funnel_stream" -> (evt_funnel_stream _),
@@ -64,6 +73,23 @@ object EventsOps {
     // z computed on its integer core: exact numerator/radicand, one
     // sqrt, one division -> bit-identical doubles on both engines
     "evt_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |         count(*)::bigint AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::bigint AS k,
+        |         cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS ss
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n,
+        |       cast(h.n * st.k - st.s as double)
+        |         / sqrt(cast(st.k * st.ss - st.s * st.s as double)) AS z
+        |FROM h JOIN st USING (event_type)
+        |WHERE st.k * st.ss > st.s * st.s
+        |  AND abs(cast(h.n * st.k - st.s as double)
+        |          / sqrt(cast(st.k * st.ss - st.s * st.s as double))) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
+    "evt_anomaly_stream" ->
       """WITH h AS (
         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         |         count(*)::bigint AS n

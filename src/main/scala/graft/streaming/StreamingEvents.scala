@@ -91,6 +91,65 @@ object StreamingEvents {
       (old -- current).iterator.map(p => (p._1, p._2, -1L))
   }
 
+  /** counts = hourly event counts seen so far for this type; emitted =
+    * (hour, n, z) anomaly rows currently counted downstream.
+    */
+  case class AnomalyState(counts: Map[String, Long], emitted: Seq[(String, Long, Double)])
+
+  /** Recompute the type's full anomaly set each batch — every event
+    * shifts the type's mean/std, so membership is NOT monotone: rows
+    * are retracted (-1) when an hour stops being anomalous and emitted
+    * (+1) when it starts. The z arithmetic is the same integer core as
+    * [[Events.hourlyAnomaly]] (n·K − Σn over sqrt(K·Σn² − (Σn)²)), so
+    * the drained values are bit-identical to batch.
+    */
+  private[graft] def anomalyUpdate(threshold: Double)(
+      eventType: String,
+      rows: Iterator[(String, String)],
+      state: GroupState[AnomalyState]): Iterator[(String, String, Long, Double, Long)] = {
+    val prev = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+    val counts = scala.collection.mutable.Map(prev.counts.toSeq: _*)
+    rows.foreach { case (_, h) => counts(h) = counts.getOrElse(h, 0L) + 1L }
+    val k = counts.size.toLong
+    val s = counts.valuesIterator.sum
+    val ss = counts.valuesIterator.map(n => n * n).sum
+    val current: Set[(String, Long, Double)] =
+      if (k * ss <= s * s) Set.empty
+      else {
+        val rad = math.sqrt((k * ss - s * s).toDouble)
+        counts.iterator
+          .map { case (h, n) => (h, n, (n * k - s).toDouble / rad) }
+          .filter(t => math.abs(t._3) >= threshold).toSet
+      }
+    val old = prev.emitted.toSet
+    state.update(AnomalyState(counts.toMap, current.toSeq))
+    (current -- old).iterator.map(t => (eventType, t._1, t._2, t._3, 1L)) ++
+      (old -- current).iterator.map(t => (eventType, t._1, t._2, t._3, -1L))
+  }
+
+  /** Drive the incremental anomaly detector; drained ≡ batch
+    * [[Events.hourlyAnomaly]] under the same oracle. State per type is
+    * O(distinct hours); a deployment bounds it by retiring hours past
+    * the monitoring horizon (the TTL pattern of [[StreamingDedup]]).
+    */
+  def runAnomaly(spark: SparkSession, events: DataFrame,
+      threshold: Double = 2.0, batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val prepared = events.select(col("event_type"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
+    drain(spark, prepared, batches, "hour", "anomaly-stream") { stream =>
+      stream.as[(String, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          anomalyUpdate(threshold))
+        .toDF("event_type", "hour", "n", "z", "weight")
+        .groupBy(col("event_type"), col("hour"), col("n"), col("z"))
+        .agg(sum(col("weight")).as("w"))
+        .filter(col("w") > 0)
+        .select(col("event_type"), col("hour"), col("n"), col("z"))
+    }
+  }
+
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
     */
