@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bm25, Bpe, Contamination, Graph, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -595,6 +595,16 @@ object LlmOps {
     * persisted filtered corpus) — the result is a DataFrame, but its
     * construction is not free.
     */
+  /** Deterministic PCA of the embedding corpus: top-8 principal
+    * components via exact fixed-point moment sums + driver-side cyclic
+    * Jacobi (operators/Pca.scala); output is each vector's projection
+    * onto the loadings. Fixture-oracled: tools/make_expected.py
+    * replays the identical arithmetic in pure Python.
+    */
+  def emb_pca(spark: SparkSession, dir: String): DataFrame =
+    Pca.pca(Tables(spark, dir, "embeddings"))
+      .orderBy(col("vec_id"), col("k"))
+
   /** PageRank over the LSH-verified near-dup pair graph — template /
     * boilerplate hubs concentrate mass (operators/Graph.scala; one
     * O(edges) exchange per superstep, decimal-summed contributions,
@@ -708,6 +718,7 @@ object LlmOps {
     "mm_resize_meta" -> (mm_resize_meta _),
     "search_bm25" -> (search_bm25 _),
     "graph_pagerank" -> (graph_pagerank _),
+    "emb_pca" -> (emb_pca _),
     "pipeline_clean" -> (pipeline_clean _))
 
   /** Derived from the single source of truth so an edit to the
@@ -1248,6 +1259,7 @@ object LlmOps {
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
     "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
+    "emb_pca" -> fixtureSql("emb_pca", "embeddings"),
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
     "sim_topk_pq" -> fixtureSql("sim_topk_pq", "embeddings"),

@@ -20,6 +20,7 @@ The arithmetic mirrors graft.functions.TextHashes bit-for-bit:
 
 Usage: python3 tools/make_expected.py [sf ...]   (default: all three)
 """
+import math
 import sys
 import os
 import re
@@ -810,6 +811,92 @@ def gen_quality_classifier(docs, buckets=4096, iters=24, lr=0.5):
 
 # ------------------------------------------------------------------ main
 
+def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
+    """Mirrors graft.operators.Pca bit-for-bit: fixed-point (2^-30)
+    integer moment sums, cyclic Jacobi with a fixed sweep count (same
+    rotation program, same branch on exact zeros), (eigenvalue desc,
+    index) ordering with largest-|component|-positive sign fixing, and
+    decimal(28,16)-quantized projection terms summed exactly."""
+    FP = float(1 << 30)
+    n = len(emb)
+    s1 = [0] * dim
+    s2 = [[0] * dim for _ in range(dim)]
+    for e in emb:
+        x = e["embedding"]
+        for i in range(dim):
+            s1[i] += int(x[i] * FP)
+        for i in range(dim):
+            xi = x[i]
+            row = s2[i]
+            for j in range(i, dim):
+                row[j] += int((xi * x[j]) * FP)
+    mean = [float(s) / (FP * float(n)) for s in s1]
+    cov = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            c = float(s2[i][j]) / (FP * float(n)) - mean[i] * mean[j]
+            cov[i][j] = c
+            cov[j][i] = c
+
+    a = [row[:] for row in cov]
+    v = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    for _ in range(sweeps):
+        for pp in range(dim - 1):
+            for qq in range(pp + 1, dim):
+                apq = a[pp][qq]
+                if apq != 0.0:
+                    theta = (a[qq][qq] - a[pp][pp]) / (2.0 * apq)
+                    if theta >= 0.0:
+                        t = 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else:
+                        t = 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+                    cth = 1.0 / math.sqrt(t * t + 1.0)
+                    sth = t * cth
+                    for k in range(dim):
+                        akp = a[k][pp]; akq = a[k][qq]
+                        a[k][pp] = cth * akp - sth * akq
+                        a[k][qq] = sth * akp + cth * akq
+                    for k in range(dim):
+                        apk = a[pp][k]; aqk = a[qq][k]
+                        a[pp][k] = cth * apk - sth * aqk
+                        a[qq][k] = sth * apk + cth * aqk
+                    for k in range(dim):
+                        vkp = v[k][pp]; vkq = v[k][qq]
+                        v[k][pp] = cth * vkp - sth * vkq
+                        v[k][qq] = sth * vkp + cth * vkq
+    vals = [a[i][i] for i in range(dim)]
+
+    order = sorted(range(dim), key=lambda i: (-vals[i], i))[:r]
+    comps = []
+    for cix in order:
+        vec = [v[i][cix] for i in range(dim)]
+        best = 0
+        for i in range(1, dim):
+            if abs(vec[i]) > abs(vec[best]):
+                best = i
+        if vec[best] < 0.0:
+            vec = [-x for x in vec]
+        comps.append(vec)
+
+    q16 = Decimal("0.0000000000000001")
+    q6 = Decimal("0.000001")
+    vec_ids, ks, projs = [], [], []
+    for e in emb:
+        x = e["embedding"]
+        for k, comp in enumerate(comps):
+            s = Decimal(0)
+            for i in range(dim):
+                s += Decimal(repr(x[i] * comp[i])).quantize(q16, rounding=ROUND_HALF_UP)
+            vec_ids.append(e["vec_id"])
+            ks.append(k)
+            projs.append(float(Decimal(repr(float(s))).quantize(q6, rounding=ROUND_HALF_UP)))
+    return pa.table({
+        "vec_id": pa.array(vec_ids, pa.int64()),
+        "k": pa.array(ks, pa.int32()),
+        "proj": pa.array(projs, pa.float64()),
+    })
+
+
 GENERATORS = {
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
@@ -830,6 +917,7 @@ GENERATORS = {
     "dsir_importance": ("documents", gen_dsir_importance),
     "contamination_bloom": ("documents", gen_contamination_bloom),
     "quality_classifier": ("documents", gen_quality_classifier),
+    "emb_pca": ("embeddings", gen_emb_pca),
 }
 
 
