@@ -324,6 +324,87 @@ object TextAnalysis {
         count(lit(1)).as("n_scored"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form with a fixed absolute
+    * discount d) — the standard n-gram smoothing, expressed as four
+    * count relations over the one bigram histogram:
+    *
+    *   P(cur|prev) = (c(prev,cur) − d)/c(prev·)
+    *               + d·N₁₊(prev,·)/c(prev·) · N₁₊(·,cur)/B
+    *
+    * where N₁₊(prev,·) = distinct successors, N₁₊(·,cur) = distinct
+    * predecessors (the continuation count — how many CONTEXTS a word
+    * completes, not how often it occurs), B = distinct bigrams. Self-
+    * trained, so every doc bigram has c ≥ 1 > d and the max(·,0)
+    * clamp never binds. Same shuffle shape as [[bigramSurprisal]]:
+    * everything derives from the vocab²-bounded bigram histogram; the
+    * continuation relations are vocab-bounded; B is a 1-row
+    * broadcast. All probability arithmetic is double with the same
+    * expression tree as the DuckDB oracle; per-doc sums in decimal.
+    */
+  def knSurprisal(docs: DataFrame, id: Column, text: Column, d: Double = 0.75): DataFrame = {
+    val w = split(rtrim(text), " ")
+    val bg = docs
+      .select(id.as("doc_id"),
+        explode(arrays_zip(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
+      .select(col("doc_id"),
+        GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_prev"),
+        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_cur"))
+    val c2 = bg.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("_prev"))
+      .agg(sum(col("_c2")).as("_c1"), count(lit(1)).as("_n1prev"))
+    val cont = c2.groupBy(col("_cur")).agg(count(lit(1)).as("_n1cur"))
+    val btot = c2.agg(count(lit(1)).as("_b"))
+    val p =
+      (col("_c2").cast("double") - lit(d)) / col("_c1").cast("double") +
+        (lit(d) * col("_n1prev").cast("double") / col("_c1").cast("double")) *
+          (col("_n1cur").cast("double") / col("_b").cast("double"))
+    bg.join(c2, Seq("_prev", "_cur")).join(c1, Seq("_prev"))
+      .join(cont, Seq("_cur")).crossJoin(broadcast(btot))
+      .withColumn("_s", (-log(p)).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("_s")).cast("double") / count(lit(1)), 4).as("mean_kn_surprisal"),
+        count(lit(1)).as("n_scored"))
+  }
+
+  /** Corpus boilerplate report: the most-duplicated word-k-gram spans
+    * (how many DOCS contain each span — the C4/CCNet "same line in
+    * many pages" diagnostic that motivates line-level dedup).
+    *
+    * Shape: the corpus-sized exchange is (8-byte span fp, doc) pairs
+    * from the distinct-shingle kernel, combined map-side into per-fp
+    * doc counts; the report threshold is the `top`-th distinct count
+    * level (a 1-row broadcast — no tie-breaking through the fp order,
+    * so the output SET is engine-independent and strings order the
+    * final rows); span STRINGS are fetched on a second scan for the
+    * surviving fps only (broadcast semi-join).
+    */
+  def boilerplateSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 5, top: Int = 20, minDocs: Int = 2): DataFrame = {
+    val spans = docs.select(id.as("doc_id"),
+      explode(GraftFunctions.shingles(text, k)).as("_sp"))
+    val counts = spans
+      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_sp")).as("_fp"))
+      .groupBy(col("_fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = counts.select(col("n_docs")).distinct()
+      .orderBy(col("n_docs").desc).limit(top)
+      .agg(min(col("n_docs")).as("_thr"))
+    val survivors = counts.crossJoin(broadcast(thr))
+      .filter(col("n_docs") >= col("_thr"))
+      .select(col("_fp"), col("n_docs"))
+    spans
+      .select(GraftFunctions.fnv1a64(col("_sp")).as("_fp"), col("_sp"))
+      .join(broadcast(survivors), "_fp")
+      .groupBy(col("_fp"), col("n_docs")).agg(min(col("_sp")).as("span"))
+      .select(col("span"), col("n_docs"))
+      .orderBy(col("n_docs").desc, col("span"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-k corpus-weighted
     * terms per doc (tf · ln(N/df)) — the classic summarization /
     * topic-labeling pass of a curation pipeline.

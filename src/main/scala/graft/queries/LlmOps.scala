@@ -56,6 +56,13 @@ object LlmOps {
     TextAnalysis.surprisal(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  def text_boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateSpans(docs(spark, dir), col("doc_id"), col("text"))
+
+  def text_kn_surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knSurprisal(docs(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   def text_bigram_surprisal(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprisal(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -667,6 +674,8 @@ object LlmOps {
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
+    "text_kn_surprisal" -> (text_kn_surprisal _),
+    "text_boilerplate" -> (text_boilerplate _),
     "text_repetition" -> (text_repetition _),
     "text_ccnet_bucket" -> (text_ccnet_bucket _),
     "text_gopher" -> (text_gopher _),
@@ -816,6 +825,39 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // span strings order the rows; the survivor SET is fixed by the
+    // top-20 distinct count levels, so no hash-order tie-break exists
+    "text_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shingleListSql(5)} AS s
+         |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
+         |sp AS (SELECT doc_id, u.sp AS sp FROM sh, unnest(s) AS u(sp)),
+         |c AS (SELECT sp, count(*) AS n_docs FROM sp GROUP BY sp HAVING count(*) >= 2),
+         |thr AS (SELECT min(n) AS t
+         |        FROM (SELECT DISTINCT n_docs AS n FROM c ORDER BY n DESC LIMIT 20))
+         |SELECT c.sp AS span, c.n_docs FROM c, thr WHERE c.n_docs >= thr.t
+         |ORDER BY n_docs DESC, span""".stripMargin,
+    // interpolated Kneser-Ney, identical double expression tree; the
+    // continuation counts come from the same bigram histogram
+    "text_kn_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[u.i] AS prev, w[u.i+1] AS cur
+        |  FROM w, unnest(range(1, len(w))) AS u(i)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+        |c1 AS (SELECT prev, cast(sum(c2) as bigint) AS c1, count(*) AS n1prev
+        |       FROM c2 GROUP BY prev),
+        |cont AS (SELECT cur, count(*) AS n1cur FROM c2 GROUP BY cur),
+        |bt AS (SELECT count(*) AS b FROM c2)
+        |SELECT doc_id,
+        |  round(cast(sum(cast(-ln(
+        |    (c2.c2::double - 0.75) / c1.c1::double
+        |    + (0.75 * c1.n1prev::double / c1.c1::double) * (cont.n1cur::double / bt.b::double)
+        |  ) as decimal(28,12))) as double) / count(*), 4) AS mean_kn_surprisal,
+        |  count(*) AS n_scored
+        |FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |     JOIN cont USING (cur) CROSS JOIN bt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same edge relation as the dedup_minhash_lsh oracle (exact
     // all-pairs Jaccard >= 0.8), then 10 unrolled PageRank iterations
     // mirroring the Spark expression tree step for step

@@ -262,6 +262,23 @@ object SqlSurfaceC {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Correlated LATERAL subquery with per-row ORDER BY/LIMIT — top-2
+    * orders per customer without a window function; the same SQL text
+    * runs on both engines (Spark plans a lateral join; DuckDB a
+    * dependent join).
+    */
+  def q43_lateral(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -274,6 +291,7 @@ object SqlSurfaceC {
     "q26_percentile" -> (q26_percentile _),
     "q39_set_ops_all" -> (q39_set_ops_all _),
     "q42_corr_stats" -> (q42_corr_stats _),
+    "q43_lateral" -> (q43_lateral _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -291,6 +309,14 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q43_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     // exact decimal power sums -> double combination with the same
     // expression tree as the Spark side: deterministic, no tolerance
     "q42_corr_stats" ->
