@@ -279,6 +279,30 @@ object SqlSurfaceC {
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** WITH RECURSIVE (new in Spark 4): a weekly calendar spine from the
+    * events table's own bounds, left-joined to per-week signup counts —
+    * gap weeks appear as zero rows. The same SQL text runs on DuckDB.
+    */
+  def q44_recursive(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT cast(floor(cast(min(ts) as double) / 604800) as bigint) AS w0,
+        |         cast(floor(cast(max(ts) as double) / 604800) as bigint) AS w1
+        |  FROM events),
+        |spine(w) AS (
+        |  SELECT w0 FROM bounds
+        |  UNION ALL
+        |  SELECT w + 1 FROM spine, bounds WHERE w < w1),
+        |su AS (
+        |  SELECT cast(floor(cast(ts as double) / 604800) as bigint) AS w,
+        |         count(*) AS n
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT spine.w AS week, coalesce(su.n, 0) AS n_signups
+        |FROM spine LEFT JOIN su ON spine.w = su.w
+        |ORDER BY week""".stripMargin)
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -292,6 +316,7 @@ object SqlSurfaceC {
     "q39_set_ops_all" -> (q39_set_ops_all _),
     "q42_corr_stats" -> (q42_corr_stats _),
     "q43_lateral" -> (q43_lateral _),
+    "q44_recursive" -> (q44_recursive _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -309,6 +334,21 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q44_recursive" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT cast(floor(epoch(min(ts)) / 604800) as bigint) AS w0,
+        |         cast(floor(epoch(max(ts)) / 604800) as bigint) AS w1
+        |  FROM events),
+        |spine(w) AS (
+        |  SELECT w0 FROM bounds
+        |  UNION ALL
+        |  SELECT w + 1 FROM spine, bounds WHERE w < w1),
+        |su AS (
+        |  SELECT cast(floor(epoch(ts) / 604800) as bigint) AS w, count(*) AS n
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT spine.w AS week, coalesce(su.n, 0) AS n_signups
+        |FROM spine LEFT JOIN su ON spine.w = su.w
+        |ORDER BY week""".stripMargin,
     "q43_lateral" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer, LATERAL (
