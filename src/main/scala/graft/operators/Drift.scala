@@ -56,4 +56,37 @@ object Drift {
       .agg(max(abs(col("cs").cast("double") / col("n").cast("double") -
         col("gcum").cast("double") / col("g").cast("double"))).as("ks"))
   }
+
+  /** Per-group Pearson χ² of a CATEGORICAL column against the corpus
+    * marginal (the companion of [[ksPerGroup]] for discrete features:
+    * does source S's language mix drift from the corpus?). All counts
+    * are exact integers; each expected cell `e = rowTot·colTot/grand`
+    * is ONE double expression materialized as a column so both engines
+    * square-and-divide the same stored double; per-group sums run in
+    * decimal. Exchange = observed cells (groups × categories), never
+    * rows. Output: (group, n, df, chi2).
+    */
+  def chi2PerGroup(df: DataFrame, group: Column, category: Column): DataFrame = {
+    val cells = df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("grp")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("cat")).agg(sum(col("o")).as("ct"))
+    val grand = cells.agg(sum(col("o")).as("g"))
+    val nCats = cells.select(col("cat")).distinct().count()
+    // the full groups × categories grid: a group's MISSING categories
+    // contribute (0 − e)²/e and must not be dropped
+    rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("grp", "cat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("g").cast("double"))
+      .withColumn("_t",
+        ((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e")).cast("decimal(28,12)"))
+      .groupBy(col("grp"), col("rt"))
+      .agg(sum(col("_t")).cast("double").as("chi2"))
+      .select(col("grp"), col("rt").as("n"), lit(nCats - 1).as("df"),
+        round(col("chi2"), 6).as("chi2"))
+  }
 }

@@ -56,6 +56,14 @@ object LlmOps {
     TextAnalysis.surprisal(docs(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Per-source chi-squared drift of the language mix vs the corpus
+    * marginal — the categorical companion of stats_ks_drift.
+    */
+  def stats_chi2_drift(spark: SparkSession, dir: String): DataFrame =
+    Drift.chi2PerGroup(docs(spark, dir), col("source"), col("lang"))
+      .orderBy(col("grp"))
+      .withColumnRenamed("grp", "source")
+
   def text_boilerplate(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateSpans(docs(spark, dir), col("doc_id"), col("text"))
 
@@ -682,6 +690,7 @@ object LlmOps {
     "text_tfidf" -> (text_tfidf _),
     "corpus_stats" -> (corpus_stats _),
     "stats_ks_drift" -> (stats_ks_drift _),
+    "stats_chi2_drift" -> (stats_chi2_drift _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
@@ -825,6 +834,27 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // expected cell e materialized once; zero cells included; decimal
+    // term sums -> identical doubles, rounded 6 on both engines
+    "stats_chi2_drift" ->
+      """WITH cells AS (
+        |  SELECT source AS grp, lang AS cat, count(*)::bigint AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT grp, cast(sum(o) as bigint) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT cat, cast(sum(o) as bigint) AS ct FROM cells GROUP BY 1),
+        |g AS (SELECT cast(sum(o) as bigint) AS g FROM cells),
+        |nc AS (SELECT count(*) AS nc FROM c),
+        |grid AS (
+        |  SELECT r.grp, c.cat, r.rt, c.ct, coalesce(cells.o, 0) AS o,
+        |         r.rt::double * c.ct::double / g.g::double AS e
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.grp = r.grp AND cells.cat = c.cat
+        |  CROSS JOIN g)
+        |SELECT grid.grp AS source, grid.rt AS n, nc.nc - 1 AS df,
+        |  round(cast(sum(cast((grid.o::double - grid.e) * (grid.o::double - grid.e) / grid.e
+        |    as decimal(28,12))) as double), 6) AS chi2
+        |FROM grid CROSS JOIN nc
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // span strings order the rows; the survivor SET is fixed by the
     // top-20 distinct count levels, so no hash-order tie-break exists
     "text_boilerplate" ->
