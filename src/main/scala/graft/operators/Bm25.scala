@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** BM25 constants (k1, b) at their canonical defaults. */
-  val K1 = 1.2
-  val B = 0.75
+  // k1 = 1.2 and b = 0.75 (the canonical defaults) appear as inline
+  // literals in the scoring expression: the oracle's doubles match
+  // only if both engines parse the IDENTICAL literal (1.2 + 1.0 is a
+  // different double than the literal 2.2), so the formula is written
+  // out rather than derived from constants.
 
   /** Fixed keyword queries over the synthetic corpus vocabulary. */
   val defaultQueries: Seq[(Int, String)] = Seq(

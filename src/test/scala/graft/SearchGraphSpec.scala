@@ -57,6 +57,28 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(rows == r2, "pagerank must not depend on partitioning")
   }
 
+  test("streaming anomaly retracts rows when later batches de-flag an hour") {
+    import spark.implicits._
+    // Batches split by hour range. After the early hours alone
+    // (0..7 at 10 events, hour 5 at 20) hour 5 IS anomalous; the full
+    // day adds hours 8..23 at 20 events, moving the mean so hour 5 is
+    // ordinary — the changelog must retract the early emission, and
+    // the drained table must equal the batch operator exactly.
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h == 5 || h >= 8) 20 else 10
+      (0 until n).map(i => (h.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:01"), 1L, "click", 1.0, "{}"))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = Events.hourlyAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val drained = graft.streaming.StreamingEvents.runAnomaly(spark, events, batches = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(drained == batch, s"drained=$drained batch=$batch")
+    assert(!batch.exists(_._2 == "2024-01-01 05"), "hour 5 must end up de-flagged")
+  }
+
   test("anomaly: an injected hourly spike is flagged, flat hours are not") {
     import spark.implicits._
     // 23 hours at 10 events + one hour at 60 -> only the spike hour
