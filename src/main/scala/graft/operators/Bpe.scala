@@ -51,11 +51,38 @@ object Bpe {
     try trainFromVocab(vocab, nMerges) finally vocab.unpersist()
   }
 
+  /** Above this many distinct words the merge rounds stay distributed;
+    * below it the word-frequency table collects to the driver once and
+    * the rounds run locally (see trainFromVocab). ~10-char words plus
+    * symbol arrays cost ~200 B/entry, so 2^20 entries is ~200 MB of
+    * driver heap — the same JVM-honest sizing rationale as
+    * Dedup.resolve's union-find threshold.
+    */
+  val localVocabThreshold: Long = 1L << 20
+
   /** Merge learning over an already-persisted word-frequency relation
     * (lets callers that also need the vocabulary pay the corpus-sized
     * word count only once).
+    *
+    * ADAPTIVE: the per-round relation is bounded by vocabulary size,
+    * not corpus size, so when the vocabulary fits driver memory
+    * (≤ localVocabThreshold distinct words) the rounds run as local
+    * loops over one collected (word, cnt) array — identical kernels
+    * (bpeInitSyms/bpeApply), identical (count desc, pair asc) binary
+    * tie-break — instead of 1 Spark job per merge round. Real
+    * tokenizer vocabularies (~10^6–10^7 words at 100 TB) sit near the
+    * threshold; above it the distributed rounds take over unchanged.
+    * LocalEquivalence is spec-asserted merge-for-merge.
     */
-  def trainFromVocab(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
+  def trainFromVocab(vocab: DataFrame, nMerges: Int): Seq[Merge] =
+    if (vocab.count() <= localVocabThreshold)
+      trainLocal(vocab.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else trainDistributed(vocab, nMerges)
+
+  /** The distributed merge rounds: one vocab-bounded pair-count
+    * aggregate + a 1-row collect per round.
+    */
+  private[graft] def trainDistributed(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
     val merges = ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < nMerges && !done) {
@@ -74,6 +101,65 @@ object Bpe {
       if (top.isEmpty) done = true
       else merges += Merge(merges.length + 1, top(0).getString(0),
         top(0).getString(1), top(0).getLong(2))
+    }
+    merges.toSeq
+  }
+
+  /** Driver-local merge rounds over a collected word-frequency table.
+    * Bit-equivalent to the distributed rounds: symbol sequences start
+    * from the same bpeInitSyms kernel, each round extends them with
+    * one greedy bpeApply pass (incremental-equivalent to re-applying
+    * the chain, see bpeApply's scaladoc), pair counts are exact longs,
+    * and the argmax tie-breaks (count desc, left asc, right asc) in
+    * UTF8String binary order — the same ordering Spark's orderBy uses
+    * on string columns.
+    */
+  private[graft] def trainLocal(rows: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val cnts = rows.map(_._2)
+    val syms: Array[Array[UTF8String]] = rows.map { case (w, _) =>
+      val a = graft.functions.TextHashes.bpeInitSyms(UTF8String.fromString(w))
+      Array.tabulate(a.numElements())(a.getUTF8String)
+    }
+    def lt(a: (UTF8String, UTF8String), b: (UTF8String, UTF8String)): Boolean = {
+      val c = a._1.compareTo(b._1)
+      c < 0 || (c == 0 && a._2.compareTo(b._2) < 0)
+    }
+    val merges = ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(UTF8String, UTF8String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnts(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (UTF8String, UTF8String) = null
+        var bestC = -1L
+        counts.foreach { case (k, v) =>
+          if (v > bestC || (v == bestC && lt(k, best))) { best = k; bestC = v }
+        }
+        val l = Array(best._1)
+        val r = Array(best._2)
+        var j = 0
+        while (j < syms.length) {
+          syms(j) = {
+            val applied = graft.functions.TextHashes.bpeApply(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                syms(j).asInstanceOf[Array[AnyRef]]), l, r)
+            Array.tabulate(applied.numElements())(applied.getUTF8String)
+          }
+          j += 1
+        }
+        merges += Merge(merges.length + 1, best._1.toString, best._2.toString, bestC)
+      }
     }
     merges.toSeq
   }

@@ -417,6 +417,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n4 < n0, "merges must reduce the token count")
   }
 
+  test("bpe adaptive local rounds reproduce the distributed rounds merge-for-merge") {
+    import spark.implicits._
+    // deliberately tie-heavy corpus (many equal pair counts) so the
+    // (count desc, left asc, right asc) binary tie-break is exercised,
+    // plus a non-ASCII word to pin UTF8String byte ordering
+    val docs = Seq(
+      (0L, "low low low low low lower lower newest newest"),
+      (1L, "née née aba aba abb abb"),
+      (2L, "zz zz yy yy xx xx")).toDF("doc_id", "text")
+    val vocab = operators.Bpe.wordCounts(docs, col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dist = operators.Bpe.trainDistributed(vocab, nMerges = 10)
+    val local = operators.Bpe.trainLocal(
+      vocab.collect().map(r => (r.getString(0), r.getLong(1))), nMerges = 10)
+    vocab.unpersist()
+    assert(local == dist, s"local $local != distributed $dist")
+  }
+
   test("bpe packIds: conservation, fixed length, doc-order stream, bucket-invariant") {
     import spark.implicits._
     val texts = Seq(
