@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -105,6 +105,62 @@ object TextHashes {
     var i = 0
     while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
     math.sqrt(acc)
+  }
+
+  /** SQ8 scalar quantization: float vector → one uint8 code per
+    * dimension against per-dim (min, scale=(max−min)/255) grids.
+    * code = floor((v−min)/scale + 0.5) clamped to [0,255]; a
+    * degenerate dimension (scale ≤ 0) codes as 0. 4× smaller than
+    * float32 through the scan, 8× smaller than the raw double form.
+    */
+  def sq8Encode(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      mins: Array[Double], scales: Array[Double]): Array[Byte] = {
+    val d = mins.length
+    val out = new Array[Byte](d)
+    var j = 0
+    while (j < d) {
+      val v = a.getFloat(j).toDouble
+      val c =
+        if (scales(j) <= 0.0) 0
+        else {
+          val u = math.floor((v - mins(j)) / scales(j) + 0.5)
+          if (u < 0.0) 0 else if (u > 255.0) 255 else u.toInt
+        }
+      out(j) = c.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** L2 norm of the SQ8 reconstruction v̂[j] = min[j] + code[j]·scale[j]
+    * — the denominator of the norm-corrected ADC cosine (the cosine of
+    * the vector ADC actually measures; see Pq normCorrect).
+    */
+  def sq8ReconNorm(codes: Array[Byte], mins: Array[Double],
+      scales: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < codes.length) {
+      val v = mins(j) + (codes(j) & 0xFF).toDouble * scales(j)
+      acc += v * v
+      j += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Asymmetric distance computation against SQ8 codes:
+    * Σ_j q[j]·(min[j] + code[j]·scale[j]) — the query stays full
+    * precision, the corpus side never leaves its 1-byte codes.
+    */
+  def sq8Adc(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: Array[Byte], mins: Array[Double], scales: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < codes.length) {
+      acc += q.getFloat(j).toDouble * (mins(j) + (codes(j) & 0xFF).toDouble * scales(j))
+      j += 1
+    }
+    acc
   }
 
   /** Distinct word-k-gram shingle set of a string — the single-pass
@@ -584,6 +640,12 @@ object GraftFunctions {
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
+  def sq8Encode(c: Column, mins: Array[Double], scales: Array[Double]): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(c), mins, scales))
+  def sq8ReconNorm(c: Column, mins: Array[Double], scales: Array[Double]): Column =
+    Bridge.column(Sq8ReconNorm(Bridge.expression(c), mins, scales))
+  def sq8Adc(q: Column, codes: Column, mins: Array[Double], scales: Array[Double]): Column =
+    Bridge.column(Sq8Adc(Bridge.expression(q), Bridge.expression(codes), mins, scales))
   def commonSortedFp(a: Column, b: Column): Column =
     Bridge.column(CommonSortedFp(Bridge.expression(a), Bridge.expression(b)))
 

@@ -161,7 +161,7 @@ object Pq {
   /** ADC top-R then exact re-rank on fetched true vectors — narrow ids
     * only through the candidate set.
     */
-  private def rerankTopK(adc: DataFrame, corpus: DataFrame, queries: DataFrame,
+  private[graft] def rerankTopK(adc: DataFrame, corpus: DataFrame, queries: DataFrame,
       qnorms: DataFrame, k: Int, rerankMult: Int): DataFrame = {
     val cands = Similarity.heapTopK(adc, rerankMult * k)
       .select(col("query_id"), col("neighbor_id"))

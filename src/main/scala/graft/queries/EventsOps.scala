@@ -46,6 +46,21 @@ object EventsOps {
     graft.streaming.StreamingEvents.runRetention(spark, Tables(spark, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Click→view attribution pairs within a 4 h window (one user-keyed
+    * shuffle; interval bounds the per-user pair fan-out).
+    */
+  def evt_attribution(spark: SparkSession, dir: String): DataFrame =
+    Events.attribution(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+
+  /** The SAME pairs produced by a watermarked stream-stream interval
+    * join (state evicted past watermark − window); same oracle as
+    * batch [[evt_attribution]].
+    */
+  def evt_attribution_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runAttribution(spark, Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+
   /** Hourly-count anomalies per event type (exact integer-core z). */
   def evt_anomaly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAnomaly(Tables(spark, dir, "events"))
@@ -60,6 +75,8 @@ object EventsOps {
       .orderBy(col("event_type"), col("hour"))
 
   val queries: Map[String, Q] = Map(
+    "evt_attribution" -> (evt_attribution _),
+    "evt_attribution_stream" -> (evt_attribution_stream _),
     "evt_window_agg" -> (evt_window_agg _),
     "evt_anomaly" -> (evt_anomaly _),
     "evt_anomaly_stream" -> (evt_anomaly_stream _),
@@ -69,7 +86,19 @@ object EventsOps {
     "evt_retention_stream" -> (evt_retention_stream _),
     "evt_sessionize" -> (evt_sessionize _))
 
+  private val attributionSql =
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 4 HOUR
+      |ORDER BY c.user_id, click_id, view_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // drained stream-stream join ≡ batch join: one oracle, two entries
+    "evt_attribution" -> attributionSql,
+    "evt_attribution_stream" -> attributionSql,
     // z computed on its integer core: exact numerator/radicand, one
     // sqrt, one division -> bit-identical doubles on both engines
     "evt_anomaly" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, Sq8, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -563,6 +563,18 @@ object LlmOps {
   /** Product-quantization ANN: the corpus scans as m-byte codes, exact
     * math only on the ADC top-R re-rank candidates (operators.Pq).
     */
+  /** SQ8 scalar-quantization ANN (1 byte/dim uniform per-dim grid,
+    * norm-corrected ADC, exact re-rank) — training-free: the grid is
+    * an exact min/max aggregate, so the whole operator is
+    * partitioning-independent with no pinned seed state. Mirrored by
+    * make_expected gen_sim_topk_sq8.
+    */
+  def sim_topk_sq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Sq8.topKSq8(emb, emb.filter(col("vec_id") < 64), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def sim_topk_pq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Pq.topKPq(emb, emb.filter(col("vec_id") < 64), k = 5)
@@ -727,6 +739,7 @@ object LlmOps {
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_pq" -> (sim_topk_pq _),
+    "sim_topk_sq8" -> (sim_topk_sq8 _),
     "sim_topk_ivfpq" -> (sim_topk_ivfpq _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
@@ -1335,6 +1348,7 @@ object LlmOps {
     "sim_topk_lsh" -> fixtureSql("sim_topk_lsh", "embeddings"),
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
     "sim_topk_pq" -> fixtureSql("sim_topk_pq", "embeddings"),
+    "sim_topk_sq8" -> fixtureSql("sim_topk_sq8", "embeddings"),
     "sim_topk_ivfpq" -> fixtureSql("sim_topk_ivfpq", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),

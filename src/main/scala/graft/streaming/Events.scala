@@ -140,6 +140,34 @@ object Events {
       spark.readStream.schema(rawSchema).parquet(dir.toString))
   }
 
+  /** Click→view attribution pairs: every (click, view) by the same
+    * user with the view inside the `window` before the click —
+    * the batch shape of a watermarked STREAM-STREAM interval join
+    * (see [[StreamingEvents.runAttribution]]). Output is the pair
+    * relation with the view→click lag in µs; downstreams apply their
+    * own attribution policy (last-touch = min lag per click, linear =
+    * weight 1/n, …) — policies are cheap once the pairs exist.
+    *
+    * 100 TB shape: ONE shuffle, both sides hash-partitioned by
+    * user_id; per-user state is bounded by the interval (a user's
+    * views within 4 h), so no quadratic blowup exists unless one user
+    * spams both event types inside the window — the same bound the
+    * streaming variant's watermark enforces as state cleanup.
+    */
+  def attribution(events: DataFrame, window: String = "4 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Streaming tumbling-window aggregate with a watermark bounding
     * state; used by the streaming spec through a memory sink.
     */

@@ -176,6 +176,70 @@ object StreamingEvents {
     drained
   }
 
+  /** Click→view attribution as a watermarked STREAM-STREAM interval
+    * join — the one Structured Streaming join shape the other §2E
+    * operators don't exercise. Both sides of [[Events.attribution]]'s
+    * self-join read the same staged event stream; the time-range
+    * predicate (`v_ts` within `window` before `c_ts`) plus the two
+    * watermarks let Spark EVICT join state: a buffered view older than
+    * `watermark − window` can never match a future click, so at scale
+    * state is bounded by (events per user per window), not the stream
+    * length.
+    *
+    * Drained ≡ batch: the staged batches are range-partitioned by ts,
+    * so within-run disorder is bounded by one micro-batch and the
+    * `delay` margin keeps every joinable row alive until its partner's
+    * batch has arrived — the same oracle gates both entries.
+    */
+  def runAttribution(spark: SparkSession, events: DataFrame,
+      window: String = "4 hours", delay: String = "8 hours",
+      batches: Int = 3): DataFrame = {
+    val prepared = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+    dir.toFile.deleteOnExit()
+    prepared.repartitionByRange(batches, col("ts"))
+      .write.mode("overwrite").parquet(dir.toString)
+    // The file source triggers in MODIFICATION-TIME order, and the
+    // write's tasks finish in arbitrary order — stamp ascending mtimes
+    // in part-file order (part-i = i-th ts range) so the staged stream
+    // arrives in event-time order, the modeled landing-directory
+    // behavior a watermarked join assumes (disorder beyond `delay`
+    // is genuinely dropped late data, in streaming and in production).
+    dir.toFile.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+    def side() = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val clicks = side().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val views = side().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", delay)
+    val joined = clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    val sinkName = s"graft_attr_stream_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+    val drained = spark.table(sinkName).localCheckpoint()
+    spark.catalog.dropTempView(sinkName)
+    drained
+  }
+
   /** Drive the incremental funnel over the events table in `batches`
     * micro-batches; the drained table must equal [[Events.funnel]]
     * under the same DuckDB oracle. (A stage no user ever completes

@@ -117,6 +117,77 @@ case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputT
     copy(child = newChild)
 }
 
+/** Codegen'd SQ8 scalar-quantization encode: array<float> → binary
+  * (one uint8 code per dimension). The per-dim grid (mins, scales)
+  * rides as codegen reference objects.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.sq8Encode(input.asInstanceOf[ArrayData], mins, scales)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sq8Scales", scales, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.sq8Encode($c, $minsRef, $scalesRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Codegen'd L2 norm of an SQ8 reconstruction: binary codes → double. */
+case class Sq8ReconNorm(child: Expression, mins: Array[Double], scales: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_recon_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.sq8ReconNorm(input.asInstanceOf[Array[Byte]], mins, scales)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sq8Scales", scales, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.sq8ReconNorm($c, $minsRef, $scalesRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8ReconNorm =
+    copy(child = newChild)
+}
+
+/** Codegen'd SQ8 asymmetric distance: full-precision query ⋅ SQ8
+  * reconstruction, without materializing the reconstruction.
+  */
+case class Sq8Adc(left: Expression, right: Expression,
+    mins: Array[Double], scales: Array[Double])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sq8Adc(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], mins, scales)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sq8Scales", scales, "double[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes$$.MODULE$$.sq8Adc($a, $b, $minsRef, $scalesRef)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Adc =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd distinct word-k-gram shingle set: string → array<string>. */
 case class Shingles(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {

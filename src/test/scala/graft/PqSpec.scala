@@ -74,6 +74,32 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ADC+rerank recall collapsed: $recall")
   }
 
+  test("sq8: codes 1 byte/dim, grid partition-invariant, high recall") {
+    val q = emb.filter(col("vec_id") < 16)
+    // codes are exactly dim bytes — the 4x-vs-float32 compression claim
+    val (mins, scales) = graft.operators.Sq8.grid(emb, dim = 64)
+    assert(mins.length == 64 && scales.forall(_ >= 0.0))
+    val lens = emb.select(graft.functions.GraftFunctions
+        .sq8Encode(col("embedding"), mins, scales).as("c"))
+      .select(length(col("c")).as("l")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(64), s"code lengths: $lens")
+    // min/max grid is an order-free aggregate: ranking survives repartition
+    val a = graft.operators.Sq8.topKSq8(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = graft.operators.Sq8.topKSq8(emb.repartition(7), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "SQ8 ranking must be partition-invariant")
+    // 8-bit per-dim quantization is near-lossless for ranking: recall
+    // well above the coarser PQ codes (floor 0.4 there)
+    val bf = Similarity.topKBruteForce(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = graft.operators.Sq8.topKSq8(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.9, s"SQ8 recall collapsed: $recall")
+  }
+
   test("variance-balanced permutation: valid bijection, search is cosine-invariant") {
     val dim = 64
     val perm = Pq.varianceBalancedPerm(emb, m = 8, dim = dim)

@@ -136,6 +136,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("stream-stream attribution join: drained pairs equal the batch interval join") {
+    val events = Tables(spark, sfDir, "events")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("click_id")), r.getLong(r.fieldIndex("view_id")),
+        r.getLong(r.fieldIndex("lag_us")))
+    val batch = Events.attribution(events).collect().map(key).toSet
+    assert(batch.nonEmpty, "corpus should contain attributable pairs")
+    // multi-trigger: matches must survive ACROSS micro-batches via
+    // buffered join state (watermark evicts only unjoinable state)
+    val streamed = graft.streaming.StreamingEvents
+      .runAttribution(spark, events, batches = 3).collect().map(key).toSet
+    assert(streamed == batch,
+      s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
+  }
+
   test("retention changelog: late signup revises the cohort with -1/+1 weights") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.StreamingEvents.{retentionUpdate, RetentionState}

@@ -300,6 +300,58 @@ def gen_sim_topk_ivf(emb, k=5, n_centroids=16, n_probe=4, max_query=64):
     return topk_table(rank_topk(cands, k))
 
 
+def gen_sim_topk_sq8(emb, k=5, rerank_mult=8, max_query=64):
+    """Mirror of graft.operators.Sq8.topKSq8: per-dim min/max grid,
+    uint8 codes floor((v-min)/scale + 0.5) clamped, norm-corrected ADC
+    against the reconstruction, exact cosine re-rank of the ADC
+    top-(rerank_mult*k). All double math in array-index order.
+    """
+    dim = len(emb[0]["embedding"])
+    mins = [min(e["embedding"][j] for e in emb) for j in range(dim)]
+    maxs = [max(e["embedding"][j] for e in emb) for j in range(dim)]
+    scales = [(maxs[j] - mins[j]) / 255.0 for j in range(dim)]
+
+    def encode(v):
+        cs = []
+        for j in range(dim):
+            if scales[j] <= 0.0:
+                cs.append(0)
+            else:
+                u = math.floor((v[j] - mins[j]) / scales[j] + 0.5)
+                cs.append(0 if u < 0.0 else (255 if u > 255.0 else int(u)))
+        return cs
+
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    codes, rnorms = {}, {}
+    for e in emb:
+        cs = encode(e["embedding"])
+        codes[e["vec_id"]] = cs
+        acc = 0.0
+        for j in range(dim):
+            v = mins[j] + float(cs[j]) * scales[j]
+            acc += v * v
+        rnorms[e["vec_id"]] = acc ** 0.5
+    queries = [e for e in emb if e["vec_id"] < max_query]
+    rows = {}
+    for q in queries:
+        qid, qn = q["vec_id"], norms[q["vec_id"]]
+        adc = []
+        for e in emb:
+            nid = e["vec_id"]
+            if nid == qid:
+                continue
+            acc = 0.0
+            for j in range(dim):
+                acc += q["embedding"][j] * (mins[j] + float(codes[nid][j]) * scales[j])
+            adc.append((nid, acc / (qn * rnorms[nid])))
+        top_r = sorted(adc, key=lambda t: (-t[1], t[0]))[:rerank_mult * k]
+        rows[qid] = [
+            (nid, dot(q["embedding"], vecs[nid]) / (qn * norms[nid]))
+            for nid, _ in top_r]
+    return topk_table(rank_topk(rows, k))
+
+
 def gen_sim_topk_pq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64):
     """Mirror of graft.operators.Pq.topKPq: seed codebooks from the
     first ksub vectors' sub-blocks, argmin-L2 encode with (dist, cid)
@@ -906,6 +958,7 @@ GENERATORS = {
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
     "sim_topk_pq": ("embeddings", gen_sim_topk_pq),
+    "sim_topk_sq8": ("embeddings", gen_sim_topk_sq8),
     "sim_topk_ivfpq": ("embeddings", gen_sim_topk_ivfpq),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
