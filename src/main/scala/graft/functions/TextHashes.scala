@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -161,6 +161,36 @@ object TextHashes {
       j += 1
     }
     acc
+  }
+
+  /** Shannon entropy (nats) of a string's code-point distribution:
+    * ln(N) − (1/N)·Σ c·ln(c) — the machine-generated/binary-junk
+    * detector of a text-quality battery (natural language sits ~2.5–4
+    * nats; base64 blobs and repeated filler fall far outside). One
+    * pass, one small histogram, no allocation beyond it. The c·ln(c)
+    * terms sum in FIRST-APPEARANCE order of each code point — a pure
+    * function of the string, mirrored by make_expected.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.LinkedHashMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue() + 1L))
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue().toDouble
+      acc += c * math.log(c)
+    }
+    math.log(n.toDouble) - acc / n.toDouble
   }
 
   /** Distinct word-k-gram shingle set of a string — the single-pass
@@ -640,6 +670,7 @@ object GraftFunctions {
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
+  def charEntropy(c: Column): Column = Bridge.column(CharEntropy(Bridge.expression(c)))
   def sq8Encode(c: Column, mins: Array[Double], scales: Array[Double]): Column =
     Bridge.column(Sq8Encode(Bridge.expression(c), mins, scales))
   def sq8ReconNorm(c: Column, mins: Array[Double], scales: Array[Double]): Column =

@@ -47,6 +47,17 @@ object LlmOps {
         col("n_email"), col("n_url"), col("n_ipv4"), col("n_phone"))
       .orderBy(col("doc_id"))
 
+  /** Code-point Shannon entropy per doc (nats) — the machine-noise /
+    * binary-junk detector of the quality battery; shuffle-free scan,
+    * one codegen kernel call per doc. Mirrored by make_expected
+    * gen_text_entropy.
+    */
+  def text_entropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      round(graft.functions.GraftFunctions.charEntropy(col("text")), 4)
+        .as("char_entropy_nats"))
+      .orderBy(col("doc_id"))
+
   def text_fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("fp_exact"), col("fp_min"), col("fp_max"), col("fp_sim"))
@@ -545,6 +556,7 @@ object LlmOps {
         Similarity.centroidsFor(emb, 16, kmeansIters = 0),
         Pq.codebooks(emb, m = 8, ksub = 16, dim = 64),
         nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)))
+      .unionByName(recallOf("sq8", Sq8.topKSq8(emb, queries, k = 5)))
       .orderBy(col("method"))
   }
 
@@ -686,6 +698,7 @@ object LlmOps {
   val queries: Map[String, Q] = Map(
     "text_token_count" -> (text_token_count _),
     "text_quality" -> (text_quality _),
+    "text_entropy" -> (text_entropy _),
     "text_langid" -> (text_langid _),
     "text_fingerprint" -> (text_fingerprint _),
     "text_redact" -> (text_redact _),
@@ -1342,6 +1355,7 @@ object LlmOps {
     "dedup_simhash" -> fixtureSql("dedup_simhash", "documents"),
     "text_langid" -> fixtureSql("text_langid", "documents"),
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
+    "text_entropy" -> fixtureSql("text_entropy", "documents"),
     "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "emb_pca" -> fixtureSql("emb_pca", "embeddings"),

@@ -117,6 +117,22 @@ case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputT
     copy(child = newChild)
 }
 
+/** Codegen'd code-point Shannon entropy (nats) of a string. */
+case class CharEntropy(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Codegen'd SQ8 scalar-quantization encode: array<float> → binary
   * (one uint8 code per dimension). The per-dim grid (mins, scales)
   * rides as codegen reference objects.

@@ -103,4 +103,16 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       val expected = s.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
       got == expected
     }
+
+  property("charEntropy: 0 for constant strings, ln(k) for uniform, order-free") =
+    Prop.forAll(text, Gen.chooseNum(1, 20)) { (s, k) =>
+      val e = (t: String) => TextHashes.charEntropy(UTF8String.fromString(t))
+      val constant = math.abs(e("a" * k)) < 1e-12
+      val distinct = s.toSet.take(k).mkString
+      val uniform = distinct.isEmpty ||
+        math.abs(e(distinct) - math.log(distinct.length.toDouble)) < 1e-9
+      // entropy is a function of the multiset: any permutation agrees
+      val permuted = math.abs(e(s) - e(s.reverse)) < 1e-9
+      constant && uniform && permuted
+    }
 }

@@ -158,6 +158,31 @@ def gen_text_fingerprint(docs):
     return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
 
+def gen_text_entropy(docs):
+    """Mirror of TextHashes.charEntropy: ln(N) - (1/N)*sum(c*ln(c)) over
+    code-point counts, the c*ln(c) terms summed in FIRST-APPEARANCE
+    order (dict preserves insertion order, like the LinkedHashMap).
+    """
+    ids, ent = [], []
+    for d in docs:
+        text = d["text"]
+        counts = {}
+        for ch in text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(text)
+        if n == 0:
+            e = 0.0
+        else:
+            acc = 0.0
+            for c in counts.values():
+                acc += float(c) * math.log(float(c))
+            e = math.log(float(n)) - acc / float(n)
+        ids.append(d["doc_id"])
+        ent.append(round4(e))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "char_entropy_nats": pa.array(ent, pa.float64())})
+
+
 def gen_text_tfidf(docs, k=5):
     """Mirror of TextAnalysis.tfidfKeywords: tf·ln(N/df) over word
     fingerprints, top-k by (-score, signed fp), min-word dictionary.
@@ -953,6 +978,7 @@ GENERATORS = {
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
     "text_fingerprint": ("documents", gen_text_fingerprint),
+    "text_entropy": ("documents", gen_text_entropy),
     "text_tfidf": ("documents", gen_text_tfidf),
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
