@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -161,6 +161,30 @@ object TextHashes {
       j += 1
     }
     acc
+  }
+
+  /** Dense matrix-vector product y = R·x with row-major R (d×d) over a
+    * float vector, each y[k] accumulated in double in index order then
+    * rounded to float32 — the orthogonal-rotation kernel of OPQ
+    * (rotation rides as a codegen reference object; per-row work is
+    * d², no shuffle).
+    */
+  def matVecF(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      mat: Array[Double], d: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Float](d)
+    var k = 0
+    while (k < d) {
+      var acc = 0.0
+      val base = k * d
+      var i = 0
+      while (i < d) {
+        acc += mat(base + i) * x.getFloat(i).toDouble
+        i += 1
+      }
+      out(k) = acc.toFloat
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Shannon entropy (nats) of a string's code-point distribution:
@@ -671,6 +695,8 @@ object GraftFunctions {
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
   def charEntropy(c: Column): Column = Bridge.column(CharEntropy(Bridge.expression(c)))
+  def matVecF(c: Column, mat: Array[Double], d: Int): Column =
+    Bridge.column(MatVecF(Bridge.expression(c), mat, d))
   def sq8Encode(c: Column, mins: Array[Double], scales: Array[Double]): Column =
     Bridge.column(Sq8Encode(Bridge.expression(c), mins, scales))
   def sq8ReconNorm(c: Column, mins: Array[Double], scales: Array[Double]): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, SemanticDedup, Similarity, Sq8, TextAnalysis}
+import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -557,6 +557,7 @@ object LlmOps {
         Pq.codebooks(emb, m = 8, ksub = 16, dim = 64),
         nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)))
       .unionByName(recallOf("sq8", Sq8.topKSq8(emb, queries, k = 5)))
+      .unionByName(recallOf("opq", Opq.topKOpq(emb, queries, k = 5)))
       .orderBy(col("method"))
   }
 
@@ -575,6 +576,17 @@ object LlmOps {
   /** Product-quantization ANN: the corpus scans as m-byte codes, exact
     * math only on the ADC top-R re-rank candidates (operators.Pq).
     */
+  /** OPQ-initialized PQ (Ge et al. 2013 natural parameterization):
+    * PCA rotation + variance-balancing block permutation, then the
+    * trained-codebook norm-corrected PQ search — all three stages
+    * bit-reproducible, gated against make_expected gen_sim_topk_opq.
+    */
+  def sim_topk_opq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Opq.topKOpq(emb, emb.filter(col("vec_id") < 64), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SQ8 scalar-quantization ANN (1 byte/dim uniform per-dim grid,
     * norm-corrected ADC, exact re-rank) — training-free: the grid is
     * an exact min/max aggregate, so the whole operator is
@@ -753,6 +765,7 @@ object LlmOps {
     "sim_topk_lsh" -> (sim_topk_lsh _),
     "sim_topk_pq" -> (sim_topk_pq _),
     "sim_topk_sq8" -> (sim_topk_sq8 _),
+    "sim_topk_opq" -> (sim_topk_opq _),
     "sim_topk_ivfpq" -> (sim_topk_ivfpq _),
     "sim_topk_ivf" -> (sim_topk_ivf _),
     "text_heavy_hitters" -> (text_heavy_hitters _),
@@ -1363,6 +1376,7 @@ object LlmOps {
     "sim_topk_ivf" -> fixtureSql("sim_topk_ivf", "embeddings"),
     "sim_topk_pq" -> fixtureSql("sim_topk_pq", "embeddings"),
     "sim_topk_sq8" -> fixtureSql("sim_topk_sq8", "embeddings"),
+    "sim_topk_opq" -> fixtureSql("sim_topk_opq", "embeddings"),
     "sim_topk_ivfpq" -> fixtureSql("sim_topk_ivfpq", "embeddings"),
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),

@@ -117,6 +117,28 @@ case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputT
     copy(child = newChild)
 }
 
+/** Codegen'd dense rotation y = R·x over a float vector (row-major R
+  * as a codegen reference object) — the OPQ rotation kernel.
+  */
+case class MatVecF(child: Expression, mat: Array[Double], d: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.matVecF(input.asInstanceOf[ArrayData], mat, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("rotMat", mat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.matVecF($c, $matRef, $d)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecF =
+    copy(child = newChild)
+}
+
 /** Codegen'd code-point Shannon entropy (nats) of a string. */
 case class CharEntropy(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)

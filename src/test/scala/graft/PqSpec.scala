@@ -100,6 +100,32 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall collapsed: $recall")
   }
 
+  test("opq: orthogonal rotation, partition-invariant, recall beats plain pq floor") {
+    // the PCA eigenbasis is orthonormal: R·Rᵀ = I to fp tolerance
+    val dim = 64
+    val flat = graft.operators.Opq.rotationBasis(emb, dim)
+    for (a <- 0 until dim; b <- a until dim) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += flat(a * dim + i) * flat(b * dim + i); i += 1 }
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(acc - expect) < 1e-9, s"R not orthonormal at ($a,$b): $acc")
+    }
+    val q = emb.filter(col("vec_id") < 16)
+    val x = graft.operators.Opq.topKOpq(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val y = graft.operators.Opq.topKOpq(emb.repartition(7), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(x == y, "OPQ ranking must be partition-invariant")
+    val bf = Similarity.topKBruteForce(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = graft.operators.Opq.topKOpq(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.4, s"OPQ recall collapsed: $recall")
+  }
+
   test("variance-balanced permutation: valid bijection, search is cosine-invariant") {
     val dim = 64
     val perm = Pq.varianceBalancedPerm(emb, m = 8, dim = dim)

@@ -888,12 +888,13 @@ def gen_quality_classifier(docs, buckets=4096, iters=24, lr=0.5):
 
 # ------------------------------------------------------------------ main
 
-def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
-    """Mirrors graft.operators.Pca bit-for-bit: fixed-point (2^-30)
-    integer moment sums, cyclic Jacobi with a fixed sweep count (same
-    rotation program, same branch on exact zeros), (eigenvalue desc,
-    index) ordering with largest-|component|-positive sign fixing, and
-    decimal(28,16)-quantized projection terms summed exactly."""
+def pca_basis(emb, dim, r, sweeps=30):
+    """Mirrors graft.operators.Pca.moments/jacobi/topComponents
+    bit-for-bit: fixed-point (2^-30) integer moment sums, cyclic Jacobi
+    with a fixed sweep count (same rotation program, same branch on
+    exact zeros), (eigenvalue desc, index) ordering with
+    largest-|component|-positive sign fixing. Returns the top-r
+    components as row vectors."""
     FP = float(1 << 30)
     n = len(emb)
     s1 = [0] * dim
@@ -954,6 +955,13 @@ def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
         if vec[best] < 0.0:
             vec = [-x for x in vec]
         comps.append(vec)
+    return comps
+
+
+def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
+    """Fixed-point-deterministic PCA projection (see pca_basis) with
+    decimal(28,16)-quantized projection terms summed exactly."""
+    comps = pca_basis(emb, dim, r, sweeps)
 
     q16 = Decimal("0.0000000000000001")
     q6 = Decimal("0.000001")
@@ -974,6 +982,97 @@ def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
     })
 
 
+def variance_perm(rows, m, dim):
+    """Mirror of Pq.varianceBalancedPerm on float32 embeddings: x*Fp
+    summed as truncated longs; x*x is a FLOAT32 multiply (Spark's
+    Multiply on two floats) widened before the Fp scale; (variance
+    desc, dim) order; serpentine deal onto m blocks."""
+    FP = 1048576.0
+    s1 = [0] * dim
+    s2 = [0] * dim
+    n = float(len(rows))
+    for e in rows:
+        x = e["embedding"]
+        for d in range(dim):
+            s1[d] += int(x[d] * FP)
+            s2[d] += int(f32(x[d] * x[d]) * FP)
+    stats = []
+    for d in range(dim):
+        mean = float(s1[d]) / (n * FP)
+        ex2 = float(s2[d]) / (n * FP)
+        stats.append((d, ex2 - mean * mean))
+    ordered = [d for d, v in sorted(stats, key=lambda t: (-t[1], t[0]))]
+    blocks = [[] for _ in range(m)]
+    for i, d in enumerate(ordered):
+        rnd, pos = i // m, i % m
+        b = pos if rnd % 2 == 0 else m - 1 - pos
+        blocks[b].append(d)
+    return [d for blk in blocks for d in blk]
+
+
+def gen_sim_topk_opq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64,
+                     train_iters=2, dim=None):
+    """Mirror of graft.operators.Opq.topKOpq: PCA eigenbasis rotation
+    (pca_basis, r=dim; y[k] = float32 of the double dot in index
+    order), variance-balanced permutation (variance_perm), Lloyd-
+    trained codebooks (train_books), norm-corrected ADC in block order,
+    exact cosine re-rank of the ADC top-(rerank_mult*k) — all on the
+    transformed vectors.
+    """
+    dim = dim or len(emb[0]["embedding"])
+    comps = pca_basis(emb, dim, dim)
+    rot = []
+    for e in emb:
+        x = e["embedding"]
+        y = []
+        for krow in range(dim):
+            acc = 0.0
+            row = comps[krow]
+            for i in range(dim):
+                acc += row[i] * x[i]
+            y.append(f32(acc))
+        rot.append({"vec_id": e["vec_id"], "embedding": y})
+    perm = variance_perm(rot, m, dim)
+    rows = [{"vec_id": e["vec_id"],
+             "embedding": [e["embedding"][p] for p in perm]} for e in rot]
+    sub = dim // m
+    books = train_books(rows, m, ksub, sub, train_iters)
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in rows}
+    vecs = {e["vec_id"]: e["embedding"] for e in rows}
+    codes, rnorms = {}, {}
+    for e in rows:
+        cs, cn2_sum = [], 0.0
+        for b in range(m):
+            s = e["embedding"][b * sub:(b + 1) * sub]
+            dists = [(cn2 - 2.0 * dot(s, cent), cid, cn2) for cid, cent, cn2 in books[b]]
+            best = min(dists)
+            cs.append(best[1])
+            cn2_sum += best[2]
+        codes[e["vec_id"]] = cs
+        rnorms[e["vec_id"]] = cn2_sum ** 0.5
+    out = {}
+    for q in (e for e in rows if e["vec_id"] < max_query):
+        qid, qn = q["vec_id"], norms[q["vec_id"]]
+        lut = []
+        for b in range(m):
+            qsub = q["embedding"][b * sub:(b + 1) * sub]
+            lut.append({cid: dot(qsub, cent) for cid, cent, _ in books[b]})
+        adc = []
+        for e in rows:
+            nid = e["vec_id"]
+            if nid == qid:
+                continue
+            acc = 0.0
+            for b in range(m):
+                acc += lut[b][codes[nid][b]]
+            adc.append((nid, acc / (qn * rnorms[nid])))
+        top_r = sorted(adc, key=lambda t: (-t[1], t[0]))[:rerank_mult * k]
+        out[qid] = [
+            (nid, dot(q["embedding"], vecs[nid]) / (qn * norms[nid]))
+            for nid, _ in top_r]
+    return topk_table(rank_topk(out, k))
+
+
 GENERATORS = {
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
@@ -985,6 +1084,7 @@ GENERATORS = {
     "sim_topk_ivf": ("embeddings", gen_sim_topk_ivf),
     "sim_topk_pq": ("embeddings", gen_sim_topk_pq),
     "sim_topk_sq8": ("embeddings", gen_sim_topk_sq8),
+    "sim_topk_opq": ("embeddings", gen_sim_topk_opq),
     "sim_topk_ivfpq": ("embeddings", gen_sim_topk_ivfpq),
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
