@@ -177,9 +177,16 @@ object Dedup {
     * `maxHamming` widens the filter but the candidate set is then
     * incomplete for pairs differing in all four chunks.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      GraftFunctions.simhash64(col("text")).as("_sig"))
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(docs.select(col("doc_id"),
+      GraftFunctions.simhash64(col("text")).as("_sig")), maxHamming)
+
+  /** The banding/verify machinery of [[simhash]] over ANY 64-bit
+    * signature relation (doc_id, _sig) — shared with the perceptual
+    * media hash ([[Multimodal]] mm_phash_dedup).
+    */
+  private[graft] def hammingBandPairs(sigRel: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = sigRel
       .select(col("doc_id"), col("_sig"),
         explode(expr(
           """transform(sequence(0, 3),

@@ -91,6 +91,105 @@ object Multimodal {
       }
   }
 
+  /** STUB "grayscale 8×8 downsample": 64 pixel values 0..255, pixel i
+    * = integer mean of the i-th of 64 even byte chunks (a real
+    * implementation decodes and area-averages actual pixels; identical
+    * blobs give identical grids, near-identical blobs near-identical
+    * ones, which is all the hash needs). Integer-only, so the Python
+    * fixture mirror is exact by construction.
+    */
+  def fakeGray64(bytes: Array[Byte]): Array[Int] = {
+    val px = new Array[Int](64)
+    val n = bytes.length
+    var i = 0
+    while (i < 64) {
+      val lo = (i.toLong * n / 64).toInt
+      val hi = ((i + 1).toLong * n / 64).toInt
+      if (hi > lo) {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
+        px(i) = (s / (hi - lo)).toInt
+      }
+      i += 1
+    }
+    px
+  }
+
+  /** Average perceptual hash (aHash): bit i set iff 64·pixel(i) >
+    * Σ pixels — the classic downsample-and-threshold image fingerprint
+    * (the cross-multiplied compare keeps it integer-exact).
+    */
+  def aHash64(px: Array[Int]): Long = {
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += px(i); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) * 64L > total) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** STUB re-encode: the same "image" after a lossy codec round-trip —
+    * low-bit flips at three spread byte positions, length preserved
+    * (real lossy re-encodes perturb pixel values without moving
+    * structure, which is exactly what survives a perceptual hash and
+    * kills an exact hash).
+    */
+  def fakeReencode(bytes: Array[Byte]): Array[Byte] = {
+    val out = bytes.clone()
+    if (out.length > 0) {
+      var k = 1
+      while (k <= 3) {
+        val p = k * out.length / 4
+        val q = if (p >= out.length) out.length - 1 else p
+        out(q) = (out(q) ^ 1).toByte
+        k += 1
+      }
+    }
+    out
+  }
+
+  /** Re-encoded copies of the first `n` docs (ids shifted by
+    * `idOffset`) — the ingest-time "same media, different bytes" case
+    * the perceptual dedup exists for.
+    */
+  def reencodedCopies(spark: SparkSession, docs: DataFrame,
+      n: Long, idOffset: Long): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") < n)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+        (id + idOffset, fakeReencode(bytes))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** Perceptual-hash near-dup pairs over the media column: per-
+    * partition downsample+hash (mapPartitions — a real decoder
+    * amortizes codec setup per batch), then EXACTLY the simhash
+    * hamming-band machinery: candidates share one of 4 16-bit chunks
+    * (pigeonhole-complete for hamming ≤ 3), each pair emitted once via
+    * its lowest matching chunk, no pair-set shuffle. 100 TB shape: the
+    * only relation past the scan is (doc_id, 8-byte sig).
+    */
+  def phashDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, rawBytes) =>
+          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
+          (id, aHash64(fakeGray64(bytes)))
+        }
+      }
+      .toDF("doc_id", "_sig")
+    Dedup.hammingBandPairs(sigs, maxHamming)
+  }
+
   /** Fit-in-box resize plan (never upscales): output dims for a
     * `box`×`box` bound with aspect preserved. STUB: dims come from
     * [[fakeDecode]] and only the plan is computed (a real

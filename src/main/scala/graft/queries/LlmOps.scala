@@ -695,6 +695,23 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash near-dup pairs over the (stub-decoded) media
+    * column — image dedup as a training pipeline runs it: 8×8
+    * downsample → average-hash → the simhash hamming-band machinery.
+    * Mirrored by make_expected gen_mm_phash_dedup.
+    */
+  def mm_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Multimodal.withFakeMedia(docs(spark, dir))
+      .select(col("doc_id"), col("media"))
+    // the ingest scenario the op exists for: the corpus plus lossy
+    // RE-ENCODES of its first 32 blobs (ids +10^7) — exact hashing
+    // misses every (original, re-encode) pair, the perceptual hash
+    // links them at hamming <= 3
+    val withRe = base.unionByName(
+      Multimodal.reencodedCopies(spark, base, n = 32, idOffset = 10_000_000L))
+    Multimodal.phashDedup(spark, withRe).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def mm_decode_meta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
@@ -771,6 +788,7 @@ object LlmOps {
     "text_heavy_hitters" -> (text_heavy_hitters _),
     "sim_recall_report" -> (sim_recall_report _),
     "mm_decode_meta" -> (mm_decode_meta _),
+    "mm_phash_dedup" -> (mm_phash_dedup _),
     "mm_frame_sample" -> (mm_frame_sample _),
     "mm_resize_meta" -> (mm_resize_meta _),
     "search_bm25" -> (search_bm25 _),
@@ -1369,6 +1387,7 @@ object LlmOps {
     "text_langid" -> fixtureSql("text_langid", "documents"),
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
     "text_entropy" -> fixtureSql("text_entropy", "documents"),
+    "mm_phash_dedup" -> fixtureSql("mm_phash_dedup", "documents"),
     "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "emb_pca" -> fixtureSql("emb_pca", "embeddings"),

@@ -218,7 +218,8 @@ class LlmOpsSpec extends AnyFunSuite {
   test("recall report: every ANN variant returns sane recall in (0, 1]") {
     val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getDouble(1)).toMap
-    assert(r.keySet == Set("lsh", "ivf", "ivf_kmeans", "pq", "ivfpq", "ivfpq_nc"))
+    assert(r.keySet ==
+      Set("lsh", "ivf", "ivf_kmeans", "pq", "ivfpq", "ivfpq_nc", "sq8", "opq"))
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
   }
 

@@ -32,4 +32,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m2.out_w == 224 && m2.out_h == (121.0 * 224 / 500).toInt)
     assert(m2.out_w <= 224 && m2.out_h <= 224)
   }
+
+  test("phash links lossy re-encodes that exact hashing misses") {
+    import spark.implicits._
+    val texts = (0L until 8L).map(i =>
+      (i, s"doc $i body " + (1 to 40).map(j => s"w${i}_$j").mkString(" ")))
+    val base = media(texts).select(col("doc_id"), col("media"))
+    val re = Multimodal.reencodedCopies(spark, base, n = 8, idOffset = 100L)
+    // the re-encode really changed the bytes: exact (byte) equality fails
+    val exactMatches = base.join(re.withColumnRenamed("doc_id", "rid"),
+      base("media") === re("media")).count()
+    assert(exactMatches == 0L, "fakeReencode must change bytes")
+    // ... but every (original, re-encode) pair survives the perceptual hash
+    val pairs = Multimodal.phashDedup(spark, base.unionByName(re))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 8L).foreach { i =>
+      assert(pairs.contains((i, i + 100L)), s"re-encode of $i not linked: $pairs")
+    }
+    // hamming symmetry/ordering: pairs come out (low, high) once
+    assert(pairs.forall { case (a, b) => a < b })
+  }
 }

@@ -982,6 +982,57 @@ def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
     })
 
 
+def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
+    """Mirror of LlmOps.mm_phash_dedup: the corpus media (UTF-8 text
+    bytes) plus fakeReencode copies of the first n_re blobs (low-bit
+    flips at k*len//4, k=1..3; ids + id_offset), then aHash64 over the
+    64 integer chunk-mean 'pixels' (bit i set iff 64*px[i] > sum(px))
+    and all-pairs hamming <= 3 (the banding is pigeonhole-complete at
+    3, so all-pairs IS the candidate-set semantics)."""
+    def ahash(b):
+        n = len(b)
+        px = [0] * 64
+        for i in range(64):
+            lo = i * n // 64
+            hi = (i + 1) * n // 64
+            if hi > lo:
+                px[i] = sum(b[lo:hi]) // (hi - lo)
+        total = sum(px)
+        sig = 0
+        for i in range(64):
+            if px[i] * 64 > total:
+                sig |= 1 << i
+        return sig
+
+    def reencode(b):
+        out = bytearray(b)
+        if len(out) > 0:
+            for k in (1, 2, 3):
+                p = k * len(out) // 4
+                q = len(out) - 1 if p >= len(out) else p
+                out[q] ^= 1
+        return bytes(out)
+
+    blobs = [(d["doc_id"], d["text"].encode("utf-8")) for d in docs]
+    blobs += [(did + id_offset, reencode(b)) for did, b in blobs if did < n_re]
+    sigs = [(did, ahash(b)) for did, b in blobs]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ida, sa), (idb, sb) = sigs[i], sigs[j]
+            if ida > idb:
+                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
+            h = ((sa ^ sb) & M64).bit_count()
+            if h <= max_hamming:
+                rows.append((ida, idb, h))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
 def variance_perm(rows, m, dim):
     """Mirror of Pq.varianceBalancedPerm on float32 embeddings: x*Fp
     summed as truncated longs; x*x is a FLOAT32 multiply (Spark's
@@ -1078,6 +1129,7 @@ GENERATORS = {
     "text_langid": ("documents", gen_text_langid),
     "text_fingerprint": ("documents", gen_text_fingerprint),
     "text_entropy": ("documents", gen_text_entropy),
+    "mm_phash_dedup": ("documents", gen_mm_phash_dedup),
     "text_tfidf": ("documents", gen_text_tfidf),
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
