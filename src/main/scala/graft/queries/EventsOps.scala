@@ -61,6 +61,11 @@ object EventsOps {
     graft.streaming.StreamingEvents.runAttribution(spark, Tables(spark, dir, "events"))
       .orderBy(col("user_id"), col("click_id"), col("view_id"))
 
+  /** Top-20 per-user event-type trigram paths (navigation patterns). */
+  def evt_paths(spark: SparkSession, dir: String): DataFrame =
+    Events.topPaths(Tables(spark, dir, "events"))
+      .orderBy(col("n").desc, col("path"))
+
   /** Hourly-count anomalies per event type (exact integer-core z). */
   def evt_anomaly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAnomaly(Tables(spark, dir, "events"))
@@ -77,6 +82,7 @@ object EventsOps {
   val queries: Map[String, Q] = Map(
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
+    "evt_paths" -> (evt_paths _),
     "evt_window_agg" -> (evt_window_agg _),
     "evt_anomaly" -> (evt_anomaly _),
     "evt_anomaly_stream" -> (evt_anomaly_stream _),
@@ -99,6 +105,16 @@ object EventsOps {
     // drained stream-stream join ≡ batch join: one oracle, two entries
     "evt_attribution" -> attributionSql,
     "evt_attribution_stream" -> attributionSql,
+    "evt_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS n1,
+        |         lead(event_type, 2) OVER w AS n2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type || '>' || n1 || '>' || n2 AS path, count(*) AS n
+        |FROM seq WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // z computed on its integer core: exact numerator/radicand, one
     // sqrt, one division -> bit-identical doubles on both engines
     "evt_anomaly" ->

@@ -140,6 +140,26 @@ object Events {
       spark.readStream.schema(rawSchema).parquet(dir.toString))
   }
 
+  /** Top event-type trigram paths: each user's ts-ordered event
+    * sequence contributes its consecutive type triples; output the 20
+    * most common "a>b>c" paths — the navigation-pattern report of an
+    * event pipeline. One user-keyed shuffle feeds the window (state
+    * bounded per user); the path count agg is map-side combinable;
+    * top-20 is TakeOrderedAndProject, never a global sort.
+    */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_n1", lead(col("event_type"), 1).over(w))
+      .withColumn("_n2", lead(col("event_type"), 2).over(w))
+      .filter(col("_n1").isNotNull && col("_n2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("_n1"), col("_n2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Click→view attribution pairs: every (click, view) by the same
     * user with the view inside the `window` before the click —
     * the batch shape of a watermarked STREAM-STREAM interval join

@@ -136,6 +136,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("topPaths: per-user trigram paths, never crossing users, count-desc ties by path") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: v c p v c p  -> v>c>p x2, c>p>v, p>v>c
+    // user 2: v c p        -> v>c>p
+    val ev = (Seq(("view", 0), ("click", 1), ("purchase", 2), ("view", 3),
+        ("click", 4), ("purchase", 5)).map { case (e, m) => (1L, e, ts(m)) } ++
+      Seq(("view", 0), ("click", 1), ("purchase", 2)).map { case (e, m) => (2L, e, ts(m)) })
+      .zipWithIndex.map { case ((u, e, t), i) => (i.toLong, u, e, t) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.topPaths(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>purchase" -> 3L,
+      "click>purchase>view" -> 1L, "purchase>view>click" -> 1L), s"got $got")
+  }
+
   test("stream-stream attribution join: drained pairs equal the batch interval join") {
     val events = Tables(spark, sfDir, "events")
     def key(r: org.apache.spark.sql.Row) =
