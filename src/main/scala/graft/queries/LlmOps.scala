@@ -335,6 +335,26 @@ object LlmOps {
     * (doc_id, family_id) for every component member — the relation a
     * pipeline joins to apply its own survivor policy.
     */
+  /** Soft-dedup training weights: every doc keeps weight
+    * 1/|near-dup family| (singletons weigh 1.0) — the "reweight
+    * instead of drop" dedup policy; composes the verified family map
+    * with two broadcast-sized joins, the raw 1.0/size division is
+    * bit-identical cross-engine so no rounding is needed.
+    */
+  def dedup_weights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fam = Dedup.componentMap(Dedup.minhashLsh(d))
+    val sizes = fam.groupBy(col("family_id")).agg(count(lit(1)).as("_fs"))
+    d.select(col("doc_id"))
+      .join(fam, Seq("doc_id"), "left")
+      .join(sizes, Seq("family_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("family_id"), col("doc_id")).as("family_id"),
+        coalesce(col("_fs"), lit(1L)).as("family_size"),
+        (lit(1.0) / coalesce(col("_fs"), lit(1L))).as("train_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedup_families(spark: SparkSession, dir: String): DataFrame =
     Dedup.componentMap(Dedup.minhashLsh(docs(spark, dir)))
       .orderBy(col("doc_id"))
@@ -776,6 +796,7 @@ object LlmOps {
     "dsir_importance" -> (dsir_importance _),
     "dedup_resolve" -> (dedup_resolve _),
     "dedup_families" -> (dedup_families _),
+    "dedup_weights" -> (dedup_weights _),
     "quality_quantiles" -> (quality_quantiles _),
     "quality_quantiles_approx" -> (quality_quantiles_approx _),
     "sim_topk_bruteforce" -> (sim_topk_bruteforce _),
@@ -1295,6 +1316,19 @@ object LlmOps {
       s"""$componentClosureSql
          |SELECT node AS doc_id, least(node, min(r)) AS family_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // soft-dedup weights on the same closure: 1/|family|, singletons 1.0;
+    // the raw double division is bit-identical on both engines
+    "dedup_weights" ->
+      s"""$componentClosureSql,
+         |fam AS (SELECT node AS doc_id, least(node, min(r)) AS family_id
+         |        FROM reach GROUP BY node),
+         |sizes AS (SELECT family_id, count(*) AS fs FROM fam GROUP BY 1)
+         |SELECT d.doc_id, coalesce(f.family_id, d.doc_id) AS family_id,
+         |       coalesce(s.fs, 1)::bigint AS family_size,
+         |       1.0::double / coalesce(s.fs, 1) AS train_weight
+         |FROM documents d LEFT JOIN fam f USING (doc_id)
+         |LEFT JOIN sizes s ON f.family_id = s.family_id
+         |ORDER BY d.doc_id""".stripMargin,
     // survivor = argmax(quality, tie -> min id) per family; the family
     // closure and the quality formula are the already-verified oracles
     "dedup_keep_best" ->

@@ -215,6 +215,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept == all -- chainMembers, "chain must collapse to doc 0, pair to doc 110")
   }
 
+  test("dedup_weights: every doc weighted, families sum to 1, singletons weigh 1") {
+    val rows = queries.LlmOps.dedup_weights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs, "reweighting must keep every doc")
+    rows.foreach { case (id, _, fs, w) =>
+      assert(math.abs(w - 1.0 / fs) < 1e-12, s"doc $id weight $w != 1/$fs")
+    }
+    // per family the weights sum to 1 -> total weight = number of families
+    val famSums = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    famSums.foreach { case (f, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"family $f weights sum to $s")
+    }
+    assert(rows.exists(_._3 > 1), "corpus should contain real families")
+    assert(rows.exists(r => r._3 == 1 && r._4 == 1.0), "singletons weigh 1.0")
+  }
+
   test("recall report: every ANN variant returns sane recall in (0, 1]") {
     val r = queries.LlmOps.sim_recall_report(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getDouble(1)).toMap
