@@ -303,6 +303,24 @@ object SqlSurfaceC {
         |ORDER BY week""".stripMargin)
   }
 
+  /** Window DISTRIBUTION functions — percent_rank / cume_dist /
+    * ntile — over each nation's customer balances (dense_rank breaks
+    * the (balance) tie for a deterministic ntile); completes the §2A
+    * window family next to q14 (ranking) and q41 (navigation).
+    */
+  def q45_window_dist(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -317,6 +335,7 @@ object SqlSurfaceC {
     "q42_corr_stats" -> (q42_corr_stats _),
     "q43_lateral" -> (q43_lateral _),
     "q44_recursive" -> (q44_recursive _),
+    "q45_window_dist" -> (q45_window_dist _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -334,6 +353,14 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q45_window_dist" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
     "q44_recursive" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT cast(floor(epoch(min(ts)) / 604800) as bigint) AS w0,
