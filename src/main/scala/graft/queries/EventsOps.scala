@@ -66,6 +66,14 @@ object EventsOps {
     Events.topPaths(Tables(spark, dir, "events"))
       .orderBy(col("n").desc, col("path"))
 
+  /** Incremental (streamed) sessionization — same oracle as batch
+    * [[evt_sessionize]]; a late event can merge sessions, handled by
+    * changelog retraction.
+    */
+  def evt_sessionize_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runSessionize(spark, Tables(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
   /** Hourly-count anomalies per event type (exact integer-core z). */
   def evt_anomaly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyAnomaly(Tables(spark, dir, "events"))
@@ -83,6 +91,7 @@ object EventsOps {
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
     "evt_paths" -> (evt_paths _),
+    "evt_sessionize_stream" -> (evt_sessionize_stream _),
     "evt_window_agg" -> (evt_window_agg _),
     "evt_anomaly" -> (evt_anomaly _),
     "evt_anomaly_stream" -> (evt_anomaly_stream _),
@@ -207,6 +216,25 @@ object EventsOps {
         | event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // drained sessionize changelog ≡ batch session_window: same oracle
+    "evt_sessionize_stream" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  cast(sum(n) as bigint) AS n_events,
+        |  cast(max(n) as bigint) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "evt_sessionize" ->
       """WITH flags AS (
         |  SELECT user_id, ts,

@@ -91,6 +91,68 @@ object StreamingEvents {
       (old -- current).iterator.map(p => (p._1, p._2, -1L))
   }
 
+  /** times = event micro-timestamps seen so far; emitted = the
+    * (n_sessions, n_events, max_session_events) row currently counted
+    * downstream for this user.
+    */
+  case class SessionState(times: Seq[Long], emitted: Seq[(Long, Long, Long)])
+
+  /** Recompute the user's gap-based session stats from ALL times seen —
+    * a late event can MERGE two sessions (non-monotone), so the old
+    * row is retracted (-1) and the new one emitted (+1), the same
+    * changelog device as [[retentionUpdate]]/[[anomalyUpdate]].
+    */
+  private[graft] def sessionizeUpdate(gapUs: Long)(
+      user: Long,
+      rows: Iterator[(Long, Long)],
+      state: GroupState[SessionState]): Iterator[(Long, Long, Long, Long, Long)] = {
+    val prev = state.getOption.getOrElse(SessionState(Nil, Nil))
+    val times = (prev.times ++ rows.map(_._2)).sorted
+    var nSessions = 0L
+    var nEvents = 0L
+    var maxLen = 0L
+    var curLen = 0L
+    var last = Long.MinValue
+    times.foreach { t =>
+      if (last == Long.MinValue || t - last >= gapUs) { nSessions += 1; curLen = 0 }
+      curLen += 1
+      nEvents += 1
+      if (curLen > maxLen) maxLen = curLen
+      last = t
+    }
+    val current: Set[(Long, Long, Long)] =
+      if (times.isEmpty) Set.empty else Set((nSessions, nEvents, maxLen))
+    val old = prev.emitted.toSet
+    state.update(SessionState(times, current.toSeq))
+    (current -- old).iterator.map(t => (user, t._1, t._2, t._3, 1L)) ++
+      (old -- current).iterator.map(t => (user, t._1, t._2, t._3, -1L))
+  }
+
+  /** Drive incremental sessionization; drained ≡ batch
+    * [[Events.sessionStats]] under the same oracle. State per user is
+    * their event times; a deployment bounds it by retiring times older
+    * than the session horizon (gap + watermark), the usual TTL.
+    */
+  def runSessionize(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 86400000000L, batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val us = gapUs
+    val prepared = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    drain(spark, prepared, batches, "ts_us", "sessionize-stream") { stream =>
+      stream.as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          sessionizeUpdate(us))
+        .toDF("user_id", "n_sessions", "n_events", "max_session_events", "weight")
+        .groupBy(col("user_id"), col("n_sessions"), col("n_events"),
+          col("max_session_events"))
+        .agg(sum(col("weight")).as("w"))
+        .filter(col("w") > 0)
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          col("max_session_events"))
+    }
+  }
+
   /** counts = hourly event counts seen so far for this type; emitted =
     * (hour, n, z) anomaly rows currently counted downstream.
     */

@@ -168,6 +168,33 @@ class StreamingSpec extends AnyFunSuite {
       s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
   }
 
+  test("streaming sessionize: drained changelog equals batch; late event merges sessions") {
+    val events = Tables(spark, sfDir, "events")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = Events.sessionStats(events).collect().map(key).toSet
+    val streamed = graft.streaming.StreamingEvents.runSessionize(spark, events)
+      .collect().map(key).toSet
+    assert(streamed == batch, s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
+
+    // unit: a late event BRIDGING two sessions retracts the 2-session
+    // row and emits the merged 1-session row
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingEvents.{sessionizeUpdate, SessionState}
+    val day = 86400000000L
+    def step(rows: Seq[Long], st: TestGroupState[SessionState]) =
+      sessionizeUpdate(day)(1L, rows.iterator.map(t => (1L, t)), st).toList
+    val st = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(), 0L,
+      org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // two events 1.5 days apart: 2 sessions of 1 event each
+    val e1 = step(Seq(0L, day * 3 / 2), st)
+    assert(e1.toSet == Set((1L, 2L, 2L, 1L, 1L)), s"e1 $e1")
+    // a late event at 0.75 day bridges them: one 3-event session
+    val e2 = step(Seq(day * 3 / 4), st)
+    assert(e2.toSet == Set((1L, 2L, 2L, 1L, -1L), (1L, 1L, 3L, 3L, 1L)), s"e2 $e2")
+  }
+
   test("retention changelog: late signup revises the cohort with -1/+1 weights") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.StreamingEvents.{retentionUpdate, RetentionState}
