@@ -445,6 +445,90 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("keyword"), col("tfidf"))
   }
 
+  /** Top PMI bigram collocations — pointwise mutual information
+    * ln(p(a,b) / (p(a)·p(b))) over adjacent word pairs, the classic
+    * collocation-extraction pass (Church & Hanks 1990) a corpus report
+    * runs to surface multi-word terms worth protecting from
+    * normalization/tokenization.
+    *
+    * Shape: both histograms are keyed by 8-byte word fingerprints
+    * (vocab- and vocab²-bounded — the corpus word stream is scanned,
+    * partially aggregated map-side, and never re-shuffled); the
+    * unigram relation and the dictionary are vocab-sized broadcasts.
+    * The survivor SET is fixed by the top-`topLevels` distinct rounded
+    * PMI levels (the [[boilerplateSpans]] convention), so no
+    * hash-order tie-break exists at the cut; word strings are fetched
+    * for survivors only. PMI doubles are bit-identical cross-engine:
+    * one multiplication/division tree over exact integer counts.
+    */
+  def pmiCollocations(docs: DataFrame, text: Column,
+      minPair: Int = 5, topLevels: Int = 20): DataFrame = {
+    val w = split(rtrim(text), " ")
+    val words = docs.select(explode(w).as("_word"))
+      .select(col("_word"), GraftFunctions.fnv1a64(col("_word")).as("_fp"))
+    val cu = words.groupBy(col("_fp")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cu.agg(sum(col("_c")).as("_n"))
+    val bg = docs.select(
+        explode(arrays_zip(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
+      .select(GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_fa"),
+        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_fb"))
+    val c2 = bg.groupBy(col("_fa"), col("_fb")).agg(count(lit(1)).as("_c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wTot = c2.agg(sum(col("_c2")).as("_w"))
+    val scored = c2.filter(col("_c2") >= minPair)
+      .join(broadcast(cu.select(col("_fp").as("_fa"), col("_c").as("_ca"))), "_fa")
+      .join(broadcast(cu.select(col("_fp").as("_fb"), col("_c").as("_cb"))), "_fb")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(wTot))
+      .withColumn("pmi", round(
+        log(col("_c2").cast("double") * col("_n").cast("double") * col("_n").cast("double") /
+          (col("_w").cast("double") * col("_ca").cast("double") * col("_cb").cast("double"))), 6))
+    val thr = scored.select(col("pmi")).distinct()
+      .orderBy(col("pmi").desc).limit(topLevels)
+      .agg(min(col("pmi")).as("_thr"))
+    val dict = words.groupBy(col("_fp")).agg(min(col("_word")).as("_wd"))
+    scored.crossJoin(broadcast(thr)).filter(col("pmi") >= col("_thr"))
+      .join(broadcast(dict.select(col("_fp").as("_fa"), col("_wd").as("word_a"))), "_fa")
+      .join(broadcast(dict.select(col("_fp").as("_fb"), col("_wd").as("word_b"))), "_fb")
+      .select(col("word_a"), col("word_b"), col("_c2").as("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+  }
+
+  /** Zipf rank-frequency report: the top-`top` words by corpus
+    * frequency with their rank, plus the fitted log-log slope (least
+    * squares over (ln rank, ln count)) — the standard sanity check
+    * that a corpus looks like natural language (slope ≈ −1) rather
+    * than templated/machine output. Counts are fingerprint-keyed
+    * (vocab-bounded aggregate; word strings only in the vocab-sized
+    * dictionary); the regression runs over `top` points with
+    * decimal-summed terms, so the slope is partition-order
+    * independent and bit-identical cross-engine.
+    */
+  def zipfReport(docs: DataFrame, text: Column, top: Int = 100): DataFrame = {
+    val words = docs.select(explode(split(rtrim(text), " ")).as("_word"))
+      .select(col("_word"), GraftFunctions.fnv1a64(col("_word")).as("_fp"))
+    val cu = words.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("_word")).as("word"))
+    val topW = cu.orderBy(col("cnt").desc, col("word")).limit(top)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("word"))))
+      .withColumn("_x", log(col("rank").cast("double")))
+      .withColumn("_y", log(col("cnt").cast("double")))
+    val sums = topW.agg(count(lit(1)).as("_k"),
+      sum(col("_x").cast("decimal(28,12)")).as("_sx"),
+      sum(col("_y").cast("decimal(28,12)")).as("_sy"),
+      sum((col("_x") * col("_x")).cast("decimal(28,12)")).as("_sxx"),
+      sum((col("_x") * col("_y")).cast("decimal(28,12)")).as("_sxy"))
+    val kd = col("_k").cast("double")
+    val (sx, sy) = (col("_sx").cast("double"), col("_sy").cast("double"))
+    val (sxx, sxy) = (col("_sxx").cast("double"), col("_sxy").cast("double"))
+    topW.crossJoin(broadcast(sums))
+      .select(col("rank"), col("word"), col("cnt"),
+        round((kd * sxy - sx * sy) / (kd * sxx - sx * sx), 6).as("zipf_slope"))
+      .orderBy(col("rank"))
+  }
+
   /** Document fingerprints: full-text FNV-1a plus a winnowed rolling
     * fingerprint (min/max over word-5-gram hashes) robust to small
     * edits. Uses the codegen'd fnv1a64 SQL function.

@@ -109,6 +109,23 @@ object EngineOps {
         col("p_size").cast("int"), col("p_retailprice").cast("double"))
         .orderBy(col("p_partkey")))
 
+  /** ORC writer → ORC reader — the second columnar format Spark ships
+    * natively (vectorized scan, predicate pushdown, column pruning
+    * like parquet). The read-back filter lands in the ORC scan as a
+    * pushed search argument, so the roundtrip exercises the full
+    * columnar path, not just serialization.
+    */
+  def fmt_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "orders_orc")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("o_orderkey") <= 2000)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** JSON array-of-objects document reader (multiLine mode) —
     * rejected by the reference (context.rs:58-61) but on its roadmap.
     */
@@ -248,7 +265,8 @@ object EngineOps {
     "fmt_csv_roundtrip" -> (fmt_csv_roundtrip _),
     "fmt_tsv_roundtrip" -> (fmt_tsv_roundtrip _),
     "fmt_ndjson_roundtrip" -> (fmt_ndjson_roundtrip _),
-    "fmt_json_array" -> (fmt_json_array _))
+    "fmt_json_array" -> (fmt_json_array _),
+    "fmt_orc_roundtrip" -> (fmt_orc_roundtrip _))
 
   val oracles: Map[String, String] = Map(
     "opt_zorder" -> QueryUtil.zorderBucketedSql("l_partkey", "l_suppkey",
@@ -290,5 +308,8 @@ object EngineOps {
     "fmt_ndjson_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "fmt_json_array" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "fmt_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
 }

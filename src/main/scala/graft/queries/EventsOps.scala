@@ -87,7 +87,15 @@ object EventsOps {
     graft.streaming.StreamingEvents.runAnomaly(spark, Tables(spark, dir, "events"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Hopping-window aggregation (2 h windows every 1 h) — the sliding
+    * companion of [[evt_window_agg]]'s tumbling windows.
+    */
+  def evt_sliding_agg(spark: SparkSession, dir: String): DataFrame =
+    Events.slidingAgg(Tables(spark, dir, "events"))
+      .orderBy(col("win_start"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "evt_sliding_agg" -> (evt_sliding_agg _),
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
     "evt_paths" -> (evt_paths _),
@@ -216,6 +224,14 @@ object EventsOps {
         | event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event lands in the two hop windows whose start is within
+    // (ts - 2h, ts]: start = floor_hour(ts) - k hours for k in {0,1}
+    "evt_sliding_agg" ->
+      """SELECT strftime(date_trunc('hour', ts) - to_hours(u.k), '%Y-%m-%d %H') AS win_start,
+        | event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+        |FROM events, unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // drained sessionize changelog ≡ batch session_window: same oracle
     "evt_sessionize_stream" ->
       """WITH flags AS (

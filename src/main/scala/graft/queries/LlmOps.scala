@@ -715,6 +715,48 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation FUNNEL report (dataset-card numbers): how many docs
+    * survive each stage of [[pipeline_clean]]'s chain — total → langid
+    * → quality floor → holdout split → decontamination → near-dup
+    * resolve. Same verified stage operators, but aggregated to one
+    * row per stage instead of materializing the kept corpus; the
+    * per-stage counts come from ONE pass over the flagged corpus
+    * (conditional sums, map-side combinable) plus the resolve
+    * fixpoint on the filtered base. What a pipeline publishes next to
+    * its training set.
+    */
+  def pipeline_report(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
+    val scored = TextAnalysis.withQuality(
+      TextAnalysis.withLangId(d, col("text")), col("text"))
+    val contaminated = Contamination.evalOverlap(d, isEval, k = 5)
+      .select(col("doc_id"), lit(true).as("_cont"))
+    val flags = scored
+      .select(col("doc_id"), col("text"),
+        (col("pred_lang") === "en").as("_lang_ok"),
+        (col("quality_score") >= 0.65).as("_q_ok"),
+        isEval.as("_eval"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("_cont", coalesce(col("_cont"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = flags
+      .filter(col("_lang_ok") && col("_q_ok") && !col("_eval") && !col("_cont"))
+      .select(col("doc_id"), col("text"))
+    val kept = Dedup.resolveComponents(base, Dedup.minhashLsh(base))
+    val cnt = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("_lang_ok") && col("_q_ok"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("_lang_ok") && col("_q_ok") && !col("_eval"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("_lang_ok") && col("_q_ok") && !col("_eval") && !col("_cont"), 1L)
+        .otherwise(0L)).as("n4"))
+    cnt.crossJoin(broadcast(kept.agg(count(lit(1)).as("n5"))))
+      .selectExpr("stack(6, '00_total', n0, '01_lang', n1, '02_quality', n2, " +
+        "'03_holdout', n3, '04_decontaminated', n4, '05_deduped', n5) as (stage, n_docs)")
+      .orderBy(col("stage"))
+  }
+
   /** Perceptual-hash near-dup pairs over the (stub-decoded) media
     * column — image dedup as a training pipeline runs it: 8×8
     * downsample → average-hash → the simhash hamming-band machinery.
@@ -744,7 +786,22 @@ object LlmOps {
     Multimodal.resizeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
 
+  /** Top PMI bigram collocations (Church & Hanks) — see
+    * TextAnalysis.pmiCollocations for the fingerprint-keyed shape.
+    */
+  def text_pmi(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(spark, dir), col("text"))
+
+  /** Zipf rank-frequency report with fitted log-log slope — see
+    * TextAnalysis.zipfReport.
+    */
+  def text_zipf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfReport(docs(spark, dir), col("text"))
+
   val queries: Map[String, Q] = Map(
+    "text_pmi" -> (text_pmi _),
+    "text_zipf" -> (text_zipf _),
+    "pipeline_report" -> (pipeline_report _),
     "text_token_count" -> (text_token_count _),
     "text_quality" -> (text_quality _),
     "text_entropy" -> (text_entropy _),
@@ -912,6 +969,51 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical double tree over exact integer counts; the survivor
+    // set is fixed by the top-20 distinct ROUNDED pmi levels (the
+    // boilerplate convention), so no hash-order tie-break exists
+    "text_pmi" ->
+      """WITH w AS (SELECT string_split(rtrim(text), ' ') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS word FROM w),
+        |cu AS (SELECT word, count(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT cast(sum(c) as bigint) AS n FROM cu),
+        |bg AS (SELECT ws[u.i] AS a, ws[u.i+1] AS b
+        |       FROM w, unnest(range(1, len(ws))) AS u(i)),
+        |c2a AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |wt AS (SELECT cast(sum(c2) as bigint) AS w FROM c2a),
+        |p AS (SELECT a, b, c2,
+        |  round(ln(c2::double * n.n::double * n.n::double /
+        |           (wt.w::double * ca.c::double * cb.c::double)), 6) AS pmi
+        |  FROM c2a JOIN cu ca ON ca.word = c2a.a JOIN cu cb ON cb.word = c2a.b
+        |  CROSS JOIN n CROSS JOIN wt
+        |  WHERE c2 >= 5),
+        |thr AS (SELECT min(v) AS t
+        |        FROM (SELECT DISTINCT pmi AS v FROM p ORDER BY v DESC LIMIT 20))
+        |SELECT a AS word_a, b AS word_b, c2 AS n_pair, pmi
+        |FROM p, thr WHERE pmi >= thr.t
+        |ORDER BY pmi DESC, word_a, word_b""".stripMargin,
+    // decimal-summed least-squares terms -> the slope double is
+    // partition-order independent and identical cross-engine
+    "text_zipf" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split(rtrim(text), ' ')) AS word FROM documents),
+        |cu AS (SELECT word, count(*) AS cnt FROM u GROUP BY 1),
+        |t AS (SELECT word, cnt,
+        |        cast(row_number() OVER (ORDER BY cnt DESC, word) as int) AS rank
+        |      FROM cu ORDER BY cnt DESC, word LIMIT 100),
+        |pt AS (SELECT rank, word, cnt,
+        |         ln(rank::double) AS x, ln(cnt::double) AS y FROM t),
+        |s AS (SELECT count(*) AS k,
+        |        sum(cast(x as decimal(28,12))) AS sx,
+        |        sum(cast(y as decimal(28,12))) AS sy,
+        |        sum(cast(x * x as decimal(28,12))) AS sxx,
+        |        sum(cast(x * y as decimal(28,12))) AS sxy
+        |      FROM pt)
+        |SELECT rank, word, cnt,
+        |  round((k::double * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+        |        (k::double * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)
+        |    AS zipf_slope
+        |FROM pt CROSS JOIN s ORDER BY rank""".stripMargin,
     // expected cell e materialized once; zero cells included; decimal
     // term sums -> identical doubles, rounded 6 on both engines
     "stats_chi2_drift" ->
@@ -1502,6 +1604,56 @@ object LlmOps {
     // pieces: the langid fixture, text_quality's arithmetic, the
     // contamination CTE, and dedup_resolve's recursive closure — over
     // the FILTERED doc set
+    // same CTE chain as pipeline_clean, aggregated to funnel counts
+    "pipeline_report" ->
+      raw"""WITH RECURSIVE
+        |lang AS (${fixtureSql("text_langid", "documents")}),
+        |quality AS (
+        |  SELECT doc_id, round(least(1.0,
+        |    len(list_distinct(string_split(text, ' ')))::double / len(string_split(text, ' ')) * 0.5 +
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END +
+        |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::double / len(string_split(text, ' ')) > 0.02 THEN 0.2 ELSE 0.0 END), 4) AS q
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         mod(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
+        |         unnest(${shingleListSql(5)}) AS gram
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+        |contaminated AS (SELECT DISTINCT doc_id FROM g JOIN e USING (gram) WHERE NOT is_eval),
+        |flags AS (
+        |  SELECT d.doc_id, d.text,
+        |    (l.pred_lang = 'en') AS lang_ok, (qs.q >= 0.65) AS q_ok,
+        |    mod(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint, 100) >= 98 AS is_eval,
+        |    d.doc_id IN (SELECT doc_id FROM contaminated) AS cont
+        |  FROM documents d JOIN lang l USING (doc_id) JOIN quality qs USING (doc_id)),
+        |base AS (
+        |  SELECT doc_id, text FROM flags
+        |  WHERE lang_ok AND q_ok AND NOT is_eval AND NOT cont),
+        |sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
+        |  FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM base)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.s),len(b.s))::double/greatest(len(a.s),len(b.s)) >= 0.8
+        |  WHERE len(list_intersect(a.s,b.s))::double / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |kept AS (
+        |  SELECT doc_id FROM base
+        |  WHERE doc_id NOT IN (SELECT node FROM reach GROUP BY node HAVING min(r) < node))
+        |SELECT '00_total' AS stage, count(*) AS n_docs FROM flags
+        |UNION ALL SELECT '01_lang', count(*) FROM flags WHERE lang_ok
+        |UNION ALL SELECT '02_quality', count(*) FROM flags WHERE lang_ok AND q_ok
+        |UNION ALL SELECT '03_holdout', count(*) FROM flags WHERE lang_ok AND q_ok AND NOT is_eval
+        |UNION ALL SELECT '04_decontaminated', count(*) FROM base
+        |UNION ALL SELECT '05_deduped', count(*) FROM kept
+        |ORDER BY stage""".stripMargin,
     "pipeline_clean" ->
       raw"""WITH RECURSIVE
         |lang AS (${fixtureSql("text_langid", "documents")}),

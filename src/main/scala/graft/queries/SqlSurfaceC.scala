@@ -321,6 +321,48 @@ object SqlSurfaceC {
       .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
   }
 
+  /** RANGE window frame (value-based, not row-based): per customer, a
+    * 30-day trailing spend window over the order timeline. RANGE
+    * frames include all PEER rows of the current order date, so the
+    * result is deterministic under ties without a row-order
+    * tie-break — the frame semantics row/range differ on is exactly
+    * what this query pins. Day numbers are epoch-day via datediff
+    * from 1970-01-01 (tz-free — o_orderdate is TIMESTAMP_NTZ); the
+    * sum runs in exact decimal. One customer-keyed shuffle; the
+    * frame is evaluated partition-locally.
+    */
+  def q46_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .withColumn("day", day)
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** Array aggregation surface: collect_set → sort_array → array_join
+    * (the LISTAGG/string_agg shape) plus size and element_at over the
+    * assembled array — per-nation supplier rosters. The array is
+    * assembled once per group (map-side combinable set agg) and only
+    * its scalar projections ship in the result, so the oracle compare
+    * stays scalar-typed.
+    */
+  def q47_array_agg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(sort_array(collect_set(col("s_name"))).as("_names"))
+      .select(col("nationkey"),
+        size(col("_names")).as("n_suppliers"),
+        element_at(col("_names"), 1).as("first_supplier"),
+        element_at(col("_names"), -1).as("last_supplier"),
+        array_join(col("_names"), ",").as("supplier_csv"))
+      .orderBy(col("nationkey"))
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -336,6 +378,8 @@ object SqlSurfaceC {
     "q43_lateral" -> (q43_lateral _),
     "q44_recursive" -> (q44_recursive _),
     "q45_window_dist" -> (q45_window_dist _),
+    "q46_range_frame" -> (q46_range_frame _),
+    "q47_array_agg" -> (q47_array_agg _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -432,6 +476,25 @@ object SqlSurfaceC {
         |       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q46_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER w as double) AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        cast(date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) as bigint) AS day
+        |      FROM orders WHERE o_custkey <= 300)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q47_array_agg" ->
+      """SELECT cast(s_nationkey as int) AS nationkey,
+        |  cast(len(ns) as int) AS n_suppliers,
+        |  ns[1] AS first_supplier,
+        |  ns[-1] AS last_supplier,
+        |  array_to_string(ns, ',') AS supplier_csv
+        |FROM (SELECT s_nationkey, list_sort(list(DISTINCT s_name)) AS ns
+        |      FROM supplier GROUP BY s_nationkey)
+        |ORDER BY nationkey""".stripMargin,
     "q26_percentile" ->
       """SELECT l_returnflag,
         | round((quantile_cont(l_quantity, [0.25, 0.5, 0.75]))[1], 4) AS p25,

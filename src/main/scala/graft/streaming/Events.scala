@@ -23,6 +23,23 @@ object Events {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window aggregation: 2-hour windows every hour —
+    * each event contributes to size/slide = 2 overlapping windows.
+    * Spark's `window(ts, size, slide)` explodes the window instances
+    * BEFORE the aggregate, so the whole thing stays one map-side-
+    * combinable hash aggregate (the same shape a readStream would run
+    * verbatim with a watermark); exchange = distinct (window, type)
+    * pairs × 2, never raw events.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Hourly-count anomaly detection per event type: hours whose event
     * count sits ≥ `threshold` population standard deviations from that
     * type's mean hourly count.

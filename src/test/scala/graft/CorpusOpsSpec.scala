@@ -223,6 +223,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r((2L, 1))._1 == "c" && r((2L, 2))._1 == "a")
   }
 
+  test("pmi collocations: hand-computed scores, exclusive pairs outrank shared") {
+    import spark.implicits._
+    // 8 docs "new york common" + 8 docs "other thing common":
+    // N=48 words, W=32 bigrams; c2=8 for all four pairs.
+    // pmi(new,york) = ln(8*48*48/(32*8*8))  = ln 9   ≈ 2.197225
+    // pmi(york,common) = ln(8*48*48/(32*8*16)) = ln 4.5 ≈ 1.504077
+    val docs = ((1 to 8).map(i => (i.toLong, "new york common")) ++
+      (9 to 16).map(i => (i.toLong, "other thing common"))).toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs, col("text"), minPair = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.size == 4)
+    assert(r(("new", "york")) == ((8L, 2.197225)), s"${r(("new", "york"))}")
+    assert(r(("other", "thing")) == ((8L, 2.197225)))
+    assert(r(("york", "common")) == ((8L, 1.504077)))
+    assert(r(("thing", "common")) == ((8L, 1.504077)))
+    // support floor: pairs below minPair are dropped entirely
+    val none = TextAnalysis.pmiCollocations(docs, col("text"), minPair = 9).count()
+    assert(none == 0)
+  }
+
+  test("zipf report: exact power-law corpus fits slope -1, ranks by count desc") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/rank: the points lie exactly on
+    // y = ln 12 - x, so the least-squares slope is exactly -1
+    val words = Seq.fill(12)("alpha") ++ Seq.fill(6)("beta") ++
+      Seq.fill(4)("gamma") ++ Seq.fill(3)("delta")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfReport(docs, col("text"), top = 4)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, "alpha", 12L), (2, "beta", 6L), (3, "gamma", 4L), (4, "delta", 3L)))
+    assert(r.forall(_._4 == -1.0), s"slope: ${r.head._4}")
+  }
+
+  test("pipeline report: funnel counts are monotone and end at the clean corpus size") {
+    val r = graft.queries.LlmOps.queries("pipeline_report")(spark, sfDir)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(r.map(_._1).toSeq == Seq("00_total", "01_lang", "02_quality",
+      "03_holdout", "04_decontaminated", "05_deduped"))
+    val ns = r.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"not monotone: ${ns.toSeq}")
+    assert(ns.head == Tables(spark, sfDir, "documents").count())
+    val clean = graft.queries.LlmOps.queries("pipeline_clean")(spark, sfDir).count()
+    assert(ns.last == clean, "final stage equals pipeline_clean's kept corpus")
+  }
+
   test("shard shuffle: total, contiguous per-shard positions, partition-invariant") {
     val docs = Tables(spark, sfDir, "documents")
     val n = docs.count()
