@@ -94,8 +94,24 @@ object EventsOps {
     Events.slidingAgg(Tables(spark, dir, "events"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** Streamed tumbling-window agg — drained ≡ batch [[evt_window_agg]],
+    * same oracle.
+    */
+  def evt_window_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runWindowAgg(spark, Tables(spark, dir, "events"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Streamed hopping-window agg — drained ≡ batch [[evt_sliding_agg]],
+    * same oracle.
+    */
+  def evt_sliding_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runSlidingAgg(spark, Tables(spark, dir, "events"))
+      .orderBy(col("win_start"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "evt_sliding_agg" -> (evt_sliding_agg _),
+    "evt_window_stream" -> (evt_window_stream _),
+    "evt_sliding_stream" -> (evt_sliding_stream _),
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
     "evt_paths" -> (evt_paths _),
@@ -224,6 +240,18 @@ object EventsOps {
         | event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // drained streaming window agg ≡ batch: same oracle, two entries
+    "evt_window_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        | event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_sliding_stream" ->
+      """SELECT strftime(date_trunc('hour', ts) - to_hours(u.k), '%Y-%m-%d %H') AS win_start,
+        | event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+        |FROM events, unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each event lands in the two hop windows whose start is within
     // (ts - 2h, ts]: start = floor_hour(ts) - k hours for k in {0,1}
     "evt_sliding_agg" ->

@@ -238,6 +238,28 @@ object StreamingEvents {
     drained
   }
 
+  /** Tumbling-window aggregation over the staged stream — the
+    * windowed-agg transform composes with streaming unchanged (one
+    * stateful hash aggregate keyed by (window, type)); the
+    * Complete-mode drain yields the batch [[Events.hourlyAgg]] table
+    * exactly, so the SAME oracle gates both entries. A deployment
+    * runs this with a watermark in Update mode; state is bounded by
+    * open windows × types either way.
+    */
+  def runWindowAgg(spark: SparkSession, events: DataFrame, batches: Int = 3): DataFrame = {
+    val prepared = events.select(col("ts"), col("event_type"), col("value"))
+    drain(spark, prepared, batches, "ts", "window-agg")(Events.hourlyAgg)
+  }
+
+  /** Hopping-window (sliding) aggregation over the staged stream —
+    * same drain contract as [[runWindowAgg]], twin of
+    * [[Events.slidingAgg]] under the same oracle.
+    */
+  def runSlidingAgg(spark: SparkSession, events: DataFrame, batches: Int = 3): DataFrame = {
+    val prepared = events.select(col("ts"), col("event_type"), col("value"))
+    drain(spark, prepared, batches, "ts", "sliding-agg")(Events.slidingAgg)
+  }
+
   /** Click→view attribution as a watermarked STREAM-STREAM interval
     * join — the one Structured Streaming join shape the other §2E
     * operators don't exercise. Both sides of [[Events.attribution]]'s
