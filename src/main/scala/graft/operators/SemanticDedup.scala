@@ -94,6 +94,34 @@ object SemanticDedup {
         (col("vec_id") === col("_keep_id")).as("keep"))
   }
 
+  /** K-means cluster DIAGNOSTICS report: per-cluster cardinality,
+    * inertia (Σ‖v−c‖², the Lloyd objective) and the prototypicality
+    * (centroid-cosine) spread — the table you read before choosing
+    * SemDeDup / prototype-pruning / IVF parameters (balanced cells ⇒
+    * bounded per-cell quadratics; a giant cell means nClusters is too
+    * small for the corpus). Same broadcast-centroid assignment as
+    * [[assign]]; the report aggregate is map-side combinable and
+    * exchanges one row per cluster. Deterministic: per-vector doubles
+    * share the oracle's expression tree, sums run in decimal
+    * (order-free), min/max are exact.
+    */
+  def kmeansReport(emb: DataFrame, nClusters: Int = 16, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val assigned = assign(emb, nClusters, iters, dim)
+    assigned
+      // assign's _dist omits the constant ‖v‖² (argmin-invariant);
+      // restore it so inertia is the true L2² objective
+      .withColumn("_l2sq", col("_dist") + col("_vn") * col("_vn"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("_l2sq").cast("decimal(28,12)")).cast("double"), 4).as("inertia"),
+        round(sum(col("_ccos").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_ccos"),
+        round(min(col("_ccos")), 6).as("min_ccos"),
+        round(max(col("_ccos")), 6).as("max_ccos"))
+      .orderBy(col("cid"))
+  }
+
   /** SSL-prototype / D4-style data pruning (Sorscher et al. 2022,
     * arXiv:2206.14486; Tirumala et al. 2023 D4): rank each vector by
     * prototypicality (cosine to its k-means centroid) and PRUNE the

@@ -538,6 +538,16 @@ object LlmOps {
       col("source").isin("src1", "src2", "src3", "src4", "src5"))
       .orderBy(col("doc_id"))
 
+  /** K-means cluster diagnostics over the embedding corpus
+    * (SemanticDedup.kmeansReport): per-cluster cardinality, inertia
+    * and prototypicality spread — the parameter-picking table for the
+    * SemDeDup / prototype-pruning / IVF family. Mirrored by
+    * make_expected gen_emb_kmeans_report.
+    */
+  def emb_kmeans(spark: SparkSession, dir: String): DataFrame =
+    SemanticDedup.kmeansReport(Tables(spark, dir, "embeddings"))
+      .orderBy(col("cid"))
+
   def sim_topk_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.topKBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -802,6 +812,7 @@ object LlmOps {
     "text_pmi" -> (text_pmi _),
     "text_zipf" -> (text_zipf _),
     "pipeline_report" -> (pipeline_report _),
+    "emb_kmeans" -> (emb_kmeans _),
     "text_token_count" -> (text_token_count _),
     "text_quality" -> (text_quality _),
     "text_entropy" -> (text_entropy _),
@@ -1536,6 +1547,7 @@ object LlmOps {
     "dedup_embed_cosine" -> fixtureSql("dedup_embed_cosine", "embeddings"),
     "dedup_embed_cosine_mt" -> fixtureSql("dedup_embed_cosine_mt", "embeddings"),
     "dedup_semantic" -> fixtureSql("dedup_semantic", "embeddings"),
+    "emb_kmeans" -> fixtureSql("emb_kmeans", "embeddings"),
     "data_prune_prototypes" -> fixtureSql("data_prune_prototypes", "embeddings"),
     "bpe_train" -> fixtureSql("bpe_train", "documents"),
     "bpe_token_count" -> fixtureSql("bpe_token_count", "documents"),

@@ -60,6 +60,22 @@ class PcaSpec extends AnyFunSuite {
       assert(varByK(k) >= varByK(k + 1) - 1e-9, s"var($k) >= var(${k + 1})")
   }
 
+  test("kmeans report: sizes total the corpus, ccos spread brackets the mean, partition-invariant") {
+    val emb = Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val r = graft.operators.SemanticDedup.kmeansReport(emb).collect()
+    assert(r.map(_.getLong(1)).sum == emb.count(), "every vector lands in one cluster")
+    r.foreach { row =>
+      val (inertia, mean, lo, hi) =
+        (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+      assert(inertia >= 0.0)
+      assert(lo <= mean + 1e-6 && mean <= hi + 1e-6, s"mean outside [min,max]: $row")
+    }
+    val a = r.map(_.toString).toSeq
+    val b = graft.operators.SemanticDedup.kmeansReport(emb.repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(a == b, "report is a pure function of the corpus, not its partitioning")
+  }
+
   test("pca output is identical across partitionings") {
     val emb = corpus(200)
     val a = Pca.pca(emb.repartition(1), dim, 3).orderBy("vec_id", "k").collect().toSeq

@@ -628,6 +628,45 @@ def gen_dedup_semantic(emb, n_clusters=16, iters=2, tau=0.4):
     })
 
 
+def gen_emb_kmeans_report(emb, n_clusters=16, iters=2):
+    """Mirror of SemanticDedup.kmeansReport: per-cluster cardinality,
+    inertia (sum ||v-c||^2 via the d + ||v||^2 tree, decimal-summed)
+    and centroid-cosine mean/min/max over the same train_books(m=1)
+    assignment as gen_dedup_semantic."""
+    dim = len(emb[0]["embedding"])
+    books = train_books(emb, 1, n_clusters, dim, iters)[0]
+    q12 = Decimal("0.000000000001")
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    per = {}
+    for e in emb:
+        v = e["embedding"]
+        vn = norm(v)
+        dists = [(cn2 - 2.0 * dot(v, cent), cid) for cid, cent, cn2 in books]
+        d, cid = min(dists)
+        cent, cn2 = next((c, n2) for ci, c, n2 in books if ci == cid)
+        cc = dot(v, cent) / (vn * cn2 ** 0.5)
+        l2 = d + vn * vn
+        rec = per.setdefault(cid, [0, Decimal(0), Decimal(0), None, None])
+        rec[0] += 1
+        rec[1] += Decimal(repr(l2)).quantize(q12, rounding=ROUND_HALF_UP)
+        rec[2] += Decimal(repr(cc)).quantize(q12, rounding=ROUND_HALF_UP)
+        rec[3] = cc if rec[3] is None else min(rec[3], cc)
+        rec[4] = cc if rec[4] is None else max(rec[4], cc)
+    rows = sorted(per.items())
+    return pa.table({
+        "cid": pa.array([c for c, _ in rows], pa.int64()),
+        "n_vectors": pa.array([r[0] for _, r in rows], pa.int64()),
+        "inertia": pa.array([round4(float(r[1])) for _, r in rows], pa.float64()),
+        "mean_ccos": pa.array([round6(float(r[2]) / r[0]) for _, r in rows], pa.float64()),
+        "min_ccos": pa.array([round6(r[3]) for _, r in rows], pa.float64()),
+        "max_ccos": pa.array([round6(r[4]) for _, r in rows], pa.float64()),
+    })
+
+
 def gen_data_prune_prototypes(emb, n_clusters=16, iters=2, prune_frac=0.25):
     """Mirror of SemanticDedup.prunePrototypes: same train/assign as
     gen_dedup_semantic, rank per cluster by (centroid_cosine desc,
@@ -1141,6 +1180,7 @@ GENERATORS = {
     "dedup_embed_cosine": ("embeddings", gen_dedup_embed_cosine),
     "dedup_embed_cosine_mt": ("embeddings", gen_dedup_embed_cosine_mt),
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
+    "emb_kmeans": ("embeddings", gen_emb_kmeans_report),
     "data_prune_prototypes": ("embeddings", gen_data_prune_prototypes),
     "bpe_train": ("documents", gen_bpe_train),
     "bpe_token_count": ("documents", gen_bpe_token_count),
