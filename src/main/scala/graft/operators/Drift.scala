@@ -89,4 +89,41 @@ object Drift {
       .select(col("grp"), col("rt").as("n"), lit(nCats - 1).as("df"),
         round(col("chi2"), 6).as("chi2"))
   }
+
+  /** Per-group Population Stability Index of a pre-bucketed column vs
+    * the corpus marginal: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) — the
+    * banded-histogram drift number ops teams alarm on (>0.25 = major
+    * shift), completing the family: KS (continuous), χ² (categorical),
+    * PSI (banded). Zero cells are handled by the add-½ (Laplace)
+    * smoothing on BOTH sides — p = (o+½)/(n+B/2) — which keeps every
+    * log finite and is a pure function of exact integer counts, so
+    * both engines evaluate the identical double expression tree;
+    * per-group term sums run in decimal and round at 6.
+    *
+    * Scale shape: identical to [[chi2PerGroup]] — one corpus-sized
+    * map-side-combinable cell aggregate, then everything is bounded by
+    * groups × buckets (B is a fixed banding, e.g. 10 length bands).
+    */
+  def psiPerGroup(df: DataFrame, group: Column, bucket: Column): DataFrame = {
+    val cells = df.groupBy(group.as("grp"), bucket.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("grp")).agg(sum(col("o")).as("n"))
+    val glob = cells.groupBy(col("b")).agg(sum(col("o")).as("gb"))
+    val grand = cells.agg(sum(col("o")).as("g"))
+    val nB = cells.select(col("b")).distinct().count()
+    val half = lit(nB.toDouble / 2.0)
+    // full groups × observed-buckets grid: a group's EMPTY band is
+    // exactly the drift signal, it must not be dropped
+    val p = (col("o").cast("double") + lit(0.5)) / (col("n").cast("double") + half)
+    val q = (col("gb").cast("double") + lit(0.5)) / (col("g").cast("double") + half)
+    rows.crossJoin(broadcast(glob))
+      .join(cells, Seq("grp", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("_t", ((p - q) * log(p / q)).cast("decimal(28,12)"))
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(col("_t")).cast("double").as("psi"))
+      .select(col("grp"), col("n"), lit(nB).as("n_buckets"),
+        round(col("psi"), 6).as("psi"))
+  }
 }

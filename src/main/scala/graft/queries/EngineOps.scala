@@ -252,7 +252,43 @@ object EngineOps {
       where = "WHERE t.l_orderkey <= 1000"))
   }
 
+  /** Small-file compaction — the table-maintenance pass every long-
+    * lived ingest needs: a 64-way fragmented copy of `documents`
+    * (micro-batch/append debris shape) is rewritten into a handful of
+    * row-clustered files via `repartitionByRange(doc_id)` +
+    * `maxRecordsPerFile`. Range-partitioning the rewrite buys
+    * id-clustered parquet min/max stats (point/range lookups prune
+    * whole files) on top of the open-cost win. The gate checks content
+    * is preserved exactly through both rewrites; CompactionSpec
+    * asserts the file counts (64 → ≤4) and the per-file id clustering.
+    * At 100 TB this runs per partition with target = file-size budget
+    * (maxRecordsPerFile ≈ maxPartitionBytes/row-width) — one range
+    * shuffle of the fragment set being compacted, never the table.
+    */
+  def opt_compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = scratch(dir, "docs_fragmented")
+    val compact = scratch(dir, "docs_compacted")
+    if (!new java.io.File(s"$frag/_SUCCESS").exists()) {
+      Tables(spark, dir, "documents")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    }
+    spark.read.parquet(frag)
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 4096)
+      .parquet(compact)
+    spark.read.parquet(compact)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "opt_compaction" -> (opt_compaction _),
     "opt_zorder" -> (opt_zorder _),
     "eng_bucketed_ddl" -> (eng_bucketed_ddl _),
     "opt_partition_pruning" -> (opt_partition_pruning _),
@@ -269,6 +305,11 @@ object EngineOps {
     "fmt_orc_roundtrip" -> (fmt_orc_roundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "opt_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        | cast(sum(n_chars) as bigint) AS sum_chars,
+        | count(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "opt_zorder" -> QueryUtil.zorderBucketedSql("l_partkey", "l_suppkey",
       where = "WHERE t.l_orderkey <= 1000"),
     "eng_bucketed_ddl" ->

@@ -75,6 +75,16 @@ object LlmOps {
       .orderBy(col("grp"))
       .withColumnRenamed("grp", "source")
 
+  /** Per-source PSI of the banded document-length histogram vs the
+    * corpus marginal (10 bands of 100 chars, capped) — the third drift
+    * gate beside KS (continuous) and χ² (categorical).
+    */
+  def stats_psi_drift(spark: SparkSession, dir: String): DataFrame =
+    Drift.psiPerGroup(docs(spark, dir), col("source"),
+      least(lit(9L), expr("n_chars div 100")))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
   def text_boilerplate(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateSpans(docs(spark, dir), col("doc_id"), col("text"))
 
@@ -833,6 +843,7 @@ object LlmOps {
     "corpus_stats" -> (corpus_stats _),
     "stats_ks_drift" -> (stats_ks_drift _),
     "stats_chi2_drift" -> (stats_chi2_drift _),
+    "stats_psi_drift" -> (stats_psi_drift _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
@@ -965,7 +976,7 @@ object LlmOps {
     * generated by tools/make_expected.py, an independent pure-Python
     * reimplementation of the hash kernels (see expected/README.md).
     */
-  private def fixtureSql(name: String, table: String): String = {
+  private[queries] def fixtureSql(name: String, table: String): String = {
     val (gate, keys) = table match {
       case "documents" =>
         ("(SELECT count(*) || '-' || sum(n_chars) FROM documents)",
@@ -1025,6 +1036,30 @@ object LlmOps {
         |        (k::double * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)
         |    AS zipf_slope
         |FROM pt CROSS JOIN s ORDER BY rank""".stripMargin,
+    // identical double tree: add-1/2 smoothed proportions, (p-q)*ln(p/q)
+    // terms decimal-summed, round 6 — zero cells (empty length bands)
+    // included via the groups x buckets grid
+    "stats_psi_drift" ->
+      """WITH cells AS (
+        |  SELECT source AS grp, least(9, n_chars // 100) AS b, count(*)::bigint AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT grp, cast(sum(o) as bigint) AS n FROM cells GROUP BY 1),
+        |gl AS (SELECT b, cast(sum(o) as bigint) AS gb FROM cells GROUP BY 1),
+        |g AS (SELECT cast(sum(o) as bigint) AS g FROM cells),
+        |nb AS (SELECT count(*)::double / 2.0 AS half, count(*) AS nb FROM gl),
+        |grid AS (
+        |  SELECT r.grp, r.n, gl.b, gl.gb, coalesce(cells.o, 0)::bigint AS o
+        |  FROM r CROSS JOIN gl
+        |  LEFT JOIN cells ON cells.grp = r.grp AND cells.b = gl.b)
+        |SELECT grid.grp AS source, grid.n AS n, nb.nb AS n_buckets,
+        |  round(cast(sum(cast(
+        |    ((grid.o::double + 0.5) / (grid.n::double + nb.half)
+        |      - (grid.gb::double + 0.5) / (g.g::double + nb.half))
+        |    * ln(((grid.o::double + 0.5) / (grid.n::double + nb.half))
+        |         / ((grid.gb::double + 0.5) / (g.g::double + nb.half)))
+        |    as decimal(28,12))) as double), 6) AS psi
+        |FROM grid CROSS JOIN g CROSS JOIN nb
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // expected cell e materialized once; zero cells included; decimal
     // term sums -> identical doubles, rounded 6 on both engines
     "stats_chi2_drift" ->

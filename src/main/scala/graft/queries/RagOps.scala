@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.Mmr
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval/serving-side operators (SURVEY.md §2D, round-4b): the
+  * chunk → embed → retrieve → diversify path a RAG or retrieval-
+  * augmented training pipeline runs downstream of curation.
+  */
+object RagOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val W = 50 // chunk window (words)
+  private val S = 30 // chunk stride (words) -> 20-word overlap
+
+  /** Overlapping word-window chunking (window 50, stride 30): the
+    * standard RAG splitter shape. Pure shuffle-free scan — `sequence`
+    * enumerates chunk starts inside the row, `slice`+`array_join`
+    * assemble each chunk, all codegen built-ins. Tail rule: a start is
+    * emitted iff it is the first OR the previous window did not
+    * already reach the end of the doc (`s + W−S−1 < n`), so the last
+    * chunk always covers the tail and no chunk is a suffix of its
+    * predecessor. chunk_id = (s−1) div S stays consecutive after the
+    * tail drop. At 100 TB this is the map-side explode that feeds the
+    * embedding UDF batches — rows grow ~n_words/S per doc, no
+    * exchange anywhere.
+    */
+  def chunk_overlap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(rtrim(col("text")), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(1L), col("n"), lit(S.toLong))).as("s"))
+      .filter(col("s") === 1L || col("s") + lit((W - S - 1).toLong) < col("n"))
+      .select(col("doc_id"),
+        expr(s"cast((s - 1) div $S as int)").as("chunk_id"),
+        col("s").as("start_word"),
+        least(lit(W.toLong), col("n") - col("s") + 1).as("n_words"),
+        array_join(slice(col("ws"), col("s").cast("int"), lit(W)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** MMR-diversified retrieval (λ=0.7, top-5 from the exact top-20
+    * pool) — see operators/Mmr.scala for the scale shape. Fixture-
+    * gated against make_expected.gen_sim_mmr_rerank.
+    */
+  def sim_mmr_rerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Mmr.rerank(emb, emb.filter(col("vec_id") < 8), kCand = 20, k = 5, lambda = 0.7)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Query-STREAM ANN serving over the static corpus (see
+    * streaming/StreamingAnn.scala) — drained ≡ batch
+    * [[LlmOps.sim_topk_bruteforce]], gated by the same fixture.
+    */
+  def sim_topk_stream(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.streaming.StreamingAnn.runTopK(spark, Tables(spark, dir, "embeddings"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "chunk_overlap" -> (chunk_overlap _),
+    "sim_mmr_rerank" -> (sim_mmr_rerank _),
+    "sim_topk_stream" -> (sim_topk_stream _))
+
+  val oracles: Map[String, String] = Map(
+    // identical start enumeration / slice bounds / tail rule on both
+    // engines; chunk text assembled from the same word list
+    "chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, string_split(rtrim(text), ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, len(ws)::bigint AS n, u.s::bigint AS s
+         |      FROM d, unnest(range(1, len(ws)+1, $S)) AS u(s))
+         |SELECT doc_id, ((s - 1) // $S)::int AS chunk_id, s AS start_word,
+         |  least($W, n - s + 1) AS n_words,
+         |  array_to_string(ws[s : least(s + ${W - 1}, n)], ' ') AS chunk_text
+         |FROM s WHERE s = 1 OR s + ${W - S - 1} < n
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "sim_mmr_rerank" -> LlmOps.fixtureSql("sim_mmr_rerank", "embeddings"),
+    // the streaming drain must equal batch brute force exactly
+    "sim_topk_stream" -> LlmOps.fixtureSql("sim_topk_bruteforce", "embeddings"))
+}

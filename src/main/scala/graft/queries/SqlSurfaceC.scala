@@ -363,6 +363,28 @@ object SqlSurfaceC {
         array_join(col("_names"), ",").as("supplier_csv"))
       .orderBy(col("nationkey"))
 
+  /** IGNORE NULLS window modifier — last-observation-carried-forward
+    * (LOCF) gap-fill, the standard sparse-time-series repair: carry
+    * each user's most recent purchase value onto every later event
+    * (`last(..., ignoreNulls)` over an unbounded-preceding ROWS
+    * frame), plus the strictly-previous purchase via `lag(...,
+    * ignoreNulls)`. The window order (ts, event_id) is total, so the
+    * fill is deterministic; values are carried verbatim (no
+    * arithmetic), so the compare is exact. One user-keyed shuffle,
+    * partition-local frames — at 100 TB this is the per-entity
+    * timeline shape that scales with users, not time.
+    */
+  def q48_ignore_nulls(spark: SparkSession, dir: String): DataFrame = {
+    val purchase = when(col("event_type") === "purchase", col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val locf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        last(purchase, ignoreNulls = true).over(locf).as("last_purchase_value"),
+        lag(purchase, 1, null, ignoreNulls = true).over(w).as("prev_purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -380,6 +402,7 @@ object SqlSurfaceC {
     "q45_window_dist" -> (q45_window_dist _),
     "q46_range_frame" -> (q46_range_frame _),
     "q47_array_agg" -> (q47_array_agg _),
+    "q48_ignore_nulls" -> (q48_ignore_nulls _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -397,6 +420,15 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q48_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+        |  lag(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
     "q45_window_dist" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  round(percent_rank() OVER w, 4) AS pr,

@@ -215,7 +215,7 @@ object StreamingEvents {
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
     */
-  private def drain(spark: SparkSession, prepared: DataFrame, batches: Int,
+  private[streaming] def drain(spark: SparkSession, prepared: DataFrame, batches: Int,
       rangeCol: String, sinkPrefix: String)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$sinkPrefix")

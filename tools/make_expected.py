@@ -1163,7 +1163,57 @@ def gen_sim_topk_opq(emb, k=5, m=8, ksub=16, rerank_mult=8, max_query=64,
     return topk_table(rank_topk(out, k))
 
 
+def gen_sim_mmr_rerank(emb, k_cand=20, k=5, lam=0.7, max_query=8):
+    """MMR diversity re-rank of the exact top-k_cand cosine pool.
+
+    Mirrors operators/Mmr.scala: pool selected on RAW cosine order
+    (ties id asc) like the brute-force fixture, relevance and pairwise
+    sims rounded to 4 dp before scoring, greedy argmax with
+    strictly-greater wins over id-ascending iteration, picked score
+    rounded to 4 dp.
+    """
+    norms = {e["vec_id"]: norm(e["embedding"]) for e in emb}
+    vecs = {e["vec_id"]: e["embedding"] for e in emb}
+    queries = [e for e in emb if e["vec_id"] < max_query]
+    out = []
+    for q in sorted(queries, key=lambda e: e["vec_id"]):
+        qid = q["vec_id"]
+        qn = norms[qid]
+        raw = [(c["vec_id"], dot(q["embedding"], c["embedding"]) / (qn * norms[c["vec_id"]]))
+               for c in emb if c["vec_id"] != qid]
+        pool = sorted(raw, key=lambda t: (-t[1], t[0]))[:k_cand]
+        pool = sorted([(nid, round4(cos)) for nid, cos in pool])  # id asc
+        sim = {}
+        for i in range(len(pool)):
+            for j in range(i + 1, len(pool)):
+                a, b = pool[i][0], pool[j][0]
+                s = round4(dot(vecs[a], vecs[b]) / (norm(vecs[a]) * norm(vecs[b])))
+                sim[(a, b)] = sim[(b, a)] = s
+        used = set()
+        maxsim = {nid: 0.0 for nid, _ in pool}
+        for rank in range(1, min(k, len(pool)) + 1):
+            best, best_score = None, float("-inf")
+            for nid, rel in pool:
+                if nid in used:
+                    continue
+                score = lam * rel - (1 - lam) * maxsim[nid]
+                if score > best_score:
+                    best, best_score = nid, score
+            out.append((qid, rank, best, round4(best_score)))
+            used.add(best)
+            for nid, _ in pool:
+                if nid not in used and sim[(nid, best)] > maxsim[nid]:
+                    maxsim[nid] = sim[(nid, best)]
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "rank": pa.array([r[1] for r in out], pa.int32()),
+        "neighbor_id": pa.array([r[2] for r in out], pa.int64()),
+        "mmr_score": pa.array([r[3] for r in out], pa.float64()),
+    })
+
+
 GENERATORS = {
+    "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
     "text_fingerprint": ("documents", gen_text_fingerprint),
