@@ -310,6 +310,50 @@ object LlmOps {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** Temperature-flattened language mixture (the mT5/UniMax family):
+    * sampling weight w_l = n_l^τ with τ=1/2, per-doc rate
+    * r_l = N·(w_l/Σw)/n_l — rare languages upsample (r>1), dominant
+    * ones downsample (r<1), expected corpus size preserved. τ=1/2
+    * deliberately: sqrt IS correctly rounded in IEEE754 (pow(x,0.7)
+    * is not), so both engines compute bit-identical weights; the
+    * weight sum runs in decimal (order-independent), rates round at 6,
+    * and the copy assignment is [[Sampling.mixture]]'s pure
+    * function-of-(id,epoch) md5 gate. Scale shape: the rate relation
+    * is |languages| rows, broadcast onto a shuffle-free corpus scan.
+    */
+  def data_temperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val c = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val w = c.withColumn("wl",
+      sqrt(col("nl").cast("double")).cast("decimal(28,12)"))
+    val s = w.agg(sum(col("wl")).cast("double").as("sw"),
+      sum(col("nl")).as("n"))
+    val r = w.crossJoin(broadcast(s))
+      .withColumn("rate", round(
+        col("n").cast("double") * (col("wl").cast("double") / col("sw"))
+          / col("nl").cast("double"), 6))
+      .select(col("lang"), col("rate"))
+    Sampling.mixture(d.join(broadcast(r), "lang"), col("doc_id"), col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** The SpaceSaving heavy-hitter sketch run AS a stream: the
+    * mergeable TypedImperativeAggregate is exactly what Structured
+    * Streaming needs from an aggregate (partial sketches merge across
+    * micro-batches in the state store), so the batch operator
+    * composes with readStream unchanged. Capacity 256 ≫ the corpus
+    * vocabulary, so the drained sketch is EXACT and the batch
+    * oracle gates it verbatim. At scale: state = one 256-entry sketch
+    * (a few KB) regardless of stream length — the entire point of the
+    * sketch family.
+    */
+  def text_heavy_hitters_stream(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.streaming.StreamingSketch.runHeavyHitters(spark, docs(spark, dir))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   def data_split(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("split"))
@@ -831,6 +875,8 @@ object LlmOps {
     "text_redact" -> (text_redact _),
     "data_split" -> (data_split _),
     "data_mix" -> (data_mix _),
+    "data_temperature" -> (data_temperature _),
+    "text_heavy_hitters_stream" -> (text_heavy_hitters_stream _),
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
@@ -1644,6 +1690,26 @@ object LlmOps {
       """SELECT u.word, count(*) AS cnt
         |FROM documents, unnest(string_split(text, ' ')) AS u(word)
         |GROUP BY u.word ORDER BY cnt DESC, u.word LIMIT 15""".stripMargin,
+    // the streamed sketch drains to the identical exact top-15
+    "text_heavy_hitters_stream" ->
+      """SELECT u.word, count(*) AS cnt
+        |FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |GROUP BY u.word ORDER BY cnt DESC, u.word LIMIT 15""".stripMargin,
+    // sqrt weights (correctly-rounded IEEE), decimal weight sum, rate
+    // round 6; copy assignment = the data_mix md5 gate keyed by lang rate
+    "data_temperature" ->
+      """WITH c AS (SELECT lang, count(*)::bigint AS nl FROM documents GROUP BY 1),
+        |w AS (SELECT lang, nl, cast(sqrt(nl::double) as decimal(28,12)) AS wl FROM c),
+        |s AS (SELECT cast(sum(wl) as double) AS sw, cast(sum(nl) as bigint) AS n FROM w),
+        |r AS (SELECT lang, round(s.n::double * (wl::double / s.sw) / nl::double, 6) AS rate
+        |      FROM w CROSS JOIN s),
+        |e AS (SELECT doc_id, d.lang, rate, u.e AS epoch
+        |      FROM documents d JOIN r USING (lang),
+        |           unnest(range(0, greatest(cast(ceil(rate) as bigint), 1))) AS u(e))
+        |SELECT doc_id, lang, rate, epoch FROM e
+        |WHERE epoch < floor(rate)
+        |   OR mod(('0x' || substr(md5(doc_id::varchar || '#' || epoch::varchar), 1, 8))::bigint, 10000) < (rate - floor(rate)) * 10000
+        |ORDER BY doc_id, epoch""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

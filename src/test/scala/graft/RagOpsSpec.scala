@@ -101,6 +101,35 @@ class RagOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("data_temperature: flattens the language mix, preserves expected corpus size") {
+    val d = Tables(spark, sfDir, "documents")
+    val langN = d.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = LlmOps.data_temperature(spark, sfDir)
+      .select(col("lang"), col("rate")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.keySet == langN.keySet)
+    // monotone: a more common language never gets a higher rate
+    val byN = langN.toSeq.sortBy(_._2)
+    byN.sliding(2).filter(_.length == 2).foreach { p =>
+      if (p(0)._2 < p(1)._2)
+        assert(rates(p(0)._1) >= rates(p(1)._1),
+          s"${p(0)._1} (n=${p(0)._2}) rate < ${p(1)._1} (n=${p(1)._2})")
+    }
+    // expected total = sum(rate_l * n_l) stays the corpus size
+    val expected = langN.map { case (l, n) => rates(l) * n }.sum
+    val total = langN.values.sum.toDouble
+    assert(math.abs(expected - total) / total < 1e-4, s"$expected vs $total")
+  }
+
+  test("text_heavy_hitters_stream: drained sketch equals the batch aggregate") {
+    val streamed = LlmOps.text_heavy_hitters_stream(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = LlmOps.text_heavy_hitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
