@@ -44,7 +44,13 @@ object PlanDump {
     "mm_phash_dedup" -> "8-byte perceptual sigs from the media scan, chunk-band self join, lowest-matching-chunk once-only pair emit (no pair-set shuffle)",
     "text_pmi" -> "fp-keyed vocab^2 pair histogram, broadcast unigram/dictionary joins, level-set survivor cut — strings only in the final fetch",
     "q46_range_frame" -> "one customer-keyed exchange, partition-local RANGE frame — no global sort before the window",
-    "evt_sliding_agg" -> "hop-window instances exploded INSIDE the scan projection, one map-side-combined hash agg keyed by (window, type)")
+    "evt_sliding_agg" -> "hop-window instances exploded INSIDE the scan projection, one map-side-combined hash agg keyed by (window, type)",
+    "chunk_overlap" -> "sequence/slice chunk explode INSIDE the scan projection — the only exchange is the output display sort, the chunker itself is scan-local",
+    "sim_mmr_rerank" -> "brute-force pool broadcast back against the corpus scan for vector fetch, bounded per-query mapGroups — corpus never shuffles",
+    "stats_psi_drift" -> "one map-side-combinable cell agg, then groups x buckets relations only (broadcast grid joins)",
+    "data_temperature" -> "language-rate relation (|langs| rows) broadcast onto the corpus scan, md5 epoch gate in the projection — no corpus shuffle",
+    "opt_compaction" -> "ONE range exchange of the fragment set being compacted, sorted within partitions for id-clustered files",
+    "q48_ignore_nulls" -> "one user-keyed exchange, partition-local IGNORE NULLS frames — scales with users, not time")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
