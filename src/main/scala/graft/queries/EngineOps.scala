@@ -287,7 +287,33 @@ object EngineOps {
       .orderBy(col("source"))
   }
 
+  /** Schema evolution across file generations — the lakehouse reality
+    * that an append-only table's early files lack columns added later.
+    * v1 files carry (doc_id, source, n_chars); v2 files add `lang`.
+    * `mergeSchema` unions the footers at planning time, v1 rows read
+    * the missing column as NULL, and the query coalesces the gap —
+    * no rewrite of old data. At 100 TB this is a footer-merge at the
+    * driver (per-file schemas, not data) and the scan stays columnar.
+    */
+  def fmt_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "schema_evo")
+    if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {
+      val d = Tables(spark, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "fmt_schema_evolution" -> (fmt_schema_evolution _),
     "opt_compaction" -> (opt_compaction _),
     "opt_zorder" -> (opt_zorder _),
     "eng_bucketed_ddl" -> (eng_bucketed_ddl _),
@@ -305,6 +331,10 @@ object EngineOps {
     "fmt_orc_roundtrip" -> (fmt_orc_roundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
+        | count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "opt_compaction" ->
       """SELECT source, count(*) AS n_docs,
         | cast(sum(n_chars) as bigint) AS sum_chars,

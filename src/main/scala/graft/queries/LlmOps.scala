@@ -354,6 +354,15 @@ object LlmOps {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** Ingest-time exact dedup: per-text-hash changelog state converges
+    * to the batch [[dedup_exact]] relation under any arrival order
+    * (see StreamingSketch.runExactDedup); drained ≡ batch, same
+    * oracle.
+    */
+  def dedup_exact_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingSketch.runExactDedup(spark, docs(spark, dir))
+      .orderBy(col("keep_id"))
+
   def data_split(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("split"))
@@ -877,6 +886,7 @@ object LlmOps {
     "data_mix" -> (data_mix _),
     "data_temperature" -> (data_temperature _),
     "text_heavy_hitters_stream" -> (text_heavy_hitters_stream _),
+    "dedup_exact_stream" -> (dedup_exact_stream _),
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
@@ -1711,6 +1721,10 @@ object LlmOps {
         |   OR mod(('0x' || substr(md5(doc_id::varchar || '#' || epoch::varchar), 1, 8))::bigint, 10000) < (rate - floor(rate)) * 10000
         |ORDER BY doc_id, epoch""".stripMargin,
     "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // drained changelog state must converge to the batch relation
+    "dedup_exact_stream" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // the cleaning pipeline's oracle composes the already-verified

@@ -130,6 +130,39 @@ class RagOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("dedup_exact_stream: a late lower id re-seats the keeper via retraction") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingSketch.{ExactDupState, exactDedupUpdate}
+    val s1 = TestGroupState.create[ExactDupState](
+      org.apache.spark.api.java.Optional.empty[ExactDupState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = exactDedupUpdate("h", Iterator(("h", 7L)), s1).toSeq
+    assert(out1 == Seq(("h", 7L, 1L, 1L)))
+    // late arrival of doc 3 (same text): retract (7,1), assert (3,2)
+    val out2 = exactDedupUpdate("h", Iterator(("h", 3L)), s1).toSeq
+    assert(out2 == Seq(("h", 7L, 1L, -1L), ("h", 3L, 2L, 1L)))
+    // drained end-to-end equals batch
+    val streamed = LlmOps.dedup_exact_stream(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = LlmOps.dedup_exact(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("fmt_schema_evolution: merged footer adds the column, v1 rows read null") {
+    val out = EngineOps.fmt_schema_evolution(spark, sfDir)
+    assert(out.columns.toSeq == Seq("lang", "n", "sum_chars"))
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/$key/schema_evo"
+    val v1 = spark.read.parquet(s"$base/v1")
+    assert(!v1.columns.contains("lang"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+    assert(merged.columns.contains("lang"))
+    assert(merged.filter(col("lang").isNull).count() == v1.count())
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
