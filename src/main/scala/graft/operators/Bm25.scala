@@ -93,6 +93,60 @@ object Bm25 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of BM25 with a
+    * lexical-overlap ranking — the standard hybrid-retrieval combiner
+    * (in production the second arm is usually the vector ANN list;
+    * the fusion algebra is identical). Each arm contributes
+    * `1/(60+rank)` for its top-`kPool` docs; a doc missing from one
+    * arm contributes 0 there. Determinism: the lexical arm ranks on
+    * the composite integer `nmatch·10⁶ + Σtf` (exact in a double, so
+    * the bounded-heap aggregate reproduces `ORDER BY nmatch DESC,
+    * tfsum DESC, doc_id`), fusion terms are single correctly-rounded
+    * divisions summed in fixed coalesce order, ranks re-ranked by the
+    * same heap. Scale shape: both arms are matched-postings-only
+    * aggregates (the corpus text never shuffles); the fusion joins two
+    * |queries|·kPool relations — trivially broadcastable.
+    */
+  def rrfTopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+      kPool: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bm = topK(docs, queries, kPool)
+      .select(col("query_id"), col("doc_id"), col("rank").as("_r1"))
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, t))
+    }
+    val termSet = qTerms.map(_._2).distinct
+    val words = split(rtrim(col("text")), " ")
+    val tf = docs
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(col("w").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val lex = tf
+      .join(broadcast(qTerms.toDF("query_id", "w")), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("nmatch"), sum(col("tf")).as("tfsum"))
+      .withColumn("_score",
+        (col("nmatch") * lit(1000000L) + col("tfsum")).cast("double"))
+    val lexRanked = lex
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKAgg(col("_score"), col("doc_id"), kPool).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("_t.id").as("doc_id"), (col("_pos") + 1).as("_r2"))
+    val fused = bm.join(lexRanked, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("_r1")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("_r2")), lit(0.0)))
+    fused
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKAgg(col("rrf"), col("doc_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as("doc_id"), round(col("_t.score"), 6).as("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The oracle's VALUES fragment for a query set: (query_id, term). */
   def oracleValues(queries: Seq[(Int, String)]): String =
     queries.flatMap { case (qid, text) =>

@@ -765,6 +765,13 @@ object LlmOps {
   def search_bm25(spark: SparkSession, dir: String): DataFrame =
     Bm25.topK(docs(spark, dir), Bm25.defaultQueries, 10)
 
+  /** Hybrid-retrieval rank fusion: RRF of the BM25 arm and the
+    * lexical-overlap arm (operators/Bm25.rrfTopK) — top-10 from two
+    * top-20 pools.
+    */
+  def search_rrf(spark: SparkSession, dir: String): DataFrame =
+    Bm25.rrfTopK(docs(spark, dir), Bm25.defaultQueries, 10)
+
   def pipeline_clean(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
@@ -887,6 +894,7 @@ object LlmOps {
     "data_temperature" -> (data_temperature _),
     "text_heavy_hitters_stream" -> (text_heavy_hitters_stream _),
     "dedup_exact_stream" -> (dedup_exact_stream _),
+    "search_rrf" -> (search_rrf _),
     "sample_stratified" -> (sample_stratified _),
     "text_surprisal" -> (text_surprisal _),
     "text_bigram_surprisal" -> (text_bigram_surprisal _),
@@ -1201,6 +1209,46 @@ object LlmOps {
          |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
          |       FROM agg)
          |SELECT query_id, cast(rnk AS integer) AS rank, doc_id, score
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // both arms mirrored term for term; fusion = two correctly-rounded
+    // 1/(60+rank) divisions in fixed coalesce order; ties by doc_id
+    "search_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(rtrim(text), ' ') AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+         |st AS (SELECT count(*) AS n, cast(sum(dl) AS bigint) AS sdl FROM dl),
+         |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |q(query_id, w) AS (VALUES ${graft.operators.Bm25.oracleValues(graft.operators.Bm25.defaultQueries)}),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+         |       WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |  cast(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * (tf.tf * 2.2)
+         |       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sdl / st.n)))
+         |    AS decimal(28,12)) AS s
+         |  FROM tf JOIN dfr USING (w) JOIN q USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id, cast(sum(s) AS double) AS score FROM sc GROUP BY 1, 2),
+         |brk AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r1
+         |        FROM agg),
+         |b20 AS (SELECT * FROM brk WHERE r1 <= 20),
+         |lex AS (SELECT q.query_id, tf.doc_id, count(*) AS nmatch,
+         |        cast(sum(tf.tf) AS bigint) AS tfsum
+         |        FROM tf JOIN q USING (w) GROUP BY 1, 2),
+         |lrk AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY nmatch * 1000000 + tfsum DESC, doc_id) AS r2
+         |        FROM lex),
+         |l20 AS (SELECT * FROM lrk WHERE r2 <= 20),
+         |fu AS (SELECT coalesce(b.query_id, l.query_id) AS query_id,
+         |       coalesce(b.doc_id, l.doc_id) AS doc_id,
+         |       coalesce(1.0::double / (60 + b.r1), 0.0)
+         |         + coalesce(1.0::double / (60 + l.r2), 0.0) AS rrf
+         |       FROM b20 b FULL OUTER JOIN l20 l
+         |         ON b.query_id = l.query_id AND b.doc_id = l.doc_id),
+         |rk AS (SELECT query_id, doc_id, rrf,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+         |       FROM fu)
+         |SELECT query_id, cast(rnk AS integer) AS rank, doc_id, round(rrf, 6) AS rrf_score
          |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // same arithmetic as the Spark side: float division throughout
     // (DuckDB int/int is float division, matching Spark's Divide), and

@@ -163,6 +163,29 @@ class RagOpsSpec extends AnyFunSuite {
     assert(merged.filter(col("lang").isNull).count() == v1.count())
   }
 
+  test("search_rrf: fused scores bounded by the two-arm maximum, 10 per query") {
+    val rows = LlmOps.search_rrf(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(1, 2, 3, 4))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q returned ${rs.length}")
+      val scores = rs.sortBy(_._2).map(_._4)
+      // max possible = rank 1 in BOTH arms; min > 0 (must be in >= 1 arm)
+      assert(scores.head <= 2.0 / 61 + 1e-9 && scores.last > 0.0)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a doc at rank 1 in BM25 that also appears in the lexical pool
+    // must beat any single-arm doc: spot-check fusion actually fuses
+    val bm1 = LlmOps.search_bm25(spark, sfDir).filter(col("rank") === 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, rs) =>
+      val top = rs.minBy(_._2)
+      assert(top._4 >= 1.0 / 61, s"query $q top fused score ${top._4}")
+      assert(bm1.contains(q))
+    }
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
