@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -185,6 +185,25 @@ object TextHashes {
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Feature-hashing bag-of-words embedding: each space-separated word
+    * lands in bucket (fnv1a64 >>> 1) % dim with ±1 sign from the low
+    * hash bit. Integer-valued counts as floats — all downstream
+    * dot/norm arithmetic is exact-integer in double, so cosines are
+    * bit-identical to the pure-Python mirror.
+    */
+  def hashEmbed(s: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < words.length) {
+      val h = fnv1a64(UTF8String.fromString(words(i)))
+      val b = ((h >>> 1) % dim).toInt
+      acc(b) += (if ((h & 1L) == 0L) 1f else -1f)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(acc)
   }
 
   /** Shannon entropy (nats) of a string's code-point distribution:
@@ -695,6 +714,8 @@ object GraftFunctions {
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
   def charEntropy(c: Column): Column = Bridge.column(CharEntropy(Bridge.expression(c)))
+  def hashEmbed(c: Column, dim: Int): Column =
+    Bridge.column(HashEmbed(Bridge.expression(c), dim))
   def matVecF(c: Column, mat: Array[Double], d: Int): Column =
     Bridge.column(MatVecF(Bridge.expression(c), mat, d))
   def sq8Encode(c: Column, mins: Array[Double], scales: Array[Double]): Column =

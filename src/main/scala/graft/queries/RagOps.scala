@@ -17,6 +17,22 @@ object RagOps {
   private val W = 50 // chunk window (words)
   private val S = 30 // chunk stride (words) -> 20-word overlap
 
+  /** The chunk relation (unordered) — shared by [[chunk_overlap]] and
+    * [[pipeline_rag_index]].
+    */
+  private def chunksOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(rtrim(col("text")), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(1L), col("n"), lit(S.toLong))).as("s"))
+      .filter(col("s") === 1L || col("s") + lit((W - S - 1).toLong) < col("n"))
+      .select(col("doc_id"),
+        expr(s"cast((s - 1) div $S as int)").as("chunk_id"),
+        col("s").as("start_word"),
+        least(lit(W.toLong), col("n") - col("s") + 1).as("n_words"),
+        array_join(slice(col("ws"), col("s").cast("int"), lit(W)), " ").as("chunk_text"))
+
   /** Overlapping word-window chunking (window 50, stride 30): the
     * standard RAG splitter shape. Pure shuffle-free scan — `sequence`
     * enumerates chunk starts inside the row, `slice`+`array_join`
@@ -30,17 +46,7 @@ object RagOps {
     * exchange anywhere.
     */
   def chunk_overlap(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(rtrim(col("text")), " ").as("ws"))
-      .withColumn("n", size(col("ws")).cast("long"))
-      .select(col("doc_id"), col("n"), col("ws"),
-        explode(sequence(lit(1L), col("n"), lit(S.toLong))).as("s"))
-      .filter(col("s") === 1L || col("s") + lit((W - S - 1).toLong) < col("n"))
-      .select(col("doc_id"),
-        expr(s"cast((s - 1) div $S as int)").as("chunk_id"),
-        col("s").as("start_word"),
-        least(lit(W.toLong), col("n") - col("s") + 1).as("n_words"),
-        array_join(slice(col("ws"), col("s").cast("int"), lit(W)), " ").as("chunk_text"))
+    chunksOf(Tables(spark, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** MMR-diversified retrieval (λ=0.7, top-5 from the exact top-20
@@ -63,7 +69,49 @@ object RagOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The full chunk-level retrieval path in ONE Catalyst plan: chunk →
+    * feature-hash embed (hashing-trick bag-of-words, the real
+    * technique — a learned encoder would slot into the same column) →
+    * exact cosine top-5 chunks per keyword query. Everything stays in
+    * the scan: chunking is a `sequence`/`slice` explode, embedding is
+    * one codegen kernel per chunk, queries are a broadcast 4-row
+    * relation, and ranking is the bounded-heap aggregate on a packed
+    * (doc_id·1024+chunk_id) key — the corpus never shuffles, the only
+    * exchange carries per-query heap partials. All arithmetic is
+    * exact-integer-in-double (hash counts, correctly-rounded sqrt), so
+    * the committed fixture is reproduced bit-for-bit by the pure-Python
+    * mirror (make_expected.gen_pipeline_rag_index).
+    */
+  def pipeline_rag_index(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val dim = 16
+    val chunks = chunksOf(Tables(spark, dir, "documents"))
+      .withColumn("_ce", GraftFunctions.hashEmbed(col("chunk_text"), dim))
+      .withColumn("_cn", Similarity.l2norm(col("_ce")))
+      .filter(col("_cn") > 0) // hash-cancelled chunks have no direction
+      .withColumn("_cid", col("doc_id") * 1024 + col("chunk_id"))
+    val q = {
+      import spark.implicits._
+      graft.operators.Bm25.defaultQueries.toDF("query_id", "qtext")
+        .withColumn("_qe", GraftFunctions.hashEmbed(col("qtext"), dim))
+        .withColumn("_qn", Similarity.l2norm(col("_qe")))
+    }
+    val scored = chunks.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        Similarity.dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKAgg(col("cosine"), col("_cid"), 5).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).as("rank"),
+        expr("_t.id div 1024").as("doc_id"),
+        (col("_t.id") % 1024).cast("int").as("chunk_id"),
+        round(col("_t.score"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_rag_index" -> (pipeline_rag_index _),
     "chunk_overlap" -> (chunk_overlap _),
     "sim_mmr_rerank" -> (sim_mmr_rerank _),
     "sim_topk_stream" -> (sim_topk_stream _))
@@ -81,6 +129,7 @@ object RagOps {
          |FROM s WHERE s = 1 OR s + ${W - S - 1} < n
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "sim_mmr_rerank" -> LlmOps.fixtureSql("sim_mmr_rerank", "embeddings"),
+    "pipeline_rag_index" -> LlmOps.fixtureSql("pipeline_rag_index", "documents"),
     // the streaming drain must equal batch brute force exactly
     "sim_topk_stream" -> LlmOps.fixtureSql("sim_topk_bruteforce", "embeddings"))
 }

@@ -140,6 +140,26 @@ case class MatVecF(child: Expression, mat: Array[Double], d: Int)
 }
 
 /** Codegen'd code-point Shannon entropy (nats) of a string. */
+/** Codegen'd feature-hashing (hashing-trick) bag-of-words embedding:
+  * word → bucket (fnv1a64 >>> 1) % dim, sign from the low hash bit —
+  * integer-valued float vector, fully deterministic.
+  */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.hashEmbed(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.hashEmbed($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = DoubleType

@@ -163,6 +163,24 @@ class RagOpsSpec extends AnyFunSuite {
     assert(merged.filter(col("lang").isNull).count() == v1.count())
   }
 
+  test("pipeline_rag_index: retrieved chunks contain query terms; fixture matches") {
+    val rows = RagOps.pipeline_rag_index(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet == Set(1, 2, 3, 4))
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    val fixture = spark.read
+      .parquet("expected/sf0.001/pipeline_rag_index.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.toSet == fixture.toSet)
+    // relevance sanity: the top chunk for query 1 shares a term with it
+    val chunkText = RagOps.chunk_overlap(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+    val q1terms = Set("spark", "join", "agg")
+    val top1 = rows.filter(r => r._1 == 1 && r._2 == 1).head
+    val words = chunkText((top1._3, top1._4)).split(" ").toSet
+    assert(q1terms.exists(words), s"top chunk for q1 shares no term: $words")
+  }
+
   test("search_rrf: fused scores bounded by the two-arm maximum, 10 per query") {
     val rows = LlmOps.search_rrf(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

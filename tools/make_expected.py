@@ -1212,7 +1212,60 @@ def gen_sim_mmr_rerank(emb, k_cand=20, k=5, lam=0.7, max_query=8):
     })
 
 
+def gen_pipeline_rag_index(docs, dim=16, k=5, w=50, s=30):
+    """Chunk -> feature-hash embed -> exact cosine top-k per query.
+
+    Mirrors queries/RagOps.pipeline_rag_index: chunk starts 1,1+s,...
+    with the tail rule (drop starts whose predecessor window reached
+    the doc end), hashing-trick embedding bucket=(fnv1a64>>1)%dim with
+    sign from the low bit, zero-norm chunks dropped, heap ranking by
+    (-cosine, doc_id*1024+chunk_id), cosine rounded to 4 dp.
+    """
+    queries = [(1, "spark join agg"), (2, "window sort merge"),
+               (3, "customer query fast"), (4, "stream batch filter")]
+
+    def embed(words):
+        acc = [0.0] * dim
+        for word in words:
+            h = fnv1a64(word.encode())
+            acc[(h >> 1) % dim] += 1.0 if (h & 1) == 0 else -1.0
+        return acc
+
+    chunks = []
+    for d in docs:
+        ws = d["text"].rstrip(" ").split(" ")
+        n = len(ws)
+        st = 1
+        while st <= n:
+            if st != 1 and not (st + (w - s - 1) < n):
+                break
+            words = ws[st - 1: st - 1 + w]
+            vec = embed(words)
+            nm = norm(vec)
+            if nm > 0:
+                cid = d["doc_id"] * 1024 + (st - 1) // s
+                chunks.append((cid, vec, nm))
+            st += s
+
+    out = []
+    for qid, qtext in queries:
+        qv = embed(qtext.split(" "))
+        qn = norm(qv)
+        cands = [(cid, dot(qv, vec) / (qn * nm)) for cid, vec, nm in chunks]
+        ranked = sorted(cands, key=lambda t: (-t[1], t[0]))[:k]
+        for r, (cid, cos) in enumerate(ranked, start=1):
+            out.append((qid, r, cid // 1024, cid % 1024, round4(cos)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int32()),
+        "rank": pa.array([r[1] for r in out], pa.int32()),
+        "doc_id": pa.array([r[2] for r in out], pa.int64()),
+        "chunk_id": pa.array([r[3] for r in out], pa.int32()),
+        "cosine": pa.array([r[4] for r in out], pa.float64()),
+    })
+
+
 GENERATORS = {
+    "pipeline_rag_index": ("documents", gen_pipeline_rag_index),
     "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
     "dedup_simhash": ("documents", gen_dedup_simhash),
     "text_langid": ("documents", gen_text_langid),
