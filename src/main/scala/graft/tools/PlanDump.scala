@@ -50,7 +50,10 @@ object PlanDump {
     "stats_psi_drift" -> "one map-side-combinable cell agg, then groups x buckets relations only (broadcast grid joins)",
     "data_temperature" -> "language-rate relation (|langs| rows) broadcast onto the corpus scan, md5 epoch gate in the projection — no corpus shuffle",
     "opt_compaction" -> "ONE range exchange of the fragment set being compacted, sorted within partitions for id-clustered files",
-    "q48_ignore_nulls" -> "one user-keyed exchange, partition-local IGNORE NULLS frames — scales with users, not time")
+    "q48_ignore_nulls" -> "one user-keyed exchange, partition-local IGNORE NULLS frames — scales with users, not time",
+    "pipeline_rag_index" -> "chunk explode + hash-embed kernel + broadcast query relation + per-query heap, ALL inside the scan — zero corpus shuffle",
+    "search_rrf" -> "two matched-postings arms over one shared scan shape, heap ranks (no windows), fusion full-outer join of two tiny pooled relations",
+    "fmt_schema_evolution" -> "merged-footer scan: v1 files project lang as null, coalesce in the projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
