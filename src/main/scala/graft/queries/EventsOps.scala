@@ -66,6 +66,14 @@ object EventsOps {
     Events.topPaths(Tables(spark, dir, "events"))
       .orderBy(col("n").desc, col("path"))
 
+  /** Incremental per-user trigram paths — changelog multiset diff per
+    * user timeline (a late event retracts the trigrams it splits);
+    * drained ≡ batch [[evt_paths]], same oracle.
+    */
+  def evt_paths_stream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runPaths(spark, Tables(spark, dir, "events"))
+      .orderBy(col("n").desc, col("path"))
+
   /** Incremental (streamed) sessionization — same oracle as batch
     * [[evt_sessionize]]; a late event can merge sessions, handled by
     * changelog retraction.
@@ -115,6 +123,7 @@ object EventsOps {
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
     "evt_paths" -> (evt_paths _),
+    "evt_paths_stream" -> (evt_paths_stream _),
     "evt_sessionize_stream" -> (evt_sessionize_stream _),
     "evt_window_agg" -> (evt_window_agg _),
     "evt_anomaly" -> (evt_anomaly _),
@@ -139,6 +148,16 @@ object EventsOps {
     "evt_attribution" -> attributionSql,
     "evt_attribution_stream" -> attributionSql,
     "evt_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS n1,
+        |         lead(event_type, 2) OVER w AS n2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type || '>' || n1 || '>' || n2 AS path, count(*) AS n
+        |FROM seq WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "evt_paths_stream" ->
       """WITH seq AS (
         |  SELECT event_type,
         |         lead(event_type, 1) OVER w AS n1,

@@ -385,6 +385,27 @@ object SqlSurfaceC {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** TRY/ANSI-safety surface — at 100 TB malformed values are a
+    * statistical certainty, and the TRY family turns per-row failures
+    * into NULLs instead of job aborts: `try_cast` over a corrupt
+    * numeric string, `try_divide` at zero denominators,
+    * `try_element_at` past an array bound. Each NULL site is
+    * deterministic (keyed off l_orderkey arithmetic), so the oracle
+    * mirrors the semantics with guard expressions; the division is a
+    * single correctly-rounded double op on both engines.
+    */
+  def q49_try_safety(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_cast(CASE WHEN l_orderkey % 3 = 0 THEN concat('x', l_orderkey) " +
+          "ELSE cast(l_orderkey AS string) END AS bigint)").as("safe_key"),
+        expr("round(try_divide(cast(l_extendedprice AS double), " +
+          "cast(l_orderkey % 5 AS double)), 6)").as("safe_ratio"),
+        expr("try_element_at(array(l_returnflag, l_linestatus), l_linenumber)")
+          .as("safe_elem"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -403,6 +424,7 @@ object SqlSurfaceC {
     "q46_range_frame" -> (q46_range_frame _),
     "q47_array_agg" -> (q47_array_agg _),
     "q48_ignore_nulls" -> (q48_ignore_nulls _),
+    "q49_try_safety" -> (q49_try_safety _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -420,6 +442,15 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    "q49_try_safety" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  try_cast(CASE WHEN l_orderkey % 3 = 0 THEN 'x' || l_orderkey
+        |           ELSE l_orderkey::varchar END AS bigint) AS safe_key,
+        |  round(CASE WHEN l_orderkey % 5 = 0 THEN NULL
+        |        ELSE l_extendedprice::double / (l_orderkey % 5)::double END, 6) AS safe_ratio,
+        |  [l_returnflag, l_linestatus][l_linenumber] AS safe_elem
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q48_ignore_nulls" ->
       """SELECT user_id, event_id, event_type,
         |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

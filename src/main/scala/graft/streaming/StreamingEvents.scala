@@ -153,6 +153,62 @@ object StreamingEvents {
     }
   }
 
+  /** One user's event timeline so far: (tsMicros, eventId, eventType). */
+  case class PathState(events: Seq[(Long, Long, String)])
+
+  /** Incremental per-user trigram paths: each batch merges the user's
+    * new events into the ordered timeline and diffs the trigram
+    * MULTISET before/after as a ±1 changelog — a late event inserted
+    * mid-timeline retracts the trigrams it splits and asserts the ones
+    * it creates, so the drained counts equal batch [[Events.topPaths]]
+    * under any arrival order. State is the user's own timeline
+    * (bounded by per-user activity; a deployment ages it out past the
+    * analysis horizon with a timeout).
+    */
+  private[graft] def pathsUpdate(
+      userId: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      state: GroupState[PathState]): Iterator[(String, Long)] = {
+    def trigrams(ev: Seq[(Long, Long, String)]): Map[String, Long] =
+      ev.sortBy(e => (e._1, e._2)).sliding(3).filter(_.length == 3)
+        .map(w => w.map(_._3).mkString(">"))
+        .foldLeft(Map.empty[String, Long]) { (m, p) =>
+          m.updated(p, m.getOrElse(p, 0L) + 1L)
+        }
+    val prev = state.getOption.getOrElse(PathState(Nil))
+    val next = PathState(prev.events ++ rows.map(r => (r._2, r._3, r._4)))
+    state.update(next)
+    val before = trigrams(prev.events)
+    val after = trigrams(next.events)
+    (before.keySet ++ after.keySet).iterator.flatMap { p =>
+      val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+      if (d != 0L) Iterator((p, d)) else Iterator.empty
+    }
+  }
+
+  /** Drive the incremental path counter; drained ≡ batch
+    * [[Events.topPaths]] under the same oracle (top-20 cut applied on
+    * the drained counts, exactly as batch applies it after its
+    * aggregate).
+    */
+  def runPaths(spark: SparkSession, events: DataFrame,
+      k: Int = 20, batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val prepared = events.select(col("user_id"),
+      unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
+    val drained = drain(spark, prepared, batches, "tsu", "paths") { stream =>
+      stream.as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          pathsUpdate)
+        .toDF("path", "weight")
+        .groupBy(col("path"))
+        .agg(sum(col("weight")).as("n"))
+        .filter(col("n") > 0)
+    }
+    drained.orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** counts = hourly event counts seen so far for this type; emitted =
     * (hour, n, z) anomaly rows currently counted downstream.
     */

@@ -204,6 +204,38 @@ class RagOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("evt_paths_stream: late event retracts the trigram it splits; drained equals batch") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingEvents.{PathState, pathsUpdate}
+    val s = TestGroupState.create[PathState](
+      org.apache.spark.api.java.Optional.empty[PathState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // events at t=1,2,3 -> one trigram a>b>c
+    val out1 = pathsUpdate(1L, Iterator((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (1L, 3L, 3L, "c")), s).toMap
+    assert(out1 == Map("a>b>c" -> 1L))
+    // late event at t=2.5 splits it: retract a>b>c, assert a>b>x, b>x>c
+    val out2 = pathsUpdate(1L, Iterator((1L, 2L, 10L, "x")), s).toMap
+    assert(out2 == Map("a>b>c" -> -1L, "a>b>x" -> 1L, "b>x>c" -> 1L))
+    val streamed = graft.queries.EventsOps.evt_paths_stream(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.queries.EventsOps.evt_paths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("q49_try_safety: each TRY site nulls exactly its malformed rows") {
+    val rows = SqlSurfaceC.q49_try_safety(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0); val line = r.getInt(1)
+      assert(r.isNullAt(2) == (key % 3 == 0), s"safe_key at $key")
+      assert(r.isNullAt(3) == (key % 5 == 0), s"safe_ratio at $key")
+      assert(r.isNullAt(4) == (line > 2), s"safe_elem at $key/$line")
+    }
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
