@@ -312,7 +312,45 @@ object EngineOps {
       .orderBy(col("lang"))
   }
 
+  /** Dynamic partition overwrite — the idempotent-backfill primitive:
+    * re-running one day's ingest replaces ONLY that day's partition
+    * directory, leaving every other partition untouched (static
+    * overwrite mode would drop the whole table). The op lays events
+    * out by date, re-ingests 2024-01-05 with a corrected `value`
+    * (doubled), and reads the table back: the gate proves exactly the
+    * touched partition changed. At 100 TB this is how late data and
+    * corrections land — partition-granular rewrites, no table lock,
+    * no read-modify-write of cold partitions.
+    */
+  def opt_dynamic_overwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "events_dyn_overwrite")
+    val ev = Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("event_type"), col("value"), col("event_date"))
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+    }
+    val day = lit("2024-01-05").cast("date")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ev.filter(col("event_date") === day)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("event_date").parquet(base)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    spark.read.parquet(base)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        QueryUtil.decSum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("sum_value"))
+      .orderBy(col("event_date"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "opt_dynamic_overwrite" -> (opt_dynamic_overwrite _),
     "fmt_schema_evolution" -> (fmt_schema_evolution _),
     "opt_compaction" -> (opt_compaction _),
     "opt_zorder" -> (opt_zorder _),
@@ -331,6 +369,12 @@ object EngineOps {
     "fmt_orc_roundtrip" -> (fmt_orc_roundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // only the re-ingested day's partition carries the corrected value
+    "opt_dynamic_overwrite" ->
+      """SELECT cast(ts as date) AS event_date, count(*) AS n,
+        | cast(sum(cast(CASE WHEN cast(ts as date) = DATE '2024-01-05'
+        |                    THEN value * 2 ELSE value END as decimal(18,6))) as double) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "fmt_schema_evolution" ->
       """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
         | count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars

@@ -75,6 +75,30 @@ object LlmOps {
       .orderBy(col("grp"))
       .withColumnRenamed("grp", "source")
 
+  /** ANALYZE-style per-column profile of the documents table: row /
+    * null / distinct counts and min–max per column — the data-quality
+    * report every ingest publishes and every optimizer wants. One
+    * aggregate PER COLUMN deliberately: each scan prunes to a single
+    * column (a fused multi-distinct agg would Expand every row ×4
+    * instead), the per-column jobs run independently, and min/max
+    * surface as strings so the report schema is uniform. At 100 TB →
+    * swap count(distinct) for approx_count_distinct, same shape.
+    */
+  def stats_profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def prof(c: String) = d
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+      .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+    prof("doc_id").unionByName(prof("lang")).unionByName(prof("source"))
+      .unionByName(prof("n_chars"))
+      .orderBy(col("col_name"))
+  }
+
   /** Per-source PSI of the banded document-length histogram vs the
     * corpus marginal (10 bands of 100 chars, capped) — the third drift
     * gate beside KS (continuous) and χ² (categorical).
@@ -908,6 +932,7 @@ object LlmOps {
     "stats_ks_drift" -> (stats_ks_drift _),
     "stats_chi2_drift" -> (stats_chi2_drift _),
     "stats_psi_drift" -> (stats_psi_drift _),
+    "stats_profile" -> (stats_profile _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
@@ -1100,6 +1125,13 @@ object LlmOps {
         |        (k::double * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)
         |    AS zipf_slope
         |FROM pt CROSS JOIN s ORDER BY rank""".stripMargin,
+    "stats_profile" -> Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::bigint AS n_rows,
+         | cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | min($c)::varchar AS min_value, max($c)::varchar AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // identical double tree: add-1/2 smoothed proportions, (p-q)*ln(p/q)
     // terms decimal-summed, round 6 — zero cells (empty length bands)
     // included via the groups x buckets grid

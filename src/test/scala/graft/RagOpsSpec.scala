@@ -236,6 +236,38 @@ class RagOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("opt_dynamic_overwrite: only the re-ingested partition changes") {
+    val out = EngineOps.opt_dynamic_overwrite(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    val src = Tables(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s")).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == src.keySet)
+    out.foreach { case (d, (n, s)) =>
+      val (n0, s0) = src(d)
+      assert(n == n0, s"partition $d row count changed")
+      val expect = if (d == "2024-01-05") s0 * 2 else s0
+      assert(math.abs(s - expect) < 1e-6 * math.max(1.0, math.abs(expect)),
+        s"partition $d sum $s != $expect")
+    }
+  }
+
+  test("stats_profile: counts agree with direct queries") {
+    val prof = LlmOps.stats_profile(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(prof.keySet == Set("doc_id", "lang", "source", "n_chars"))
+    val d = Tables(spark, sfDir, "documents")
+    val n = d.count()
+    prof.foreach { case (c, (rows, nulls, distinct, mn, mx)) =>
+      assert(rows == n && nulls == 0L)
+      assert(distinct == d.select(col(c)).distinct().count(), s"$c distinct")
+      assert(mn == d.agg(min(col(c)).cast("string")).head.getString(0), s"$c min")
+      assert(mx == d.agg(max(col(c)).cast("string")).head.getString(0), s"$c max")
+    }
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
