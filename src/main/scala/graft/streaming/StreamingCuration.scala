@@ -63,12 +63,14 @@ object StreamingCuration {
     val sinkName = s"graft_decontam_stream_${System.nanoTime()}"
     // Complete mode: the aggregate state (contaminated docs only) is
     // re-emitted per batch; the drained table is the final counts
-    val q = contaminationStream(stream, docs.filter(evalPred), k)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
+    StreamingEvents.withStreamingPartitions(spark) {
+      val q = contaminationStream(stream, docs.filter(evalPred), k)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
     // decouple the result from the memory sink and drop the temp view:
     // repeated invocations in one session must not accumulate
     // fully-materialized sink tables in driver memory

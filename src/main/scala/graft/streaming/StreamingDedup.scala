@@ -131,13 +131,15 @@ object StreamingDedup {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
     val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
-    val q = verifiedPairs(spark,
-      candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
+    StreamingEvents.withStreamingPartitions(spark) {
+      val q = verifiedPairs(spark,
+        candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
     // decouple the result from the memory sink and drop the temp view:
     // repeated invocations in one session must not accumulate
     // fully-materialized sink tables in driver memory

@@ -268,6 +268,26 @@ object StreamingEvents {
     }
   }
 
+  /** Run `body` (a streaming query start+drain) with
+    * `spark.sql.shuffle.partitions` temporarily lowered: every stateful
+    * streaming operator keeps one state store PER shuffle partition
+    * PER micro-batch version, so 32 partitions × a handful of stores ×
+    * triggers is pure checkpoint overhead at drain scale (the staged
+    * corpora are MBs). Results are partition-count-independent — only
+    * wall time changes. A production deployment sizes this to its
+    * actual key cardinality instead.
+    */
+  private[streaming] def withStreamingPartitions[T](spark: SparkSession, n: Int = 8)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (prev.toInt <= n) body
+    else {
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
     */
@@ -283,12 +303,14 @@ object StreamingEvents {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
     val sinkName = s"graft_${sinkPrefix.replace('-', '_')}_${System.nanoTime()}"
-    val q = pipeline(stream)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
+    withStreamingPartitions(spark) {
+      val q = pipeline(stream)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
     val drained = spark.table(sinkName).localCheckpoint()
     spark.catalog.dropTempView(sinkName)
     drained
@@ -370,11 +392,13 @@ object StreamingEvents {
       .select(col("user_id"), col("click_id"), col("view_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
     val sinkName = s"graft_attr_stream_${System.nanoTime()}"
-    val q = joined.writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
     val drained = spark.table(sinkName).localCheckpoint()
     spark.catalog.dropTempView(sinkName)
     drained
