@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftglue.{Fnv1a64, SimHash64}
+import org.apache.spark.sql.graftglue.{CharEntropy, Fnv1a64, HashEmbed, SimHash64}
 
 /** SparkSessionExtensions entry point, so a cluster deployment can
   * enable the graft SQL functions with config alone:
@@ -28,5 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "fnv1a64(str) - 64-bit FNV-1a fingerprint of a string", Fnv1a64.apply))
     e.injectFunction(unary("simhash64",
       "simhash64(str) - 64-bit token-level SimHash of a string", SimHash64.apply))
+    e.injectFunction(unary("char_entropy",
+      "char_entropy(str) - code-point Shannon entropy (nats)", CharEntropy.apply))
+    e.injectFunction((FunctionIdentifier("hash_embed"),
+      new ExpressionInfo("graft", "hash_embed",
+        "hash_embed(str, dim) - feature-hashing bag-of-words float vector"),
+      es => {
+        require(es.length == 2, s"hash_embed expects 2 arguments, got ${es.length}")
+        val dim = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"hash_embed dim must be an int literal, got $other")
+        }
+        HashEmbed(es.head, dim)
+      }))
   }
 }
