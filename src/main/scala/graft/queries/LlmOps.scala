@@ -410,6 +410,37 @@ object LlmOps {
   def dedup_ngram_jaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  /** LSH banding tuning report: the 16×4 S-curve (per-band hit
+    * probability J⁴, detection 1−(1−J⁴)¹⁶ — integer powers as explicit
+    * multiplication chains, so both engines produce bit-identical
+    * doubles) joined with the corpus's OBSERVED exact pair mass per
+    * 0.05 Jaccard bucket (the recall-1 AllPairs operator at τ=0.5).
+    * This is the table you read before picking (b, r): where your
+    * corpus's near-dup mass sits on the detection curve. Scale shape:
+    * the curve is 10 literal rows; the observed mass reuses the
+    * prefix-filtered AllPairs relation (never all-pairs).
+    */
+  def dedup_lsh_tuning(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val curve = Seq(0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95)
+      .toDF("j_lo")
+      .withColumn("_pb", col("j_lo") * col("j_lo") * col("j_lo") * col("j_lo"))
+      .withColumn("_y", lit(1.0) - col("_pb"))
+      .withColumn("_y2", col("_y") * col("_y"))
+      .withColumn("_y4", col("_y2") * col("_y2"))
+      .withColumn("_y8", col("_y4") * col("_y4"))
+      .select(col("j_lo"), round(col("_pb"), 6).as("p_band"),
+        round(lit(1.0) - col("_y8") * col("_y8"), 6).as("p_detect_16x4"))
+    val observed = Dedup.ngramJaccard(docs(spark, dir), threshold = 0.5)
+      // top bucket is ">= 0.95": exact dups (J = 1.0) land there too
+      .select(least(floor(col("jaccard") * 20) / 20, lit(0.95)).as("j_lo"))
+      .groupBy(col("j_lo")).agg(count(lit(1)).as("n_pairs"))
+    curve.join(observed, Seq("j_lo"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .orderBy(col("j_lo"))
+  }
+
   /** End-to-end dedup: minhash-LSH pairs resolved into connected
     * components, keeping the min doc per family — the kept corpus.
     */
@@ -933,6 +964,7 @@ object LlmOps {
     "stats_chi2_drift" -> (stats_chi2_drift _),
     "stats_psi_drift" -> (stats_psi_drift _),
     "stats_profile" -> (stats_profile _),
+    "dedup_lsh_tuning" -> (dedup_lsh_tuning _),
     "data_shuffle" -> (data_shuffle _),
     "dedup_span_exact" -> (dedup_span_exact _),
     "dedup_span_removal" -> (dedup_span_removal _),
@@ -1589,6 +1621,26 @@ object LlmOps {
     "dedup_minhash_lsh" ->
       s"""${jaccardPairsSql(0.8)}
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // curve: integer powers as explicit multiplication chains (pow()
+    // is not exactly rounded); observed mass buckets the 4-dp exact
+    // Jaccard with the identical double ops on both engines
+    "dedup_lsh_tuning" ->
+      s"""${jaccardPairsSql(0.5)},
+         |obs AS (
+         |  SELECT least(floor(round(j, 4) * 20) / 20, 0.95::double) AS j_lo,
+         |         count(*) AS n_pairs
+         |  FROM pairs WHERE j >= 0.5 GROUP BY 1),
+         |curve AS (
+         |  SELECT cast(j_lo as double) AS j_lo FROM (VALUES (0.50),(0.55),(0.60),
+         |    (0.65),(0.70),(0.75),(0.80),(0.85),(0.90),(0.95)) v(j_lo)),
+         |c2 AS (SELECT j_lo, j_lo*j_lo*j_lo*j_lo AS pb FROM curve),
+         |c3 AS (SELECT j_lo, pb, (1.0 - pb) * (1.0 - pb) AS y2 FROM c2),
+         |c4 AS (SELECT j_lo, pb, y2*y2 AS y4 FROM c3),
+         |c5 AS (SELECT j_lo, pb, y4*y4 AS y8 FROM c4)
+         |SELECT c5.j_lo, round(pb, 6) AS p_band, round(1.0 - y8*y8, 6) AS p_detect_16x4,
+         |       coalesce(obs.n_pairs, 0) AS n_pairs
+         |FROM c5 LEFT JOIN obs ON obs.j_lo = c5.j_lo
+         |ORDER BY c5.j_lo""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""${jaccardPairsSql(0.7)}
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,

