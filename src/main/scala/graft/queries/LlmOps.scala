@@ -417,8 +417,13 @@ object LlmOps {
     * 0.05 Jaccard bucket (the recall-1 AllPairs operator at τ=0.5).
     * This is the table you read before picking (b, r): where your
     * corpus's near-dup mass sits on the detection curve. Scale shape:
-    * the curve is 10 literal rows; the observed mass reuses the
-    * prefix-filtered AllPairs relation (never all-pairs).
+    * the curve is 10 literal rows; the observed mass runs the
+    * prefix-filtered AllPairs relation on a DETERMINISTIC 10% md5
+    * sample of docs — a τ=0.5 sweep over a full dup-dense corpus is a
+    * pair explosion (measured: 3.5 GB spill at the 50 k derived
+    * corpus), and a distribution estimate is exactly what sampling is
+    * for; the gate stays exact because both engines compute on the
+    * same sample.
     */
   def dedup_lsh_tuning(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
@@ -432,7 +437,18 @@ object LlmOps {
       .withColumn("_y8", col("_y4") * col("_y4"))
       .select(col("j_lo"), round(col("_pb"), 6).as("p_band"),
         round(lit(1.0) - col("_y8") * col("_y8"), 6).as("p_detect_16x4"))
-    val observed = Dedup.ngramJaccard(docs(spark, dir), threshold = 0.5)
+    // FAMILY-COHERENT 20% sample: bucket on the doc's MIN shingle-md5,
+    // which near-dups share (the minhash-blocking idea reused for
+    // sampling) — pairs are retained at ~the doc rate instead of the
+    // doc-rate SQUARED that independent doc sampling would give
+    val sampled = docs(spark, dir)
+      .withColumn("_sh", GraftFunctions.shingles(col("text"), 3))
+      .withColumn("_b", pmod(conv(substring(
+        array_min(transform(col("_sh"), x => md5(x))), 1, 8), 16, 10).cast("long"),
+        lit(10)))
+      .filter(col("_b") < 2)
+      .drop("_sh", "_b")
+    val observed = Dedup.ngramJaccard(sampled, threshold = 0.5)
       // top bucket is ">= 0.95": exact dups (J = 1.0) land there too
       .select(least(floor(col("jaccard") * 20) / 20, lit(0.95)).as("j_lo"))
       .groupBy(col("j_lo")).agg(count(lit(1)).as("n_pairs"))
@@ -1625,7 +1641,12 @@ object LlmOps {
     // is not exactly rounded); observed mass buckets the 4-dp exact
     // Jaccard with the identical double ops on both engines
     "dedup_lsh_tuning" ->
-      s"""${jaccardPairsSql(0.5)},
+      s"""${jaccardPairsSql(0.5).replace(
+            "FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)\n),",
+            "FROM (SELECT doc_id, string_split(rtrim(text), ' ') AS w FROM documents)\n" +
+              "  WHERE mod(('0x' || substr(list_aggregate(list_transform(" +
+              shingleListSql(3) +
+              ", x -> md5(x)), 'min'), 1, 8))::bigint, 10) < 2\n),")},
          |obs AS (
          |  SELECT least(floor(round(j, 4) * 20) / 20, 0.95::double) AS j_lo,
          |         count(*) AS n_pairs
