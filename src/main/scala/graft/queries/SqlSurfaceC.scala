@@ -406,6 +406,30 @@ object SqlSurfaceC {
           .as("safe_elem"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Higher-order array functions — the lambda surface (`aggregate`
+    * fold, `filter`, `exists`, `transform`) over per-order quantity
+    * arrays. Assembled once per group (sort_array makes the array a
+    * deterministic value), then every HOF is a scalar projection —
+    * the row never explodes back out. All-integer arithmetic
+    * (l_quantity is integral; values cast to bigint), so the compare
+    * is exact. Note for the hot path: Spark evaluates HOF lambdas
+    * interpreted per element — fine for bounded per-group arrays like
+    * these, but corpus-sized inner loops belong in codegen kernels
+    * (see graftglue; measured ~1000× in SURVEY §4.1).
+    */
+  def q50_higher_order(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("_q"))
+      .select(col("o_orderkey"),
+        size(col("_q")).as("n_items"),
+        aggregate(col("_q"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+        size(filter(col("_q"), x => x >= 25)).as("n_heavy"),
+        exists(col("_q"), x => x === 50).as("has_max"),
+        element_at(transform(col("_q"), x => x * 2), 1).as("first_doubled"))
+      .orderBy(col("o_orderkey"))
+
   /** HLL approximate distinct vs exact (rows-only; bounded-error spec). */
   def approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -425,6 +449,7 @@ object SqlSurfaceC {
     "q47_array_agg" -> (q47_array_agg _),
     "q48_ignore_nulls" -> (q48_ignore_nulls _),
     "q49_try_safety" -> (q49_try_safety _),
+    "q50_higher_order" -> (q50_higher_order _),
     "q40_unpivot" -> (q40_unpivot _),
     "q41_window_nav" -> (q41_window_nav _),
     "q27_grouping_sets" -> (q27_grouping_sets _),
@@ -442,6 +467,19 @@ object SqlSurfaceC {
     "approx_distinct" -> (approx_distinct _))
 
   val oracles: Map[String, String] = Map(
+    // all-integer lambdas; Spark aggregate(0, +) == DuckDB list_reduce
+    // on the same non-empty sorted bigint arrays
+    "q50_higher_order" ->
+      """SELECT o_orderkey,
+        |  cast(len(q) as int) AS n_items,
+        |  list_reduce(q, (a, b) -> a + b) AS total_qty,
+        |  cast(len(list_filter(q, x -> x >= 25)) as int) AS n_heavy,
+        |  len(list_filter(q, x -> x = 50)) > 0 AS has_max,
+        |  list_transform(q, x -> x * 2)[1] AS first_doubled
+        |FROM (SELECT l_orderkey AS o_orderkey,
+        |        list_sort(list(l_quantity::bigint)) AS q
+        |      FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q49_try_safety" ->
       """SELECT l_orderkey, l_linenumber,
         |  try_cast(CASE WHEN l_orderkey % 3 = 0 THEN 'x' || l_orderkey
