@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails this process's output and parses the LAST line as the
+// bench JSON; sbt's "[success] Total time: ..." banner printed after the
+// forked main returns has defeated that parse in every prior round
+// (BENCH_r0{1..4}.json all show parsed:null). Suppress it globally.
+Global / showSuccess := false
+// Forward forked run output raw (no "[info] " logger prefix) so the JSON
+// line is parseable exactly as printed.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,7 +44,13 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // Optional comma-separated subset for targeted perf work; the driver
+    // leaves this unset and benches the full suite.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
+    val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-query shuffle/spill evidence (scale design: exchanges carry
@@ -79,7 +85,11 @@ object Bench {
         sb2.append(frag); used += frag.length + 1
       }
     }
-    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nqueries":${results.size},"queries":{${sb2.result()}},"detail":"bench/bench_detail_last.json","sf":"$sfDir"}""")
+    // Stop Spark BEFORE the final println so no executor/shutdown log line
+    // can land after the compact summary; build.sbt sets showSuccess :=
+    // false so sbt's "[success] Total time" banner (which made every prior
+    // round's BENCH parse fail) no longer trails it either.
     spark.stop()
+    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nqueries":${results.size},"queries":{${sb2.result()}},"detail":"bench/bench_detail_last.json","sf":"$sfDir"}""")
   }
 }
