@@ -16,6 +16,7 @@ run / fork := true
 // forked main returns has defeated that parse in every prior round
 // (BENCH_r0{1..4}.json all show parsed:null). Suppress it globally.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forward forked run output raw (no "[info] " logger prefix) so the JSON
 // line is parseable exactly as printed.
 run / connectInput := false

@@ -35,9 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hash_embed(str, dim) - feature-hashing bag-of-words float vector"),
       es => {
         require(es.length == 2, s"hash_embed expects 2 arguments, got ${es.length}")
+        // Validate at injection (= analysis) time so bad dims surface as a
+        // clear AnalysisException, not an ArithmeticException (dim=0) or
+        // NegativeArraySizeException (dim<0) at execution time.
         val dim = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"hash_embed dim must be an int literal, got $other")
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "INVALID_PARAMETER_VALUE.INTEGER",
+              Map("parameter" -> "dim", "functionName" -> "hash_embed",
+                "invalidValue" -> s"$v (dim must be >= 1)"))
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT",
+              Map("funcName" -> "hash_embed", "paramName" -> "dim",
+                "paramType" -> "positive INT literal"))
         }
         HashEmbed(es.head, dim)
       }))

@@ -99,8 +99,9 @@ object Bm25 {
     * the fusion algebra is identical). Each arm contributes
     * `1/(60+rank)` for its top-`kPool` docs; a doc missing from one
     * arm contributes 0 there. Determinism: the lexical arm ranks on
-    * the composite integer `nmatch·10⁶ + Σtf` (exact in a double, so
-    * the bounded-heap aggregate reproduces `ORDER BY nmatch DESC,
+    * the composite integer `nmatch·2³¹ + Σtf` (exact in a double while
+    * Σtf < 2³¹ — raise_error-guarded — so the bounded-heap aggregate
+    * reproduces `ORDER BY nmatch DESC,
     * tfsum DESC, doc_id`), fusion terms are single correctly-rounded
     * divisions summed in fixed coalesce order, ranks re-ranked by the
     * same heap. Scale shape: both arms are matched-postings-only
@@ -127,8 +128,16 @@ object Bm25 {
       .join(broadcast(qTerms.toDF("query_id", "w")), "w")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("nmatch"), sum(col("tf")).as("tfsum"))
+      // Composite key reproducing ORDER BY nmatch DESC, tfsum DESC in one
+      // double: nmatch·2^31 + tfsum. Exact while tfsum < 2^31 (a doc would
+      // need 2B+ matched-term occurrences to break it — guarded below) and
+      // nmatch < 2^22 (nmatch ≤ |query terms|, always tiny), keeping the
+      // sum inside the 2^53 exact-integer budget of a double.
       .withColumn("_score",
-        (col("nmatch") * lit(1000000L) + col("tfsum")).cast("double"))
+        when(col("tfsum") >= lit(1L << 31), raise_error(concat(
+          lit("rrfTopK: tfsum overflows the composite rank key for doc_id="),
+          col("doc_id"))))
+          .otherwise((col("nmatch") * lit(1L << 31) + col("tfsum")).cast("double")))
     val lexRanked = lex
       .groupBy(col("query_id"))
       .agg(GraftFunctions.topKAgg(col("_score"), col("doc_id"), kPool).as("_top"))

@@ -418,7 +418,7 @@ object LlmOps {
     * This is the table you read before picking (b, r): where your
     * corpus's near-dup mass sits on the detection curve. Scale shape:
     * the curve is 10 literal rows; the observed mass runs the
-    * prefix-filtered AllPairs relation on a DETERMINISTIC 10% md5
+    * prefix-filtered AllPairs relation on a DETERMINISTIC 20% md5
     * sample of docs — a τ=0.5 sweep over a full dup-dense corpus is a
     * pair explosion (measured: 3.5 GB spill at the 50 k derived
     * corpus), and a distribution estimate is exactly what sampling is

@@ -76,7 +76,7 @@ object RagOps {
     * the scan: chunking is a `sequence`/`slice` explode, embedding is
     * one codegen kernel per chunk, queries are a broadcast 4-row
     * relation, and ranking is the bounded-heap aggregate on a packed
-    * (doc_id·1024+chunk_id) key — the corpus never shuffles, the only
+    * (doc_id«32 | chunk_id) key — the corpus never shuffles, the only
     * exchange carries per-query heap partials. All arithmetic is
     * exact-integer-in-double (hash counts, correctly-rounded sqrt), so
     * the committed fixture is reproduced bit-for-bit by the pure-Python
@@ -89,7 +89,12 @@ object RagOps {
       .withColumn("_ce", GraftFunctions.hashEmbed(col("chunk_text"), dim))
       .withColumn("_cn", Similarity.l2norm(col("_ce")))
       .filter(col("_cn") > 0) // hash-cancelled chunks have no direction
-      .withColumn("_cid", col("doc_id") * 1024 + col("chunk_id"))
+      // Pack (doc_id, chunk_id) into one long for the top-k heap: doc_id
+      // in the high 32 bits, chunk_id in the low 32. chunk_id is an Int
+      // (< 2^31, i.e. any document under ~2^31 words chunks safely) and
+      // the pack supports doc_id < 2^31 — wide enough for billions of
+      // docs; beyond that the id would need a struct key, not a long.
+      .withColumn("_cid", shiftleft(col("doc_id"), 32) + col("chunk_id"))
     val q = {
       import spark.implicits._
       graft.operators.Bm25.defaultQueries.toDF("query_id", "qtext")
@@ -104,8 +109,8 @@ object RagOps {
       .agg(GraftFunctions.topKAgg(col("cosine"), col("_cid"), 5).as("_top"))
       .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
       .select(col("query_id"), (col("_pos") + 1).as("rank"),
-        expr("_t.id div 1024").as("doc_id"),
-        (col("_t.id") % 1024).cast("int").as("chunk_id"),
+        shiftrightunsigned(col("_t.id"), 32).as("doc_id"),
+        col("_t.id").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("chunk_id"),
         round(col("_t.score"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -40,6 +40,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - 0.6931) < 1e-9)
       val v = r.getSeq[Float](3)
       assert(v.length == 8 && v.map(math.abs(_)).sum == 2.0f)
+      // Bad dims fail at ANALYSIS time with a clear message — not an
+      // ArithmeticException/NegativeArraySizeException at execution.
+      for (bad <- Seq("0", "-4", "length('ab')")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          s.sql(s"SELECT hash_embed('x', $bad)").head()
+        }
+        assert(e.getMessage.contains("hash_embed"), s"dim=$bad: ${e.getMessage}")
+      }
     } finally {
       // do not stop: the SparkContext is shared with the suite session
       s.catalog.clearCache()
