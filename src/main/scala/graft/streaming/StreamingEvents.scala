@@ -20,12 +20,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * no ordering assumption on the stream at all.
   *
   * Scale notes: state per user is O(their funnel-stage events /
-  * distinct active weeks), not O(events); a production deployment
-  * bounds it with the same TTL pattern as [[StreamingDedup]] under the
-  * assumption that a user's funnel/retention horizon is finite (the
-  * test path keeps state unbounded so drained ≡ batch exactly).
+  * distinct active weeks), not O(events); every update function and
+  * runner takes a `ttl`/`stateTtl` (the [[StreamingDedup.emitPairs]]
+  * pattern: `ProcessingTimeTimeout` + `setTimeoutDuration` re-armed on
+  * each arrival, expired keys dropped) so a deployment bounds state by
+  * its analysis horizon — a user idle past the TTL is retired, and the
+  * drained table equals batch restricted to that horizon. The oracle
+  * gate leaves the TTL unset (NoTimeout): with no horizon the drained
+  * table equals batch under ANY arrival order, which is what the
+  * DuckDB oracle checks. StreamingSpec asserts the expiry path for all
+  * five via TestGroupState.
   */
 object StreamingEvents {
+
+  /** [[StreamingDedup]]'s timeout selection, shared by the five
+    * changelog runners: a set TTL needs the processing-time clock.
+    */
+  private def timeoutFor(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
 
   /** times(i) = every stage-i event time seen so far (µs); emitted =
     * stage labels already counted downstream.
@@ -39,10 +52,11 @@ object StreamingEvents {
     * thresholds — so funnel diffs are always +1 (weights kept for
     * uniformity with [[retentionUpdate]]).
     */
-  private[graft] def funnelUpdate(stages: Seq[String])(
+  private[graft] def funnelUpdate(stages: Seq[String], ttl: Option[String] = None)(
       user: Long,
       rows: Iterator[(Long, Int, Long)],
       state: GroupState[FunnelState]): Iterator[(String, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.getOrElse(FunnelState(Seq.fill(stages.size)(Nil), Nil))
     val times: Array[List[Long]] = prev.times.map(_.toList).toArray
     rows.foreach { case (_, si, t) => times(si) = t :: times(si) }
@@ -61,6 +75,7 @@ object StreamingEvents {
     }
     val newly = reached.filterNot(prev.emitted.contains)
     state.update(FunnelState(times.toSeq.map(_.toSeq), prev.emitted ++ newly))
+    ttl.foreach(state.setTimeoutDuration)
     newly.iterator.map(s => (s, 1L))
   }
 
@@ -70,10 +85,11 @@ object StreamingEvents {
     */
   case class RetentionState(cohort: Long, weeks: Seq[Long], emitted: Seq[(Long, Int)])
 
-  private[graft] def retentionUpdate(maxWeeks: Int)(
+  private[graft] def retentionUpdate(maxWeeks: Int, ttl: Option[String] = None)(
       user: Long,
       rows: Iterator[(Long, Long, Boolean)],
       state: GroupState[RetentionState]): Iterator[(Long, Int, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil, Nil))
     var cohort = prev.cohort
     val weeks = scala.collection.mutable.Set(prev.weeks: _*)
@@ -87,6 +103,7 @@ object StreamingEvents {
         .filter(p => p._2 >= 0 && p._2 < maxWeeks).toSet
     val old = prev.emitted.toSet
     state.update(RetentionState(cohort, weeks.toSeq, current.toSeq))
+    ttl.foreach(state.setTimeoutDuration)
     (current -- old).iterator.map(p => (p._1, p._2, 1L)) ++
       (old -- current).iterator.map(p => (p._1, p._2, -1L))
   }
@@ -102,10 +119,11 @@ object StreamingEvents {
     * row is retracted (-1) and the new one emitted (+1), the same
     * changelog device as [[retentionUpdate]]/[[anomalyUpdate]].
     */
-  private[graft] def sessionizeUpdate(gapUs: Long)(
+  private[graft] def sessionizeUpdate(gapUs: Long, ttl: Option[String] = None)(
       user: Long,
       rows: Iterator[(Long, Long)],
       state: GroupState[SessionState]): Iterator[(Long, Long, Long, Long, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.getOrElse(SessionState(Nil, Nil))
     val times = (prev.times ++ rows.map(_._2)).sorted
     var nSessions = 0L
@@ -124,6 +142,7 @@ object StreamingEvents {
       if (times.isEmpty) Set.empty else Set((nSessions, nEvents, maxLen))
     val old = prev.emitted.toSet
     state.update(SessionState(times, current.toSeq))
+    ttl.foreach(state.setTimeoutDuration)
     (current -- old).iterator.map(t => (user, t._1, t._2, t._3, 1L)) ++
       (old -- current).iterator.map(t => (user, t._1, t._2, t._3, -1L))
   }
@@ -134,15 +153,16 @@ object StreamingEvents {
     * than the session horizon (gap + watermark), the usual TTL.
     */
   def runSessionize(spark: SparkSession, events: DataFrame,
-      gapUs: Long = 86400000000L, batches: Int = 3): DataFrame = {
+      gapUs: Long = 86400000000L, batches: Int = 3,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val us = gapUs
     val prepared = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
     drain(spark, prepared, batches, "ts_us", "sessionize-stream") { stream =>
       stream.as[(Long, Long)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          sessionizeUpdate(us))
+        .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
+          sessionizeUpdate(us, stateTtl))
         .toDF("user_id", "n_sessions", "n_events", "max_session_events", "weight")
         .groupBy(col("user_id"), col("n_sessions"), col("n_events"),
           col("max_session_events"))
@@ -165,10 +185,11 @@ object StreamingEvents {
     * (bounded by per-user activity; a deployment ages it out past the
     * analysis horizon with a timeout).
     */
-  private[graft] def pathsUpdate(
+  private[graft] def pathsUpdate(ttl: Option[String] = None)(
       userId: Long,
       rows: Iterator[(Long, Long, Long, String)],
       state: GroupState[PathState]): Iterator[(String, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     def trigrams(ev: Seq[(Long, Long, String)]): Map[String, Long] =
       ev.sortBy(e => (e._1, e._2)).sliding(3).filter(_.length == 3)
         .map(w => w.map(_._3).mkString(">"))
@@ -178,6 +199,7 @@ object StreamingEvents {
     val prev = state.getOption.getOrElse(PathState(Nil))
     val next = PathState(prev.events ++ rows.map(r => (r._2, r._3, r._4)))
     state.update(next)
+    ttl.foreach(state.setTimeoutDuration)
     val before = trigrams(prev.events)
     val after = trigrams(next.events)
     (before.keySet ++ after.keySet).iterator.flatMap { p =>
@@ -192,15 +214,16 @@ object StreamingEvents {
     * aggregate).
     */
   def runPaths(spark: SparkSession, events: DataFrame,
-      k: Int = 20, batches: Int = 3): DataFrame = {
+      k: Int = 20, batches: Int = 3,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("user_id"),
       unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
     val drained = drain(spark, prepared, batches, "tsu", "paths") { stream =>
       stream.as[(Long, Long, Long, String)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          pathsUpdate)
+        .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
+          pathsUpdate(stateTtl))
         .toDF("path", "weight")
         .groupBy(col("path"))
         .agg(sum(col("weight")).as("n"))
@@ -221,10 +244,11 @@ object StreamingEvents {
     * [[Events.hourlyAnomaly]] (n·K − Σn over sqrt(K·Σn² − (Σn)²)), so
     * the drained values are bit-identical to batch.
     */
-  private[graft] def anomalyUpdate(threshold: Double)(
+  private[graft] def anomalyUpdate(threshold: Double, ttl: Option[String] = None)(
       eventType: String,
       rows: Iterator[(String, String)],
       state: GroupState[AnomalyState]): Iterator[(String, String, Long, Double, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
     val counts = scala.collection.mutable.Map(prev.counts.toSeq: _*)
     rows.foreach { case (_, h) => counts(h) = counts.getOrElse(h, 0L) + 1L }
@@ -241,6 +265,7 @@ object StreamingEvents {
       }
     val old = prev.emitted.toSet
     state.update(AnomalyState(counts.toMap, current.toSeq))
+    ttl.foreach(state.setTimeoutDuration)
     (current -- old).iterator.map(t => (eventType, t._1, t._2, t._3, 1L)) ++
       (old -- current).iterator.map(t => (eventType, t._1, t._2, t._3, -1L))
   }
@@ -251,15 +276,16 @@ object StreamingEvents {
     * the monitoring horizon (the TTL pattern of [[StreamingDedup]]).
     */
   def runAnomaly(spark: SparkSession, events: DataFrame,
-      threshold: Double = 2.0, batches: Int = 3): DataFrame = {
+      threshold: Double = 2.0, batches: Int = 3,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("event_type"),
       date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
     drain(spark, prepared, batches, "hour", "anomaly-stream") { stream =>
       stream.as[(String, String)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          anomalyUpdate(threshold))
+        .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
+          anomalyUpdate(threshold, stateTtl))
         .toDF("event_type", "hour", "n", "z", "weight")
         .groupBy(col("event_type"), col("hour"), col("n"), col("z"))
         .agg(sum(col("weight")).as("w"))
@@ -413,7 +439,7 @@ object StreamingEvents {
     */
   def runFunnel(spark: SparkSession, events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase"),
-      batches: Int = 3): DataFrame = {
+      batches: Int = 3, stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val stageIdx = stages.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
@@ -425,8 +451,8 @@ object StreamingEvents {
     drain(spark, prepared, batches, "ts_us", "funnel-stream") { stream =>
       stream.as[(Long, Int, Long)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          funnelUpdate(stages))
+        .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
+          funnelUpdate(stages, stateTtl))
         .toDF("stage", "weight")
         .groupBy(col("stage")).agg(sum(col("weight")).as("n_users"))
         .filter(col("n_users") > 0)
@@ -439,7 +465,8 @@ object StreamingEvents {
     * is revised by a late-arriving signup.
     */
   def runRetention(spark: SparkSession, events: DataFrame,
-      anchor: String = "signup", maxWeeks: Int = 4, batches: Int = 3): DataFrame = {
+      anchor: String = "signup", maxWeeks: Int = 4, batches: Int = 3,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("user_id"),
       floor(unix_timestamp(col("ts")) / lit(7L * 24 * 3600)).cast("long").as("week"),
@@ -447,8 +474,8 @@ object StreamingEvents {
     drain(spark, prepared, batches, "week", "retention-stream") { stream =>
       stream.as[(Long, Long, Boolean)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          retentionUpdate(maxWeeks))
+        .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
+          retentionUpdate(maxWeeks, stateTtl))
         .toDF("cohort_week", "week_offset", "weight")
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(sum(col("weight")).as("n_users"))

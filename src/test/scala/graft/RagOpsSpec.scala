@@ -212,11 +212,11 @@ class RagOpsSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
       0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
     // events at t=1,2,3 -> one trigram a>b>c
-    val out1 = pathsUpdate(1L, Iterator((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+    val out1 = pathsUpdate()(1L, Iterator((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
       (1L, 3L, 3L, "c")), s).toMap
     assert(out1 == Map("a>b>c" -> 1L))
     // late event at t=2.5 splits it: retract a>b>c, assert a>b>x, b>x>c
-    val out2 = pathsUpdate(1L, Iterator((1L, 2L, 10L, "x")), s).toMap
+    val out2 = pathsUpdate()(1L, Iterator((1L, 2L, 10L, "x")), s).toMap
     assert(out2 == Map("a>b>c" -> -1L, "a>b>x" -> 1L, "b>x>c" -> 1L))
     val streamed = graft.queries.EventsOps.evt_paths_stream(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet

@@ -218,6 +218,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(net == Map((100L, 0) -> 1L, (100L, 1) -> 1L, (100L, 2) -> 1L), s"net $net")
   }
 
+  test("changelog TTL: all five stateful updates re-arm on arrival, drop expired keys, restart at the horizon") {
+    // The TTL is the production state bound (the StreamingDedup.emitPairs
+    // pattern); an end-to-end ProcessingTimeTimeout can't fire under
+    // Trigger.AvailableNow, so expiry is asserted at the unit level for
+    // each of the five changelog update functions:
+    //  (a) with ttl set, every arrival re-arms the per-key clock;
+    //  (b) a timed-out key is removed and emits nothing;
+    //  (c) post-horizon events rebuild from EMPTY state, emitting exactly
+    //      what a first-time key would — drained ≡ batch restricted to
+    //      the post-horizon events.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingEvents._
+    val ttl = Some("1 hour")
+
+    def fresh[S](prior: Option[S] = None, timedOut: Boolean = false): TestGroupState[S] =
+      TestGroupState.create[S](
+        prior.fold(Optional.empty[S]())(Optional.of),
+        GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long](), hasTimedOut = timedOut)
+
+    // ---- funnel
+    val stages = Seq("view", "click", "purchase")
+    val fLive = fresh[FunnelState]()
+    assert(funnelUpdate(stages, ttl)(1L, Iterator((1L, 0, 5L)), fLive).nonEmpty)
+    assert(fLive.getTimeoutTimestampMs.isPresent, "funnel TTL must re-arm")
+    val fExp = fresh[FunnelState](Some(fLive.get), timedOut = true)
+    assert(funnelUpdate(stages, ttl)(1L, Iterator.empty, fExp).isEmpty)
+    assert(fExp.isRemoved, "expired funnel state must be dropped")
+    // (c): after expiry the same stage-0 event re-emits as a new key would
+    val fPost = fresh[FunnelState]()
+    assert(funnelUpdate(stages, ttl)(1L, Iterator((1L, 0, 9L)), fPost).toList ==
+      funnelUpdate(stages, ttl)(2L, Iterator((2L, 0, 9L)), fresh[FunnelState]()).toList)
+
+    // ---- retention
+    val rLive = fresh[RetentionState]()
+    assert(retentionUpdate(4, ttl)(1L, Iterator((1L, 100L, true)), rLive).nonEmpty)
+    assert(rLive.getTimeoutTimestampMs.isPresent, "retention TTL must re-arm")
+    val rExp = fresh[RetentionState](Some(rLive.get), timedOut = true)
+    assert(retentionUpdate(4, ttl)(1L, Iterator.empty, rExp).isEmpty)
+    assert(rExp.isRemoved)
+
+    // ---- sessionize
+    val day = 86400000000L
+    val sLive = fresh[SessionState]()
+    assert(sessionizeUpdate(day, ttl)(1L, Iterator((1L, 0L)), sLive).nonEmpty)
+    assert(sLive.getTimeoutTimestampMs.isPresent, "sessionize TTL must re-arm")
+    val sExp = fresh[SessionState](Some(sLive.get), timedOut = true)
+    assert(sessionizeUpdate(day, ttl)(1L, Iterator.empty, sExp).isEmpty)
+    assert(sExp.isRemoved)
+
+    // ---- paths
+    val pLive = fresh[PathState]()
+    pathsUpdate(ttl)(1L, Iterator((1L, 1L, 1L, "a")), pLive).toList
+    assert(pLive.getTimeoutTimestampMs.isPresent, "paths TTL must re-arm")
+    val pExp = fresh[PathState](Some(pLive.get), timedOut = true)
+    assert(pathsUpdate(ttl)(1L, Iterator.empty, pExp).isEmpty)
+    assert(pExp.isRemoved)
+    // (c): an expired user's timeline restarts — post-horizon trigrams
+    // only, no retraction of the pre-horizon ones
+    val pPost = fresh[PathState]()
+    val post = pathsUpdate(ttl)(1L,
+      Iterator((1L, 10L, 1L, "x"), (1L, 11L, 2L, "y"), (1L, 12L, 3L, "z")), pPost).toMap
+    assert(post == Map("x>y>z" -> 1L))
+
+    // ---- anomaly
+    val aLive = fresh[AnomalyState]()
+    anomalyUpdate(2.0, ttl)("click", Iterator(("click", "h1")), aLive).toList
+    assert(aLive.getTimeoutTimestampMs.isPresent, "anomaly TTL must re-arm")
+    val aExp = fresh[AnomalyState](Some(aLive.get), timedOut = true)
+    assert(anomalyUpdate(2.0, ttl)("click", Iterator.empty, aExp).isEmpty)
+    assert(aExp.isRemoved)
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
