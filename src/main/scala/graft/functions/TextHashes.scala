@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -437,6 +437,32 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** The FULL (count, fp)-ordered fingerprint array — [[prefixByFreq]]
+    * without the prefix cut. Both sides of a positional prefix filter
+    * (PPJoin) must expose each element's index in the SAME global
+    * order; this is that order, for the index side.
+    */
+  def orderByFreq(fps: org.apache.spark.sql.catalyst.util.ArrayData,
+      keys: Array[Long], vals: Array[Long]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = fps.numElements()
+    val pairs = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) {
+      val h = fps.getLong(i)
+      val j = java.util.Arrays.binarySearch(keys, h)
+      val cnt = if (j >= 0) vals(j) else 0L
+      pairs(i) = (cnt, h)
+      i += 1
+    }
+    java.util.Arrays.sort(pairs.asInstanceOf[Array[AnyRef]],
+      implicitly[Ordering[(Long, Long)]].asInstanceOf[java.util.Comparator[AnyRef]])
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) { out(i) = pairs(i)._2; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Jaccard of two SORTED long-fingerprint sets by linear merge —
     * no intersection/union arrays are materialized (array_intersect +
     * array_union allocate both per pair just to take their sizes).
@@ -711,6 +737,8 @@ object GraftFunctions {
   def freqPrefix(fps: Column, keys: Array[Long], vals: Array[Long],
       threshold: Double): Column =
     Bridge.column(FreqOrderedPrefix(Bridge.expression(fps), keys, vals, threshold))
+  def freqOrder(fps: Column, keys: Array[Long], vals: Array[Long]): Column =
+    Bridge.column(FreqOrderAll(Bridge.expression(fps), keys, vals))
   def jaccardSortedFp(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedFp(Bridge.expression(a), Bridge.expression(b)))
   def charEntropy(c: Column): Column = Bridge.column(CharEntropy(Bridge.expression(c)))

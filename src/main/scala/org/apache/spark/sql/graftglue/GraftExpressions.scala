@@ -330,6 +330,31 @@ case class FreqOrderedPrefix(child: Expression, keys: Array[Long],
     copy(child = newChild)
 }
 
+/** Codegen'd FULL frequency order — [[FreqOrderedPrefix]] without the
+  * prefix cut, for the index side of a POSITIONAL prefix filter
+  * (PPJoin, Xiao et al. 2008): the filter needs each element's index
+  * in the same global (count, fp) order on both join sides.
+  */
+case class FreqOrderAll(child: Expression, keys: Array[Long], vals: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "freq_order_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.orderByFreq(input.asInstanceOf[ArrayData], keys, vals)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("fpKeys", keys, "long[]")
+    val valsRef = ctx.addReferenceObj("fpVals", vals, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.orderByFreq($c, $keysRef, $valsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FreqOrderAll =
+    copy(child = newChild)
+}
+
 /** Codegen'd Jaccard of two sorted long-fingerprint sets (linear
   * merge, no intersection/union materialization — measured the
   * dominant cost of candidate verification on clone-heavy corpora).
