@@ -23,15 +23,16 @@ import graft.functions.GraftFunctions
   * bytes), each round one tiny pair-count aggregate + a driver
   * collect of a single row.
   *
-  * Symbol sequences are recomputed per round by applying the merge
-  * chain learned so far to the initial code-point symbols (a codegen'd
-  * kernel; merges ride as codegen reference objects). Re-applying from
-  * scratch is O(rounds² · vocab) symbol work but keeps every round a
-  * pure function of the one persisted word relation — no iterative
-  * lineage growth, no checkpointing, deterministic under any
-  * partitioning. Ties in pair counts break lexicographically, so the
-  * learned table is bit-reproducible (mirrored by
-  * tools/make_expected.py gen_bpe_*).
+  * Symbol sequences are maintained incrementally (each round applies
+  * only its newly accepted merges to the persisted current arrays via
+  * the codegen'd bpeApply kernel, lineage truncated by periodic eager
+  * localCheckpoints), and rounds learn a BATCH of merges whenever the
+  * sorted pair table proves the batch identical to one-merge-per-
+  * recount — see trainDistributed. Total symbol work is O(merges ·
+  * vocab), not O(merges² · vocab), and deep-vocabulary trainings run
+  * hundreds of Spark jobs rather than one per merge. Ties in pair
+  * counts break lexicographically, so the learned table is
+  * bit-reproducible (mirrored by tools/make_expected.py gen_bpe_*).
   */
 object Bpe {
 
@@ -75,32 +76,117 @@ object Bpe {
     * LocalEquivalence is spec-asserted merge-for-merge.
     */
   def trainFromVocab(vocab: DataFrame, nMerges: Int): Seq[Merge] =
-    if (vocab.count() <= localVocabThreshold)
-      trainLocal(vocab.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
-    else trainDistributed(vocab, nMerges)
+    collectIfLocal(vocab) match {
+      case Some(rows) => trainLocal(rows, nMerges)
+      case None => trainDistributed(vocab, nMerges)
+    }
 
-  /** The distributed merge rounds: one vocab-bounded pair-count
-    * aggregate + a 1-row collect per round.
+  /** The collected word-frequency table when it fits the driver, else
+    * None — ONE job either way (a limit-probe of threshold+1 rows
+    * replaces the old count()-then-collect() pair of jobs; which rows
+    * the limit returns when the vocab is over-threshold is irrelevant,
+    * they are discarded).
     */
-  private[graft] def trainDistributed(vocab: DataFrame, nMerges: Int): Seq[Merge] = {
+  private[graft] def collectIfLocal(vocab: DataFrame): Option[Array[(String, Long)]] = {
+    val rows = vocab.limit(localVocabThreshold.toInt + 1).collect()
+    if (rows.length <= localVocabThreshold)
+      Some(rows.map(r => (r.getString(0), r.getLong(1))))
+    else None
+  }
+
+  /** The distributed merge rounds, BATCHED: each round runs one
+    * vocab-bounded pair-count aggregate, collects the top `collectK`
+    * (count desc, pair asc) rows, and accepts a PREFIX of them as this
+    * round's merges — so a real 30 k-merge tokenizer needs hundreds of
+    * Spark jobs, not 30 k sequential ones.
+    *
+    * The accepted prefix is provably identical to running the classic
+    * one-merge-per-recount loop (the tie-break ordering included):
+    *
+    *  - Only a prefix with pairwise-DISJOINT symbols is considered
+    *    (disjoint = no shared left/right symbol and no symbol equal to
+    *    an earlier accepted concatenation): applying earlier accepted
+    *    merges cannot change a disjoint pair's count, and the first
+    *    overlapping row STOPS the prefix — skipping it could hide a
+    *    pair the sequential recount would have picked.
+    *  - Every pair occurrence after applying a set of merges maps to
+    *    the pre-merge boundary pair of its two blocks, so any pair the
+    *    recount could newly surface is bounded by the sum of at most
+    *    two pre-merge pairs that OVERLAP the accepted symbols — both
+    *    ≤ the stopper's count c_ov (sorted order). The prefix is
+    *    therefore truncated to rows with count > 2·c_ov: everything
+    *    kept strictly dominates anything the per-merge recounts could
+    *    produce, ties included.
+    *  - When no stopper appears among the collected rows, the last
+    *    collected count bounds every uncollected row the same way.
+    *
+    * The first row is always safe (it IS the sequential argmax), so a
+    * round learns at least one merge and the loop terminates exactly
+    * as before. Batch-vs-local equivalence is spec-asserted
+    * merge-for-merge on a tie-heavy fixture.
+    */
+  private[graft] def trainDistributed(vocab: DataFrame, nMerges: Int,
+      collectK: Int = 1024): Seq[Merge] = {
     val merges = ArrayBuffer.empty[Merge]
+    // Symbol sequences are maintained INCREMENTALLY: each round applies
+    // only its own accepted merges to the persisted current arrays
+    // (bpeApply is incremental-equivalent to re-applying the full chain,
+    // see its scaladoc), so round r costs O(vocab) symbol work instead
+    // of the O(r·vocab) full-chain recompute — the difference between
+    // O(R·V) and O(R²·V) total at a real 30 k-merge budget. Lineage is
+    // truncated by an eager localCheckpoint every few rounds so the
+    // plan depth stays bounded no matter the merge count.
+    var cur = vocab.select(
+      GraftFunctions.bpeInitSyms(col("word")).as("s"), col("cnt"))
+      .localCheckpoint(true)
+    var sinceCheckpoint = 0
     var done = false
     while (merges.length < nMerges && !done) {
-      val syms = GraftFunctions.bpeApply(
-        GraftFunctions.bpeInitSyms(col("word")),
-        merges.toSeq.map(m => (m.left, m.right)))
-      val top = vocab
-        .select(syms.as("s"), col("cnt"))
+      val top = cur
         .select(explode(arrays_zip(
           slice(col("s"), lit(1), size(col("s")) - 1),
           slice(col("s"), lit(2), size(col("s")) - 1))).as("p"), col("cnt"))
         .select(col("p").getField("0").as("l"), col("p").getField("1").as("r"), col("cnt"))
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(collectK).collect()
       if (top.isEmpty) done = true
-      else merges += Merge(merges.length + 1, top(0).getString(0),
-        top(0).getString(1), top(0).getLong(2))
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = ArrayBuffer.empty[(String, String, Long)]
+        var stopperCnt = -1L
+        var i = 0
+        while (stopperCnt < 0 && i < top.length) {
+          val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used.contains(l) || used.contains(r)) stopperCnt = c
+          else {
+            accepted += ((l, r, c))
+            used += l; used += r; used += (l + r)
+            i += 1
+          }
+        }
+        // no stopper seen but the table may extend past the collect:
+        // bound the unseen rows by the last collected count
+        if (stopperCnt < 0 && top.length == collectK) stopperCnt = top.last.getLong(2)
+        val safe =
+          if (stopperCnt < 0) accepted // whole pair table collected, all disjoint
+          else {
+            val cut = accepted.takeWhile(_._3 > 2L * stopperCnt)
+            if (cut.isEmpty) accepted.take(1) else cut
+          }
+        val batch = safe.take(nMerges - merges.length)
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(merges.length + 1, l, r, c)
+        }
+        cur = cur.select(
+          GraftFunctions.bpeApply(col("s"),
+            batch.toSeq.map(b => (b._1, b._2))).as("s"), col("cnt"))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 8) {
+          cur = cur.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
+      }
     }
     merges.toSeq
   }
@@ -211,12 +297,30 @@ object Bpe {
   def packIds(spark: SparkSession, docs: DataFrame, id: Column, text: Column,
       nMerges: Int, seqLen: Int, bucketSpan: Int = 1024): DataFrame = {
     val vocabRel = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
-    val merges = trainFromVocab(vocabRel, nMerges)
-    val baseSyms = vocabRel
-      .select(explode(GraftFunctions.bpeInitSyms(col("word"))).as("s"))
-      .distinct().collect().map(_.getString(0))
-      .sortWith((a, b) =>
-        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    val localVocab = collectIfLocal(vocabRel)
+    val merges = localVocab match {
+      case Some(rows) => trainLocal(rows, nMerges)
+      case None => trainDistributed(vocabRel, nMerges)
+    }
+    // base symbols: from the already-collected vocab when local (no
+    // extra job), else the distributed distinct — same UTF8String
+    // binary sort either way
+    val baseSyms = (localVocab match {
+      case Some(rows) =>
+        val set = new java.util.HashSet[String]()
+        rows.foreach { case (w, _) =>
+          val a = graft.functions.TextHashes.bpeInitSyms(UTF8String.fromString(w))
+          var i = 0
+          while (i < a.numElements()) { set.add(a.getUTF8String(i).toString); i += 1 }
+        }
+        import scala.jdk.CollectionConverters._
+        set.asScala.toArray
+      case None =>
+        vocabRel
+          .select(explode(GraftFunctions.bpeInitSyms(col("word"))).as("s"))
+          .distinct().collect().map(_.getString(0))
+    }).sortWith((a, b) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
     vocabRel.unpersist()
     val ids = new java.util.HashMap[String, Integer]()
     baseSyms.zipWithIndex.foreach { case (s, i) => ids.put(s, i) }

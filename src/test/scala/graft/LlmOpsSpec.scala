@@ -449,8 +449,23 @@ class LlmOpsSpec extends AnyFunSuite {
     val dist = operators.Bpe.trainDistributed(vocab, nMerges = 10)
     val local = operators.Bpe.trainLocal(
       vocab.collect().map(r => (r.getString(0), r.getLong(1))), nMerges = 10)
-    vocab.unpersist()
     assert(local == dist, s"local $local != distributed $dist")
+    // the batched rounds must stay merge-for-merge identical under a
+    // tiny collect window too (forces the overlap stopper + the
+    // 2·c_ov truncation + many more rounds than the default window)
+    val distTight = operators.Bpe.trainDistributed(vocab, nMerges = 10, collectK = 2)
+    assert(distTight == local, s"collectK=2 $distTight != local $local")
+    vocab.unpersist()
+    // and on the real sf0.001 documents table at a deeper merge budget
+    val docsReal = Tables(spark, sfDir, "documents")
+    val vocabReal = operators.Bpe.wordCounts(docsReal, col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distReal = operators.Bpe.trainDistributed(vocabReal, nMerges = 40)
+    val localReal = operators.Bpe.trainLocal(
+      vocabReal.collect().map(r => (r.getString(0), r.getLong(1))), nMerges = 40)
+    vocabReal.unpersist()
+    assert(distReal == localReal,
+      s"sf0.001 batched-distributed != local:\n$distReal\n$localReal")
   }
 
   test("bpe packIds: conservation, fixed length, doc-order stream, bucket-invariant") {
