@@ -13,12 +13,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ SqlSurfaceC.queries ++
-      EngineOps.queries ++ LlmOps.queries ++ EventsOps.queries ++ RagOps.queries
+      EngineOps.queries ++ LlmOps.queries ++ EventsOps.queries ++ RagOps.queries ++
+      SqlKernels.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ SqlSurfaceC.oracles ++
-      EngineOps.oracles ++ LlmOps.oracles ++ EventsOps.oracles ++ RagOps.oracles
+      EngineOps.oracles ++ LlmOps.oracles ++ EventsOps.oracles ++ RagOps.oracles ++
+      SqlKernels.oracles
 }

@@ -794,14 +794,89 @@ object GraftFunctions {
     Bridge.column(org.apache.spark.sql.graftglue.TopKAgg(
       Bridge.expression(score), Bridge.expression(id), k).toAggregateExpression())
 
-  /** Make `fnv1a64(...)` / `simhash64(...)` usable from SQL text. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    def unary(name: String, f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(
-        es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
-      require(es.length == 1, s"$name expects exactly 1 argument, got ${es.length}")
-      f(es.head)
+  /** The SQL-exposed kernel surface: (name, usage, builder) for every
+    * graft function a /fetch user can call from SQL text. One table
+    * drives BOTH registration paths — [[register]] (runtime, temp
+    * functions) and [[graft.GraftExtensions]] (config-only,
+    * spark.sql.extensions) — so the two surfaces can't drift.
+    *
+    * Literal parameters (k, dim, num…) are validated here at analysis
+    * time: non-literal or out-of-range values raise AnalysisException
+    * with the standard error classes, never an execution-time
+    * ArithmeticException.
+    */
+  lazy val sqlBuilders: Seq[(String, String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
+      if (es.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+    def intLit(fn: String, param: String, min: Int)(e: Expression): Int = e match {
+      case Literal(v: Int, _) if v >= min => v
+      case Literal(v, _) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> param, "functionName" -> fn,
+            "invalidValue" -> s"$v ($param must be >= $min)"))
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> fn, "paramName" -> param,
+            "paramType" -> s"INT literal >= $min"))
     }
-    Bridge.registerFunction(spark, "fnv1a64", unary("fnv1a64", Fnv1a64.apply))
-    Bridge.registerFunction(spark, "simhash64", unary("simhash64", SimHash64.apply))
+    Seq(
+      ("fnv1a64", "fnv1a64(str) - 64-bit FNV-1a fingerprint of a string",
+        es => { arity("fnv1a64", 1)(es); Fnv1a64(es.head) }),
+      ("simhash64", "simhash64(str) - 64-bit token-level SimHash of a string",
+        es => { arity("simhash64", 1)(es); SimHash64(es.head) }),
+      ("char_entropy", "char_entropy(str) - code-point Shannon entropy (nats)",
+        es => { arity("char_entropy", 1)(es); CharEntropy(es.head) }),
+      ("hash_embed", "hash_embed(str, dim) - feature-hashing bag-of-words float vector",
+        es => { arity("hash_embed", 2)(es)
+          HashEmbed(es.head, intLit("hash_embed", "dim", 1)(es(1))) }),
+      ("shingles", "shingles(str, k) - distinct word-k-shingles of a string",
+        es => { arity("shingles", 2)(es)
+          Shingles(es.head, intLit("shingles", "k", 1)(es(1))) }),
+      ("minhash_sig", "minhash_sig(arr, num) - num-hash MinHash signature of a string array",
+        es => { arity("minhash_sig", 2)(es)
+          MinHashSig(es.head, intLit("minhash_sig", "num", 1)(es(1))) }),
+      ("char_windows", "char_windows(str, l) - positional char-L-window rolling hashes",
+        es => { arity("char_windows", 2)(es)
+          CharWindows(es.head, intLit("char_windows", "l", 1)(es(1))) }),
+      ("vec_dot", "vec_dot(a, b) - dot product of two float vectors (double accumulation)",
+        es => { arity("vec_dot", 2)(es); VecDot(es.head, es(1)) }),
+      ("vec_norm", "vec_norm(a) - L2 norm of a float vector (double accumulation)",
+        es => { arity("vec_norm", 1)(es); VecNorm(es.head) }),
+      ("jaccard_sorted_fp",
+        "jaccard_sorted_fp(a, b) - Jaccard of two sorted long-fingerprint sets",
+        es => { arity("jaccard_sorted_fp", 2)(es); JaccardSortedFp(es.head, es(1)) }),
+      ("common_sorted_fp",
+        "common_sorted_fp(a, b) - intersection size of two sorted long-fingerprint sets",
+        es => { arity("common_sorted_fp", 2)(es); CommonSortedFp(es.head, es(1)) }),
+      ("topk_agg",
+        "topk_agg(score, id, k) - AGGREGATE: bounded-heap top-k array<struct<score,id>>, (score desc, id asc)",
+        es => { arity("topk_agg", 3)(es)
+          org.apache.spark.sql.graftglue.TopKAgg(es.head, es(1),
+            intLit("topk_agg", "k", 1)(es(2))) }),
+      ("spacesaving_topk",
+        "spacesaving_topk(item, k, capacity) - AGGREGATE: SpaceSaving heavy hitters array<struct<item,cnt>>",
+        es => { arity("spacesaving_topk", 3)(es)
+          val k = intLit("spacesaving_topk", "k", 1)(es(1))
+          org.apache.spark.sql.graftglue.SpaceSavingTopK(es.head, k,
+            intLit("spacesaving_topk", "capacity", k)(es(2))) }),
+    )
   }
+
+  /** Make the full kernel surface usable from SQL text at runtime
+    * (temp functions on this session; the config-only equivalent is
+    * spark.sql.extensions=graft.GraftExtensions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, _, b) =>
+      Bridge.registerFunction(spark, name, b)
+    }
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-surface end-to-end queries: every statement here is EXECUTED AS
+  * SQL TEXT over the registered kernel functions — the exact path a
+  * reference /fetch user takes (`controllers.rs` POST /fetch runs raw
+  * SQL; these prove the graft kernel surface is reachable from that
+  * contract, not only from the DataFrame API). The sessions register
+  * via GraftFunctions.register — the same builder table a
+  * spark.sql.extensions=graft.GraftExtensions deployment injects.
+  *
+  * Each query is DuckDB-oracle-gated: topk_agg against a window
+  * ranking, spacesaving_topk (capacity ≥ distinct items ⇒ exact)
+  * against a group-count, and the shingle→fnv1a64→jaccard_sorted_fp
+  * chain against the string-level all-pairs Jaccard.
+  */
+object SqlKernels {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(sql)
+  }
+
+  /** Bounded-heap top-k as a SQL aggregate: 5 longest docs per source.
+    * The plan is one partial-aggregated exchange of k-row heaps per
+    * source — the scale shape of every “top N per group” a /fetch user
+    * writes (no per-group sort, no global window).
+    */
+  def sql_topk_agg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """SELECT source, CAST(pos + 1 AS BIGINT) AS rank, t.id AS doc_id, t.score AS score
+        |FROM (SELECT source, topk_agg(CAST(n_chars AS DOUBLE), doc_id, 5) AS top
+        |      FROM documents GROUP BY source) g
+        |LATERAL VIEW posexplode(g.top) pe AS pos, t
+        |ORDER BY source, rank""".stripMargin)
+
+  /** SpaceSaving heavy hitters as a SQL aggregate — run with capacity
+    * ≥ the corpus's distinct word count, where the sketch is EXACT, so
+    * the DuckDB group-count oracle is a hard gate (the same aggregate
+    * backs text_heavy_hitters at sketch capacities).
+    */
+  def sql_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """SELECT t.item AS word, t.cnt AS cnt
+        |FROM (SELECT spacesaving_topk(w, 10, 65536) AS top
+        |      FROM (SELECT explode(split(rtrim(text), ' ')) AS w FROM documents) x) g
+        |LATERAL VIEW explode(g.top) e AS t
+        |ORDER BY cnt DESC, word""".stripMargin)
+
+  /** The dedup kernel chain straight from SQL text: shingle →
+    * fingerprint → co-shingle candidate equi-join → sorted-set Jaccard
+    * ≥ 0.5. Pairs sharing no shingle have J = 0 and can't pass a
+    * positive threshold, so the equi-join blocking is exact — no
+    * cartesian anywhere, every exchange keyed (fp, then doc ids), the
+    * same shape a /fetch user needs for near-dup SQL at scale.
+    */
+  def sql_shingle_jaccard(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """WITH f AS (
+        |  SELECT doc_id, array_sort(transform(shingles(text, 3), s -> fnv1a64(s))) AS fps
+        |  FROM documents),
+        |ex AS (SELECT doc_id, explode(fps) AS g FROM f),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(jaccard_sorted_fp(fa.fps, fb.fps), 4) AS jaccard
+        |FROM cand JOIN f fa ON fa.doc_id = cand.doc_a
+        |          JOIN f fb ON fb.doc_id = cand.doc_b
+        |WHERE jaccard_sorted_fp(fa.fps, fb.fps) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "sql_topk_agg" -> (sql_topk_agg _),
+    "sql_heavy_hitters" -> (sql_heavy_hitters _),
+    "sql_shingle_jaccard" -> (sql_shingle_jaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "sql_topk_agg" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars::double AS score,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, rank, doc_id, score FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "sql_heavy_hitters" ->
+      """SELECT w AS word, count(*)::bigint AS cnt
+        |FROM (SELECT unnest(string_split(rtrim(text), ' ')) AS w FROM documents) x
+        |GROUP BY w ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    "sql_shingle_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(rtrim(text), ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS s
+        |  FROM d),
+        |_sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |_ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |_in AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM _ex a JOIN _ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, i::double / (sa.n + sb.n - i) AS j
+        |  FROM _in JOIN _sz sa ON sa.doc_id = doc_a JOIN _sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

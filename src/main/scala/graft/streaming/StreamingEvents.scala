@@ -154,11 +154,12 @@ object StreamingEvents {
     */
   def runSessionize(spark: SparkSession, events: DataFrame,
       gapUs: Long = 86400000000L, batches: Int = 3,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None,
+      arrivalSalt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val us = gapUs
     val prepared = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    drain(spark, prepared, batches, "ts_us", "sessionize-stream") { stream =>
+    drain(spark, prepared, batches, "ts_us", "sessionize-stream", arrivalSalt) { stream =>
       stream.as[(Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -215,11 +216,12 @@ object StreamingEvents {
     */
   def runPaths(spark: SparkSession, events: DataFrame,
       k: Int = 20, batches: Int = 3,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None,
+      arrivalSalt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("user_id"),
       unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
-    val drained = drain(spark, prepared, batches, "tsu", "paths") { stream =>
+    val drained = drain(spark, prepared, batches, "tsu", "paths", arrivalSalt) { stream =>
       stream.as[(Long, Long, Long, String)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -277,11 +279,12 @@ object StreamingEvents {
     */
   def runAnomaly(spark: SparkSession, events: DataFrame,
       threshold: Double = 2.0, batches: Int = 3,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None,
+      arrivalSalt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("event_type"),
       date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
-    drain(spark, prepared, batches, "hour", "anomaly-stream") { stream =>
+    drain(spark, prepared, batches, "hour", "anomaly-stream", arrivalSalt) { stream =>
       stream.as[(String, String)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -316,13 +319,23 @@ object StreamingEvents {
 
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
+    *
+    * `arrivalSalt`: when set, batches are cut by a seeded hash of the
+    * range column instead of its value — every micro-batch then holds a
+    * pseudo-random slice of the timeline, i.e. a maximally late-heavy
+    * adversarial arrival order. The changelog operators must drain to
+    * the same table regardless; StreamingAdversarialSpec asserts it
+    * across seeds.
     */
   private[streaming] def drain(spark: SparkSession, prepared: DataFrame, batches: Int,
-      rangeCol: String, sinkPrefix: String)(
+      rangeCol: String, sinkPrefix: String, arrivalSalt: Option[Long] = None)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$sinkPrefix")
     dir.toFile.deleteOnExit()
-    prepared.repartitionByRange(batches, col(rangeCol))
+    val batchKey = arrivalSalt
+      .map(s => pmod(xxhash64(col(rangeCol).cast("string"), lit(s)), lit(batches * 4)))
+      .getOrElse(col(rangeCol))
+    prepared.repartitionByRange(batches, batchKey)
       .write.mode("overwrite").parquet(dir.toString)
     val stream = spark.readStream
       .schema(prepared.schema)
@@ -439,7 +452,8 @@ object StreamingEvents {
     */
   def runFunnel(spark: SparkSession, events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase"),
-      batches: Int = 3, stateTtl: Option[String] = None): DataFrame = {
+      batches: Int = 3, stateTtl: Option[String] = None,
+      arrivalSalt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val stageIdx = stages.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
@@ -448,7 +462,7 @@ object StreamingEvents {
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), stageIdx.as("stage_idx"),
         unix_micros(col("ts")).as("ts_us"))
-    drain(spark, prepared, batches, "ts_us", "funnel-stream") { stream =>
+    drain(spark, prepared, batches, "ts_us", "funnel-stream", arrivalSalt) { stream =>
       stream.as[(Long, Int, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -466,12 +480,13 @@ object StreamingEvents {
     */
   def runRetention(spark: SparkSession, events: DataFrame,
       anchor: String = "signup", maxWeeks: Int = 4, batches: Int = 3,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None,
+      arrivalSalt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val prepared = events.select(col("user_id"),
       floor(unix_timestamp(col("ts")) / lit(7L * 24 * 3600)).cast("long").as("week"),
       (col("event_type") === anchor).as("is_anchor"))
-    drain(spark, prepared, batches, "week", "retention-stream") { stream =>
+    drain(spark, prepared, batches, "week", "retention-stream", arrivalSalt) { stream =>
       stream.as[(Long, Long, Boolean)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(

@@ -48,6 +48,38 @@ class ExtensionsSpec extends AnyFunSuite {
         }
         assert(e.getMessage.contains("hash_embed"), s"dim=$bad: ${e.getMessage}")
       }
+      // the full kernel surface from SQL text, one probe per function
+      val k = s.sql(
+        """SELECT shingles('a b c d', 3) AS sh,
+          |  minhash_sig(array('x', 'y'), 4) AS mh,
+          |  char_windows('abcdef', 3) AS cw,
+          |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS vd,
+          |  vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS vn,
+          |  jaccard_sorted_fp(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+          |  common_sorted_fp(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS c""".stripMargin).head()
+      assert(k.getSeq[String](0) == Seq("a b c", "b c d"))
+      assert(k.getSeq[Long](1).length == 4)
+      assert(k.getSeq[Long](2).length == 4) // 6 chars, L=3 -> 4 windows
+      assert(k.getDouble(3) == 11.0)
+      assert(k.getDouble(4) == 5.0)
+      assert(math.abs(k.getDouble(5) - 0.5) < 1e-15)
+      assert(k.getInt(6) == 2 || k.getLong(6) == 2L)
+      // the two aggregates from SQL text
+      val agg = s.sql(
+        """SELECT topk_agg(CAST(v AS DOUBLE), id, 2) AS top,
+          |       spacesaving_topk(w, 2, 16) AS hh
+          |FROM VALUES (1L, 10, 'a'), (2L, 30, 'b'), (3L, 20, 'b') AS t(id, v, w)""".stripMargin)
+        .head()
+      val top = agg.getSeq[org.apache.spark.sql.Row](0)
+      assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((30.0, 2L), (20.0, 3L)))
+      val hh = agg.getSeq[org.apache.spark.sql.Row](1)
+      assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("b", 2L), ("a", 1L)))
+      // literal validation applies across the surface, not just hash_embed
+      val bad = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT shingles('a b', 0)").head()
+      }
+      assert(bad.getMessage.contains("shingles"))
     } finally {
       // do not stop: the SparkContext is shared with the suite session
       s.catalog.clearCache()

@@ -12,7 +12,13 @@ Pure pyarrow so physical parquet types are preserved exactly —
 events.ts must stay TIMESTAMP(NANOS) for graft.Tables' nanosAsLong
 path.
 
-Usage: python3 tools/make_sf_derived.py <srcDir> <dstDir> <copies>
+Usage: python3 tools/make_sf_derived.py <srcDir> <dstDir> <copies> [hotFrac]
+
+`hotFrac` (e.g. 0.2) deterministically reassigns that fraction of all
+EVENT rows (event_id % round(1/hotFrac) == 0) to one hot user
+(user_id 4242424242): a single key carrying ~hotFrac of the events
+table, so AQE skew handling has to fire inside the real
+sessionize/paths/funnel pipelines, not just a planted-join spec.
 """
 import os
 import sys
@@ -37,7 +43,10 @@ SHIFTS = {
 }
 
 
-def derive(src, dst, copies):
+HOT_USER = 4_242_424_242
+
+
+def derive(src, dst, copies, hot_frac=0.0):
     os.makedirs(dst, exist_ok=True)
     for table, shifts in SHIFTS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
@@ -59,9 +68,26 @@ def derive(src, dst, copies):
                 tt = tt.set_column(idx, tt.schema.field("text"), mutated)
             parts.append(tt)
         out = pa.concat_tables(parts)
+        if table == "events" and hot_frac > 0:
+            mod = max(2, round(1.0 / hot_frac))
+            uidx = out.schema.get_field_index("user_id")
+            utype = out.schema.field("user_id").type
+            is_hot = pc.equal(
+                pc.subtract(out.column("event_id"),
+                            pc.multiply(pc.divide(out.column("event_id"),
+                                                  pa.scalar(mod, pa.int64())),
+                                        pa.scalar(mod, pa.int64()))),
+                pa.scalar(0, pa.int64()))
+            hot_users = pc.if_else(is_hot, pa.scalar(HOT_USER, utype),
+                                   out.column("user_id").combine_chunks())
+            out = out.set_column(uidx, out.schema.field("user_id"), hot_users)
+            n_hot = pc.sum(pc.cast(is_hot, pa.int64())).as_py()
+            print(f"events: hot user {HOT_USER} takes {n_hot} rows "
+                  f"(~{n_hot / out.num_rows:.0%})")
         pq.write_table(out, f"{dst}/{table}.parquet")
         print(f"{table}: {out.num_rows} rows ({copies}x)")
 
 
 if __name__ == "__main__":
-    derive(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    hot = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    derive(sys.argv[1], sys.argv[2], int(sys.argv[3]), hot)
