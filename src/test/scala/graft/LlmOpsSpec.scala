@@ -128,6 +128,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("combination banding emits exactly the brute-force hamming pairs") {
+    // Real corpus signatures (hot correlated buckets included): the
+    // banded pair set must equal the all-pairs hamming result — recall
+    // by pigeonhole over the block combinations, uniqueness by the
+    // lowest-flip-free-combination rule — at every table layout the
+    // maxHamming range selects (b=h+3 combos through the h>5 b=h+1
+    // single-block fallback).
+    val sigRel = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("_sig"))
+    val sigs = sigRel.collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (mh <- Seq(0, 2, 3, 5, 7)) {
+      val want = (for {
+        (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= mh
+      } yield (ida, idb, h)).toSet
+      val got = Dedup.hammingBandPairs(sigRel, mh).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"maxHamming=$mh missed=${want -- got} extra=${got -- want}")
+      if (mh == 3) assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    }
+  }
+
   test("bounded-heap top-k aggregate matches the window row_number formulation exactly") {
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 16)
