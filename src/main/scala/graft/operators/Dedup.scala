@@ -205,22 +205,31 @@ object Dedup {
     * Two levers tune it: b − maxHamming blocks per key (key width ⇒
     * selectivity) and C(b, b−maxHamming) tables (row multiplication):
     * b = maxHamming + 3 gives (h+3 choose 3) tables — 20 at the
-    * default h = 3 — so the signature relation fans out 20×24 B rows
-    * per doc, still orders of magnitude under any corpus payload. For
-    * h > 5 the table count would blow up, so fall back to minimal
-    * b = h + 1 single-block keys (h+1 tables, the generalized chunk
-    * scheme, still recall-complete).
+    * default h = 3 — so the distinct-signature relation fans out
+    * 20×24 B rows per signature, still orders of magnitude under any
+    * corpus payload. For h > 5 the table count would blow up, so fall
+    * back to minimal b = h + 1 single-block keys (h+1 tables, the
+    * generalized chunk scheme, still recall-complete).
     *
     * Blocks take INTERLEAVED bit positions (block i = bits ≡ i mod b):
     * simhash bit skew is position-correlated (neighboring-feature
     * weights), so contiguous blocks concentrate low-entropy bits into
     * the same key while interleaving mixes every key's entropy.
     *
-    * Each pair is still emitted exactly once with zero pair-set
-    * shuffle: both signatures ride the bucket join, and only the row
-    * whose table index is the pair's LOWEST flip-free combination
-    * survives — the same-stage generalization of the round-3
-    * lowest-matching-chunk rule.
+    * Banding runs over DISTINCT signatures only. Exact clones —
+    * simhash is flip-resistant, so replica families routinely share
+    * one signature, and re-encoded media share one aHash — would
+    * otherwise meet in EVERY table (a clone group of g docs costs
+    * 20·C(g,2) bucket-join rows; measured 14 → 158 s on the
+    * clone-heavy 125 k-media corpus when the 20-table layout ran
+    * doc-level). Instead hamming-0 pairs come from an equality
+    * self-join on the full signature (output-bound, no fanout), the
+    * bucket join matches signature VALUES — each distinct pair once,
+    * via its LOWEST flip-free combination, no pair-set shuffle — and
+    * member expansion joins the ≤h-hamming signature pairs back to
+    * doc ids. Every exchange carries 8-byte sigs / ids; banding cost
+    * scales with distinct signatures, not corpus rows — the dup-denser
+    * the corpus, the bigger the collapse.
     */
   private[graft] def hammingBandPairs(sigRel: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
@@ -240,13 +249,22 @@ object Dedup {
         (acc.bitwiseOR(shiftleft(blocks(i), off)), off + blockBits(i).size)
       }._1
 
+    val members = sigRel.select(col("doc_id"), col("_sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // hamming-0 arm: clone groups pair off on the full 64-bit value
+    val equalPairs = members.select(col("_sig"), col("doc_id").as("doc_a"))
+      .join(members.select(col("_sig"), col("doc_id").as("doc_b")), Seq("_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+
     val blockCols = (0 until b).map(i => blockOf(col("_sig"), i))
-    val sigs = sigRel
-      .select(col("doc_id"), col("_sig"),
+    val sigs = members.select(col("_sig")).distinct()
+      .select(col("_sig"),
         explode(array(combos.zipWithIndex.map { case (combo, t) =>
           struct(lit(t).as("t"), packKey(blockCols, combo).as("k"))
         }: _*)).as("tk"))
-      .select(col("doc_id"), col("_sig"), col("tk.t"), col("tk.k"))
+      .select(col("_sig"), col("tk.t"), col("tk.k"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // lowest combination of _x-flip-free blocks; total for any pair
@@ -258,15 +276,26 @@ object Dedup {
       when(combo.map(xBlockFree).reduce(_ && _), t).otherwise(els)
     }
 
-    sigs.select(col("t"), col("k"), col("doc_id").as("doc_a"), col("_sig").as("_sig_a"))
-      .join(sigs.select(col("t"), col("k"), col("doc_id").as("doc_b"), col("_sig").as("_sig_b")),
+    // distinct signature pairs within hamming ≤ h (≥ 1 by distinctness)
+    val sigPairs = sigs.select(col("t"), col("k"), col("_sig").as("_sig_a"))
+      .join(sigs.select(col("t"), col("k"), col("_sig").as("_sig_b")),
         Seq("t", "k"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("_sig_a") < col("_sig_b"))
       .withColumn("_x", col("_sig_a").bitwiseXOR(col("_sig_b")))
       .withColumn("hamming", bit_count(col("_x")))
       .filter(col("hamming") <= maxHamming)
       .filter(col("t") === lowestCombo)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("_sig_a"), col("_sig_b"), col("hamming"))
+
+    // member expansion: each doc belongs to exactly one signature and
+    // the sig pair is ordered, so every doc pair surfaces exactly once
+    val crossPairs = sigPairs
+      .join(members.select(col("_sig").as("_sig_a"), col("doc_id").as("_id_a")), Seq("_sig_a"))
+      .join(members.select(col("_sig").as("_sig_b"), col("doc_id").as("_id_b")), Seq("_sig_b"))
+      .select(least(col("_id_a"), col("_id_b")).as("doc_a"),
+        greatest(col("_id_a"), col("_id_b")).as("doc_b"), col("hamming"))
+
+    equalPairs.unionByName(crossPairs)
   }
 
   /** EXACT n-gram Jaccard via prefix filtering (the AllPairs/PPJoin

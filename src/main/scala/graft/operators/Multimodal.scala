@@ -172,10 +172,11 @@ object Multimodal {
   /** Perceptual-hash near-dup pairs over the media column: per-
     * partition downsample+hash (mapPartitions — a real decoder
     * amortizes codec setup per batch), then EXACTLY the simhash
-    * hamming-band machinery: candidates share one of 4 16-bit chunks
-    * (pigeonhole-complete for hamming ≤ 3), each pair emitted once via
-    * its lowest matching chunk, no pair-set shuffle. 100 TB shape: the
-    * only relation past the scan is (doc_id, 8-byte sig).
+    * combination-banding machinery ([[Dedup.hammingBandPairs]]):
+    * pigeonhole-exact recall at the requested hamming, clone groups
+    * (re-encodes collapsing to one aHash) pair off on the full value
+    * instead of meeting in every band table. 100 TB shape: the only
+    * relation past the scan is (doc_id, 8-byte sig).
     */
   def phashDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
