@@ -81,6 +81,120 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** 128-bit fingerprint of each document's DISTINCT k-shingle set.
+    * Docs with identical sets are interchangeable for every set-based
+    * similarity in this file — Jaccard, containment, and the minhash
+    * signature are all pure functions of the set — so
+    * [[collapsedPairs]] runs the pair machinery once per distinct set
+    * and recovers member pairs by expansion.
+    *
+    * Returns (members, repIds): members = one (doc_id, _k1, _k2) row
+    * per doc with a non-empty shingle set (24 B/doc, persisted — it
+    * seats the intra self-join and both expansion joins); repIds = the
+    * minimum doc id per distinct set, carrying the set key. Two
+    * independent xxhash64 passes over the sorted fingerprint array
+    * make the collision probability 2⁻¹²⁸-per-pair — below the
+    * already-accepted per-shingle fnv1a64 fingerprint tolerance.
+    * Empty shingle sets are dropped on both sides: they produce no
+    * blocking keys in any machinery and verify to 0/NaN scores, so
+    * they never appear in the doc-level output either.
+    */
+  private[graft] def setGroups(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val fps = array_sort(transform(col("_shingles"), s => GraftFunctions.fnv1a64(s)))
+    val members = shingled(docs, k)
+      .select(col("doc_id"), fps.as("_fps"))
+      .filter(size(col("_fps")) > 0)
+      .select(col("doc_id"),
+        xxhash64(col("_fps")).as("_k1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("_fps")).as("_k2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repIds = members.groupBy(col("_k1"), col("_k2"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    (members, repIds)
+  }
+
+  /** Clone-collapse harness shared by [[minhashLsh]], [[ngramJaccard]]
+    * and [[containment]]: `core` runs over ONE representative doc per
+    * distinct shingle set; identical-set pairs (score exactly 1.0 —
+    * J = C = 1 iff the sets are equal) come from an output-bound
+    * self-join on the set key, and cross-set rep pairs expand back to
+    * member pairs through the group membership (each unordered pair
+    * surfaces exactly once: groups are disjoint and the rep pair is
+    * unique per group pair).
+    *
+    * Why: near-dup corpora are exactly the corpora where whole clone
+    * families share one shingle set (simhash's distinct-signature
+    * collapse, measured 158 → 6.5 s on a clone-heavy 125 k corpus, is
+    * the same effect one level down). Candidate generation, frequency
+    * histograms and the verify then scale with DISTINCT sets, while
+    * clone mass costs only its inherent output. The overhead on a
+    * clone-LIGHT corpus would be the 24 B/doc key pass plus ~8 extra
+    * (broadcast-tiny but stage-count-real) joins — measured ~2× wall
+    * on the sf0.1 exclusive bench where per-query fixed costs
+    * dominate — so the collapse is DENSITY-ADAPTIVE: a ⅛-sample
+    * approx-distinct probe decides, and corpora with <5% sampled set
+    * duplication keep the doc-level plan byte-for-byte (same output
+    * either way; the switch only picks the cheaper identical-result
+    * plan, the same contract as resolveComponents' union-find guard).
+    */
+  private val CollapseDensity = 0.95
+
+  private def collapsedPairs(docs: DataFrame, k: Int, threshold: Double,
+      scoreName: String, aCol: String, bCol: String, directional: Boolean,
+      maxGroup: Option[Int] = None)(
+      core: DataFrame => DataFrame): DataFrame = {
+    // Density probe: a deterministic ⅛ doc sample, keyed and counted
+    // approximately in ONE small job (HLL++ on the 64-bit set hash).
+    // Both plans produce identical output — the probe only picks the
+    // cheaper one — so approximation and sampling bias are harmless:
+    // sampling splits small clone groups and so UNDER-estimates dup
+    // density, which only ever errs toward the doc-level plan that is
+    // the right call at low density anyway. The probe shingles ⅛ of
+    // the docs and materializes nothing, so the clone-light overhead
+    // is one sub-scan instead of a full keyed corpus pass.
+    val fps = array_sort(transform(
+      GraftFunctions.shingles(col("text"), k), s => GraftFunctions.fnv1a64(s)))
+    val probe = docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(8)) === 0)
+      .select(xxhash64(fps).as("_pk"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("_pk")).as("s"))
+      .head()
+    if (probe.getLong(1) > CollapseDensity * probe.getLong(0)) return core(docs)
+    val (allMembers, allRepIds) = setGroups(docs, k)
+    // `maxGroup` is [[minhashLsh]]'s maxBucket guard carried to the
+    // collapse level: a clone family of g docs IS the degenerate
+    // bucket the cap exists for (pre-collapse it flooded every band
+    // bucket past the cap, silencing the family entirely), so groups
+    // above the cap are dropped wholesale — no intra pairs, not in
+    // the rep machinery.
+    val (members, repIds) = maxGroup match {
+      case Some(cap) =>
+        val keptKeys = allMembers.groupBy(col("_k1"), col("_k2"))
+          .agg(count(lit(1)).as("_gn"))
+          .filter(col("_gn") <= cap)
+          .drop("_gn")
+        (allMembers.join(keptKeys, Seq("_k1", "_k2")),
+          allRepIds.join(keptKeys, Seq("_k1", "_k2")))
+      case None => (allMembers, allRepIds)
+    }
+    val repDocs = docs.join(repIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val intra = members.select(col("_k1"), col("_k2"), col("doc_id").as(aCol))
+      .join(members.select(col("_k1"), col("_k2"), col("doc_id").as(bCol)), Seq("_k1", "_k2"))
+      .filter(if (directional) col(aCol) =!= col(bCol) else col(aCol) < col(bCol))
+      .select(col(aCol), col(bCol), lit(1.0).as(scoreName))
+      .filter(lit(1.0) >= lit(threshold))
+    val cross = core(repDocs)
+      .join(repIds.select(col("doc_id").as(aCol), col("_k1").as("_ka1"), col("_k2").as("_ka2")), Seq(aCol))
+      .join(repIds.select(col("doc_id").as(bCol), col("_k1").as("_kb1"), col("_k2").as("_kb2")), Seq(bCol))
+      .join(members.select(col("_k1").as("_ka1"), col("_k2").as("_ka2"), col("doc_id").as("_ida")), Seq("_ka1", "_ka2"))
+      .join(members.select(col("_k1").as("_kb1"), col("_k2").as("_kb2"), col("doc_id").as("_idb")), Seq("_kb1", "_kb2"))
+      .select(
+        (if (directional) col("_ida") else least(col("_ida"), col("_idb"))).as(aCol),
+        (if (directional) col("_idb") else greatest(col("_ida"), col("_idb"))).as(bCol),
+        col(scoreName))
+    intra.unionByName(cross)
+  }
+
   /** (doc_id, band, bucket) LSH banding projection — shared by the
     * batch and streaming dedup paths: the stream/batch equivalence
     * oracle (dedup_stream_minhash ≡ dedup_minhash_lsh) depends on both
@@ -132,6 +246,18 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: k-shingles → `bands`×`rowsPerBand`
     * signature → per-band bucket join → candidate pairs → exact
     * Jaccard verify ≥ `threshold`.
+    *
+    * Runs clone-collapsed ([[collapsedPairs]]): identical shingle sets
+    * produce identical signatures, so a clone family would otherwise
+    * meet in EVERY band (bands·C(g,2) candidate rows + g² verify
+    * fetches for output that is known to be 1.0); pair-for-pair the
+    * output is unchanged because a cross-set pair's signatures — and
+    * hence its band collisions and verified Jaccard — are exactly its
+    * reps'. `maxBucket` applies at BOTH levels: clone families above
+    * the cap are dropped wholesale (pre-collapse they flooded every
+    * band bucket past the cap, silencing the family — the same
+    * templated-boilerplate guard), and banding buckets of distinct
+    * sets above the cap are dropped as before.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -139,12 +265,14 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = bandBuckets(docs, k, bands, rowsPerBand)
-    verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket), docs, k)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      maxBucket: Option[Int] = None): DataFrame =
+    collapsedPairs(docs, k, threshold, "jaccard", "doc_a", "doc_b",
+      directional = false, maxGroup = maxBucket) { reps =>
+      val sigs = bandBuckets(reps, k, bands, rowsPerBand)
+      verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket), reps, k)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
 
   /** Cross-corpus near-dup detection: an INCOMING batch against the
     * EXISTING training corpus — the incremental-ingestion op ("is this
@@ -339,7 +467,17 @@ object Dedup {
     * is the default.
     */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
-      freqSampleRate: Double = 1.0, histLimit: Int = 1 << 20): DataFrame = {
+      freqSampleRate: Double = 1.0, histLimit: Int = 1 << 20): DataFrame =
+    collapsedPairs(docs, k, threshold, "jaccard", "doc_a", "doc_b", directional = false)(
+      ngramJaccardDistinct(_, k, threshold, freqSampleRate, histLimit))
+
+  /** [[ngramJaccard]]'s machinery over a distinct-set corpus (one rep
+    * per shingle set — the frequency histogram likewise counts each
+    * distinct set once, which is the pruning-relevant statistic; any
+    * order keeps recall exactly 1, see above).
+    */
+  private def ngramJaccardDistinct(docs: DataFrame, k: Int, threshold: Double,
+      freqSampleRate: Double, histLimit: Int): DataFrame = {
     val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping — and the Jaccard
     // verify itself (see verifyJaccard) — runs on the 64-bit shingle
@@ -400,7 +538,17 @@ object Dedup {
     * |src|.
     */
   def containment(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
-      histLimit: Int = 1 << 20): DataFrame = {
+      histLimit: Int = 1 << 20): DataFrame =
+    collapsedPairs(docs, k, threshold, "containment", "doc_src", "doc_dst",
+      directional = true)(containmentDistinct(_, k, threshold, histLimit))
+
+  /** [[containment]]'s machinery over a distinct-set corpus. The
+    * directional expansion preserves the rep pair's orientation (C is
+    * asymmetric); identical-set members get BOTH directions at 1.0
+    * from the intra arm, exactly as the doc-level machinery emitted.
+    */
+  private def containmentDistinct(docs: DataFrame, k: Int, threshold: Double,
+      histLimit: Int): DataFrame = {
     val sh = shingled(docs, k)
     val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))

@@ -151,6 +151,77 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clone-collapsed set-similarity ops equal doc-level semantics on a clone-dense corpus") {
+    // Clone-dense corpus: fixture docs plus exact clones at shifted
+    // ids — every set group has 3 members (dense enough that the ⅛
+    // density probe reliably picks the collapse plan), so the intra
+    // arm, the rep machinery and the member expansion all carry
+    // weight.
+    val base = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + lit(200000L)).as("doc_id"), col("text")))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = corpus.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+
+    // exact ngram jaccard: brute-force all-pairs ground truth
+    val wantJ = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.7
+    } yield (a, b, r4(j))).toSet
+    val gotJ = Dedup.ngramJaccard(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wantJ.exists(_._3 == 1.0) && wantJ.exists(_._3 < 1.0),
+      "fixture must exercise both the intra arm and the expansion")
+    assert(gotJ == wantJ,
+      s"ngram missed=${(wantJ -- gotJ).take(5)} extra=${(gotJ -- wantJ).take(5)}")
+
+    // directional containment: brute-force ordered-pairs ground truth
+    val wantC = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b, r4(c))).toSet
+    val gotC = Dedup.containment(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotC == wantC,
+      s"containment missed=${(wantC -- gotC).take(5)} extra=${(gotC -- wantC).take(5)}")
+
+    // minhash-LSH: must equal the DOC-level banding formulation
+    // (probabilistic recall, so the reference is the pre-collapse
+    // shape run literally, not brute force)
+    val bb = Dedup.bandBuckets(corpus, 3, 16, 4)
+    val cands = bb.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val wantM = Dedup.verifyJaccard(cands, corpus, 3)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotM = Dedup.minhashLsh(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotM == wantM,
+      s"minhash missed=${(wantM -- gotM).take(5)} extra=${(gotM -- wantM).take(5)}")
+
+    // The density probe must actually pick the collapse plan here and
+    // the doc-level plan on the clone-light fixture — the equalities
+    // above hold on either path, so the plan shape (collapse = intra ∪
+    // expanded-cross Union root) is the observable.
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    assert(Dedup.minhashLsh(corpus).queryExecution.analyzed
+      .collectFirst { case u: Union => u }.isDefined,
+      "clone-dense corpus must take the collapse plan")
+    assert(Dedup.minhashLsh(base).queryExecution.analyzed
+      .collectFirst { case u: Union => u }.isEmpty,
+      "clone-light fixture must keep the doc-level plan")
+  }
+
   test("bounded-heap top-k aggregate matches the window row_number formulation exactly") {
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 16)
