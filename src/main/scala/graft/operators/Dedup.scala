@@ -59,11 +59,42 @@ object Dedup {
     * first. None (the default everywhere oracle-gated) keeps the
     * candidate set complete.
     */
+  /** Width for pair-machinery exchanges, from a corpus ROW-COUNT hint
+    * (0 = unknown): one partition per ~2 500 docs, floored at the
+    * session shuffle width, capped at 4096. Row count is the ONE
+    * usable pre-execution statistic here: Catalyst's estimate of a
+    * cached explode is off by orders of magnitude (it planned the 50×
+    * blocking join as a 360 MB "broadcast"), leaf parquet BYTES are
+    * wrecked by clone compression (the 50× corpus is 28 MB on disk —
+    * 3 partitions' worth — for 250 k docs of work), AQE sizes by
+    * exchange INPUT bytes which the join output explodes ~24× past,
+    * and a count() of the signature relation itself costs a separate
+    * materialization job (measured +1 s/query at sf0.1). The hint
+    * rides for free from the density probe's sample count.
+    */
+  private def hintedParts(df: DataFrame, docsHint: Long): Int =
+    math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(4096L, docsHint / 1000L).toInt)
+
   private def candidatePairs(sigs: DataFrame, keys: Seq[String],
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None, docsHint: Long = 0L): DataFrame = {
     // persist BEFORE the bucket-size pass so the (expensive) signature
     // pipeline is computed once, not once per reuse
     val src = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Bucket self-joins EXPLODE: output rows = Σ bucket(b)² over
+    // buckets, invisible to Catalyst and AQE (see [[hintedParts]]) —
+    // at the 50×-density stress the planner ran join + partial dedup
+    // inside the SCAN's 7 partitions: 1502 s of a 1607 s query, 39 GB
+    // spill from 76 M-row per-task partial-dedup tables. With a
+    // docsHint the signature relation is repartitioned by the bucket
+    // key: the self-join is co-partitioned (no further exchange) and
+    // every per-task partial-dedup table is right-sized. Re-measured
+    // at 50× (stage probe, tools/NgramProbe): 1607 s → 210 s, zero
+    // spill, same 6 762 599 pairs. At or below the session width the
+    // repartition is skipped — the relation is broadcast-small there
+    // and the extra exchange only costs (measured +1.5 s/query at
+    // sf0.1).
+    val parts = hintedParts(sigs, docsHint)
     val kept = maxBucket match {
       case Some(cap) =>
         val sizes = src.groupBy(keys.map(col): _*)
@@ -73,11 +104,24 @@ object Dedup {
         src.join(sizes, keys) // keep rows in small-enough buckets only
       case None => src
     }
-    val left = kept.withColumnRenamed("doc_id", "doc_a")
-    val right = kept.withColumnRenamed("doc_id", "doc_b")
-    left.join(right, keys)
+    val spread =
+      if (parts <= sigs.sparkSession.sessionState.conf.numShufflePartitions) kept
+      else kept.repartition(parts, keys.map(col): _*)
+    val left = spread.withColumnRenamed("doc_id", "doc_a")
+    val right = spread.withColumnRenamed("doc_id", "doc_b")
+    val raw = left.join(right, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+    // The distinct needs the hinted width too — and partial (map-side)
+    // dedup can't help it: a pair that shares m bucket keys surfaces
+    // once per key, in m DIFFERENT key-hash partitions, so the full
+    // occurrence volume always crosses this exchange. dropDuplicates
+    // alone plans the session width (32 reducers × 16.6 M-row dedup
+    // tables spilled 38 GB at 50×); pre-partitioning by exactly the
+    // dedup keys at the hinted width makes dropDuplicates exchange-free
+    // on top of it and right-sizes every dedup table.
+    (if (parts <= sigs.sparkSession.sessionState.conf.numShufflePartitions) raw
+     else raw.repartition(parts, col("doc_a"), col("doc_b")))
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -142,7 +186,7 @@ object Dedup {
   private def collapsedPairs(docs: DataFrame, k: Int, threshold: Double,
       scoreName: String, aCol: String, bCol: String, directional: Boolean,
       maxGroup: Option[Int] = None)(
-      core: DataFrame => DataFrame): DataFrame = {
+      core: (DataFrame, Long) => DataFrame): DataFrame = {
     // Density probe: a deterministic ⅛ doc sample, keyed and counted
     // approximately in ONE small job (HLL++ on the 64-bit set hash).
     // Both plans produce identical output — the probe only picks the
@@ -159,7 +203,11 @@ object Dedup {
       .select(xxhash64(fps).as("_pk"))
       .agg(count(lit(1)).as("n"), approx_count_distinct(col("_pk")).as("s"))
       .head()
-    if (probe.getLong(1) > CollapseDensity * probe.getLong(0)) return core(docs)
+    // the probe's sampled counts double as the corpus-size hint that
+    // widths the pair-machinery exchanges ([[hintedParts]])
+    val docsEst = probe.getLong(0) * 8
+    val setsEst = probe.getLong(1) * 8
+    if (probe.getLong(1) > CollapseDensity * probe.getLong(0)) return core(docs, docsEst)
     val (allMembers, allRepIds) = setGroups(docs, k)
     // `maxGroup` is [[minhashLsh]]'s maxBucket guard carried to the
     // collapse level: a clone family of g docs IS the degenerate
@@ -183,7 +231,7 @@ object Dedup {
       .filter(if (directional) col(aCol) =!= col(bCol) else col(aCol) < col(bCol))
       .select(col(aCol), col(bCol), lit(1.0).as(scoreName))
       .filter(lit(1.0) >= lit(threshold))
-    val cross = core(repDocs)
+    val cross = core(repDocs, setsEst)
       .join(repIds.select(col("doc_id").as(aCol), col("_k1").as("_ka1"), col("_k2").as("_ka2")), Seq(aCol))
       .join(repIds.select(col("doc_id").as(bCol), col("_k1").as("_kb1"), col("_k2").as("_kb2")), Seq(bCol))
       .join(members.select(col("_k1").as("_ka1"), col("_k2").as("_ka2"), col("doc_id").as("_ida")), Seq("_ka1", "_ka2"))
@@ -230,12 +278,18 @@ object Dedup {
     *    202 k pairs. The explicit partition count pins the exchange
     *    against re-coalesce; it moves only 16-byte id pairs.
     */
-  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
+      docsHint: Long = 0L): DataFrame = {
     val sh = shingled(docs, k).select(col("doc_id"),
       array_sort(transform(col("_shingles"),
         s => GraftFunctions.fnv1a64(s))).as("_fps"))
-    val spread = pairs.repartition(
-      pairs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_a"))
+    // The spread takes the hinted width so the verify compute scales
+    // with pair volume. The fetch joins themselves are left to the
+    // planner: forcing a shuffle join here materializes an exchange
+    // whose rows carry the fetched arrays (measured 50+ GB of shuffle
+    // files at the 50× stress — it filled the disk), while the
+    // broadcast plan moves each doc's array once inside the broadcast.
+    val spread = pairs.repartition(hintedParts(pairs, docsHint), col("doc_a"))
     spread
       .join(sh.select(col("doc_id").as("doc_a"), col("_fps").as("_fp_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("_fps").as("_fp_b")), "doc_b")
@@ -267,9 +321,10 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Option[Int] = None): DataFrame =
     collapsedPairs(docs, k, threshold, "jaccard", "doc_a", "doc_b",
-      directional = false, maxGroup = maxBucket) { reps =>
+      directional = false, maxGroup = maxBucket) { (reps, est) =>
       val sigs = bandBuckets(reps, k, bands, rowsPerBand)
-      verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket), reps, k)
+      verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket, est),
+        reps, k, est)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     }
@@ -469,15 +524,16 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.7,
       freqSampleRate: Double = 1.0, histLimit: Int = 1 << 20): DataFrame =
     collapsedPairs(docs, k, threshold, "jaccard", "doc_a", "doc_b", directional = false)(
-      ngramJaccardDistinct(_, k, threshold, freqSampleRate, histLimit))
+      ngramJaccardDistinct(_, _, k, threshold, freqSampleRate, histLimit))
 
   /** [[ngramJaccard]]'s machinery over a distinct-set corpus (one rep
     * per shingle set — the frequency histogram likewise counts each
     * distinct set once, which is the pruning-relevant statistic; any
-    * order keeps recall exactly 1, see above).
+    * order keeps recall exactly 1, see above). `docsHint` widths the
+    * candidate and fetch exchanges ([[hintedParts]]).
     */
-  private def ngramJaccardDistinct(docs: DataFrame, k: Int, threshold: Double,
-      freqSampleRate: Double, histLimit: Int): DataFrame = {
+  private def ngramJaccardDistinct(docs: DataFrame, docsHint: Long, k: Int,
+      threshold: Double, freqSampleRate: Double, histLimit: Int): DataFrame = {
     val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping — and the Jaccard
     // verify itself (see verifyJaccard) — runs on the 64-bit shingle
@@ -510,7 +566,8 @@ object Dedup {
     val prefixes = sh.select(col("doc_id"),
       explode(GraftFunctions.freqPrefix(fps, keys, vals, threshold))
         .as("_block"))
-    verifyJaccard(candidatePairs(prefixes, Seq("_block")), docs, k)
+    verifyJaccard(candidatePairs(prefixes, Seq("_block"), docsHint = docsHint),
+      docs, k, docsHint)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -540,15 +597,15 @@ object Dedup {
   def containment(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
       histLimit: Int = 1 << 20): DataFrame =
     collapsedPairs(docs, k, threshold, "containment", "doc_src", "doc_dst",
-      directional = true)(containmentDistinct(_, k, threshold, histLimit))
+      directional = true)(containmentDistinct(_, _, k, threshold, histLimit))
 
   /** [[containment]]'s machinery over a distinct-set corpus. The
     * directional expansion preserves the rep pair's orientation (C is
     * asymmetric); identical-set members get BOTH directions at 1.0
     * from the intra arm, exactly as the doc-level machinery emitted.
     */
-  private def containmentDistinct(docs: DataFrame, k: Int, threshold: Double,
-      histLimit: Int): DataFrame = {
+  private def containmentDistinct(docs: DataFrame, docsHint: Long, k: Int,
+      threshold: Double, histLimit: Int): DataFrame = {
     val sh = shingled(docs, k)
     val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
@@ -612,9 +669,10 @@ object Dedup {
       array_sort(transform(col("_shingles"),
         s => GraftFunctions.fnv1a64(s))).as("_fps"))
     // same compute-funnel guard as verifyJaccard: candidate pairs are
-    // byte-tiny, pin the partition count against AQE coalesce
-    val spread = cands.repartition(
-      docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_src"))
+    // byte-tiny, pin the partition count against AQE coalesce, at the
+    // hinted width so the verify compute scales with pair volume (the
+    // fetch joins stay planner-chosen — see verifyJaccard)
+    val spread = cands.repartition(hintedParts(cands, docsHint), col("doc_src"))
     spread
       .join(sorted.select(col("doc_id").as("doc_src"), col("_fps").as("_fp_s")), "doc_src")
       .join(sorted.select(col("doc_id").as("doc_dst"), col("_fps").as("_fp_d")), "doc_dst")
