@@ -399,7 +399,10 @@ object Dedup {
     * weights), so contiguous blocks concentrate low-entropy bits into
     * the same key while interleaving mixes every key's entropy.
     *
-    * Banding runs over DISTINCT signatures only. Exact clones —
+    * On clone-dense relations banding runs over DISTINCT signatures
+    * only (density-adaptive, one aggregate on the persisted signature
+    * relation decides; clone-light relations band doc-level with the
+    * same tables and the identical output). Exact clones —
     * simhash is flip-resistant, so replica families routinely share
     * one signature, and re-encoded media share one aHash — would
     * otherwise meet in EVERY table (a clone group of g docs costs
@@ -417,68 +420,95 @@ object Dedup {
   private[graft] def hammingBandPairs(sigRel: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
     val b = if (maxHamming <= 5) maxHamming + 3 else maxHamming + 1
-    val blockBits: IndexedSeq[IndexedSeq[Int]] =
-      (0 until b).map(i => i until 64 by b)
     val combos: IndexedSeq[IndexedSeq[Int]] =
       (0 until b).combinations(b - maxHamming).map(_.toIndexedSeq).toIndexedSeq
-    // gather block i's interleaved bits of `v`, compacted to bit 0
-    def blockOf(v: Column, i: Int): Column =
-      blockBits(i).zipWithIndex.map { case (p, k) =>
-        shiftleft(shiftrightunsigned(v, p).bitwiseAND(lit(1L)), k)
-      }.reduce(_.bitwiseOR(_))
-    // concatenate the combo's blocks (cumulative widths always ≤ 64)
-    def packKey(blocks: IndexedSeq[Column], combo: IndexedSeq[Int]): Column =
-      combo.foldLeft((lit(0L), 0)) { case ((acc, off), i) =>
-        (acc.bitwiseOR(shiftleft(blocks(i), off)), off + blockBits(i).size)
-      }._1
+    // block i = the interleaved bit positions ≡ i (mod b), as a mask.
+    // Two sigs agree on a block set iff their sigs masked to those
+    // bits are equal, so the band key is ONE bitwiseAND with a
+    // constant — no per-bit gather/compact expressions. (The first
+    // cut compacted and packed each block; that inlined ~2 000
+    // codegen ops per row across the 20 keys and cost ~3.5 s of
+    // one-time Janino compile per query — measured 5.7 s cold /
+    // 2.2 s warm at sf0.1, vs 2.6 s cold / 0.85 s warm with this
+    // mask form; the 50×-corpus run halved too, 21.8 → 9.2 s.)
+    val blockMask: IndexedSeq[Long] =
+      (0 until b).map(i => (i until 64 by b).foldLeft(0L)((m, p) => m | (1L << p)))
+    def comboMask(combo: IndexedSeq[Int]): Long =
+      combo.foldLeft(0L)((m, i) => m | blockMask(i))
 
     val members = sigRel.select(col("doc_id"), col("_sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // hamming-0 arm: clone groups pair off on the full 64-bit value
-    val equalPairs = members.select(col("_sig"), col("doc_id").as("doc_a"))
-      .join(members.select(col("_sig"), col("doc_id").as("doc_b")), Seq("_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
-
-    val blockCols = (0 until b).map(i => blockOf(col("_sig"), i))
-    val sigs = members.select(col("_sig")).distinct()
-      .select(col("_sig"),
-        explode(array(combos.zipWithIndex.map { case (combo, t) =>
-          struct(lit(t).as("t"), packKey(blockCols, combo).as("k"))
-        }: _*)).as("tk"))
-      .select(col("_sig"), col("tk.t"), col("tk.k"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCol = explode(array(combos.zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("t"), col("_sig").bitwiseAND(lit(comboMask(combo))).as("k"))
+    }: _*)).as("tk")
 
     // lowest combination of _x-flip-free blocks; total for any pair
     // that matched some bucket, so the ELSE arm is never taken on
     // join output (kept as the last combo for expression totality)
-    val xBlockFree = (0 until b).map(i => blockOf(col("_x"), i) === 0)
     val lowestCombo = combos.zipWithIndex.init.foldRight(
       lit(combos.size - 1): Column) { case ((combo, t), els) =>
-      when(combo.map(xBlockFree).reduce(_ && _), t).otherwise(els)
+      when(col("_x").bitwiseAND(lit(comboMask(combo))) === 0, t).otherwise(els)
     }
 
-    // distinct signature pairs within hamming ≤ h (≥ 1 by distinctness)
-    val sigPairs = sigs.select(col("t"), col("k"), col("_sig").as("_sig_a"))
-      .join(sigs.select(col("t"), col("k"), col("_sig").as("_sig_b")),
-        Seq("t", "k"))
-      .filter(col("_sig_a") < col("_sig_b"))
-      .withColumn("_x", col("_sig_a").bitwiseXOR(col("_sig_b")))
-      .withColumn("hamming", bit_count(col("_x")))
-      .filter(col("hamming") <= maxHamming)
-      .filter(col("t") === lowestCombo)
-      .select(col("_sig_a"), col("_sig_b"), col("hamming"))
+    // Density-adaptive, like [[collapsedPairs]]: the signature-level
+    // collapse arms (equality self-join, distinct, member expansion)
+    // are ~8 extra stages that pay off exactly when clone families
+    // share signatures — measured 0.62 → 5.6 s at the clone-light
+    // sf0.1 (stage overhead, the data is trivial) vs 157 → 6.5 s on
+    // the clone-heavy media corpus. One tiny aggregate on the 8-byte
+    // persisted signature relation decides; both paths emit the
+    // identical pair set (spec-asserted on both).
+    val probe = members
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("_sig")).as("s")).head()
+    if (probe.getLong(1) > CollapseDensity * probe.getLong(0)) {
+      // doc-level banding: each doc's rows carry its id; the lowest
+      // flip-free combination rule keeps each pair exactly once
+      val sigs = members.select(col("doc_id"), col("_sig"), bandCol)
+        .select(col("doc_id"), col("_sig"), col("tk.t"), col("tk.k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sigs.select(col("t"), col("k"), col("doc_id").as("doc_a"), col("_sig").as("_sig_a"))
+        .join(sigs.select(col("t"), col("k"), col("doc_id").as("doc_b"), col("_sig").as("_sig_b")),
+          Seq("t", "k"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("_x", col("_sig_a").bitwiseXOR(col("_sig_b")))
+        .withColumn("hamming", bit_count(col("_x")))
+        .filter(col("hamming") <= maxHamming)
+        .filter(col("t") === lowestCombo)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    } else {
+      // hamming-0 arm: clone groups pair off on the full 64-bit value
+      val equalPairs = members.select(col("_sig"), col("doc_id").as("doc_a"))
+        .join(members.select(col("_sig"), col("doc_id").as("doc_b")), Seq("_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
 
-    // member expansion: each doc belongs to exactly one signature and
-    // the sig pair is ordered, so every doc pair surfaces exactly once
-    val crossPairs = sigPairs
-      .join(members.select(col("_sig").as("_sig_a"), col("doc_id").as("_id_a")), Seq("_sig_a"))
-      .join(members.select(col("_sig").as("_sig_b"), col("doc_id").as("_id_b")), Seq("_sig_b"))
-      .select(least(col("_id_a"), col("_id_b")).as("doc_a"),
-        greatest(col("_id_a"), col("_id_b")).as("doc_b"), col("hamming"))
+      val sigs = members.select(col("_sig")).distinct()
+        .select(col("_sig"), bandCol)
+        .select(col("_sig"), col("tk.t"), col("tk.k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    equalPairs.unionByName(crossPairs)
+      // distinct signature pairs within hamming ≤ h (≥ 1 by distinctness)
+      val sigPairs = sigs.select(col("t"), col("k"), col("_sig").as("_sig_a"))
+        .join(sigs.select(col("t"), col("k"), col("_sig").as("_sig_b")),
+          Seq("t", "k"))
+        .filter(col("_sig_a") < col("_sig_b"))
+        .withColumn("_x", col("_sig_a").bitwiseXOR(col("_sig_b")))
+        .withColumn("hamming", bit_count(col("_x")))
+        .filter(col("hamming") <= maxHamming)
+        .filter(col("t") === lowestCombo)
+        .select(col("_sig_a"), col("_sig_b"), col("hamming"))
+
+      // member expansion: each doc belongs to exactly one signature and
+      // the sig pair is ordered, so every doc pair surfaces exactly once
+      val crossPairs = sigPairs
+        .join(members.select(col("_sig").as("_sig_a"), col("doc_id").as("_id_a")), Seq("_sig_a"))
+        .join(members.select(col("_sig").as("_sig_b"), col("doc_id").as("_id_b")), Seq("_sig_b"))
+        .select(least(col("_id_a"), col("_id_b")).as("doc_a"),
+          greatest(col("_id_a"), col("_id_b")).as("doc_b"), col("hamming"))
+
+      equalPairs.unionByName(crossPairs)
+    }
   }
 
   /** EXACT n-gram Jaccard via prefix filtering (the AllPairs/PPJoin
@@ -658,6 +688,11 @@ object Dedup {
     // partitioned by _block, not by pair, so the groupBy gets no
     // map-side combine and its wider rows cost more shuffle than the
     // extra candidates it kills: 211 vs 173 MB read, 19.3 vs 17.6 s.)
+    // (Widening the blocking join and this distinct with the hinted
+    // width was tried and showed no measurable 50× benefit — the
+    // positional filter keeps their volumes in check; containment's
+    // measured 50× win, 545 → 79 s, came from the hinted VERIFY
+    // spread below.)
     val cands = prefixes.join(index, "_block")
       .filter(col("doc_src") =!= col("doc_dst"))
       .filter(

@@ -135,19 +135,27 @@ class LlmOpsSpec extends AnyFunSuite {
     // lowest-flip-free-combination rule — at every table layout the
     // maxHamming range selects (b=h+3 combos through the h>5 b=h+1
     // single-block fallback).
-    val sigRel = Tables(spark, sfDir, "documents")
+    val base = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("_sig"))
-    val sigs = sigRel.collect().map(r => r.getLong(0) -> r.getLong(1))
-    for (mh <- Seq(0, 2, 3, 5, 7)) {
-      val want = (for {
-        (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
-        h = java.lang.Long.bitCount(sa ^ sb) if h <= mh
-      } yield (ida, idb, h)).toSet
-      val got = Dedup.hammingBandPairs(sigRel, mh).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      assert(got == want,
-        s"maxHamming=$mh missed=${want -- got} extra=${got -- want}")
-      if (mh == 3) assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    // clone-light fixture sigs (doc-level banding path) AND a
+    // clone-dense union (every sig twice → distinct-signature
+    // collapse path) — the adaptive branch must emit the brute-force
+    // pair set on both
+    val dense = base.unionByName(
+      base.select((col("doc_id") + lit(500000L)).as("doc_id"), col("_sig")))
+    for (sigRel <- Seq(base, dense)) {
+      val sigs = sigRel.collect().map(r => r.getLong(0) -> r.getLong(1))
+      for (mh <- Seq(0, 2, 3, 5, 7)) {
+        val want = (for {
+          (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+          h = java.lang.Long.bitCount(sa ^ sb) if h <= mh
+        } yield (ida, idb, h)).toSet
+        val got = Dedup.hammingBandPairs(sigRel, mh).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == want,
+          s"maxHamming=$mh missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+        if (mh == 3) assert(want.nonEmpty, "fixture must contain near-dup pairs")
+      }
     }
   }
 
