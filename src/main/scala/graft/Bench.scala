@@ -68,10 +68,15 @@ object Bench {
     // parsed:null). Persist the full detail to a file, then make the
     // LAST printed line a compact summary that fits the tail whole:
     // total + per-query seconds for the slowest queries only, 2-decimal.
+    // Subset runs (SPARK_GRAFT_QUERIES) go to a side file: overwriting
+    // the full-suite detail with a subset would silently shrink the
+    // regression gate's compare set (and poison --update reblessing).
+    val detailPath = if (subset.isDefined) "bench/bench_detail_subset.json"
+      else "bench/bench_detail_last.json"
     try {
       val dir = new java.io.File("bench"); dir.mkdirs()
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench/bench_detail_last.json"), full + "\n")
+        java.nio.file.Paths.get(detailPath), full + "\n")
     } catch { case _: Throwable => }
     def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2)
@@ -90,6 +95,6 @@ object Bench {
     // false so sbt's "[success] Total time" banner (which made every prior
     // round's BENCH parse fail) no longer trails it either.
     spark.stop()
-    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nqueries":${results.size},"queries":{${sb2.result()}},"detail":"bench/bench_detail_last.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","nqueries":${results.size},"queries":{${sb2.result()}},"detail":"$detailPath","sf":"$sfDir"}""")
   }
 }

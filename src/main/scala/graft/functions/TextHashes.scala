@@ -420,21 +420,8 @@ object TextHashes {
       math.max(0L, n - math.ceil(threshold * n).toLong + 1L)).toInt
     if (take <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
-    val pairs = new Array[(Long, Long)](n)
-    var i = 0
-    while (i < n) {
-      val h = fps.getLong(i)
-      val j = java.util.Arrays.binarySearch(keys, h)
-      val cnt = if (j >= 0) vals(j) else 0L
-      pairs(i) = (cnt, h)
-      i += 1
-    }
-    java.util.Arrays.sort(pairs.asInstanceOf[Array[AnyRef]],
-      implicitly[Ordering[(Long, Long)]].asInstanceOf[java.util.Comparator[AnyRef]])
-    val out = new Array[Long](take)
-    i = 0
-    while (i < take) { out(i) = pairs(i)._2; i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      freqSorted(fps, keys, vals).take(take))
   }
 
   /** The FULL (count, fp)-ordered fingerprint array — [[prefixByFreq]]
@@ -444,7 +431,17 @@ object TextHashes {
     */
   def orderByFreq(fps: org.apache.spark.sql.catalyst.util.ArrayData,
       keys: Array[Long], vals: Array[Long]):
-      org.apache.spark.sql.catalyst.util.ArrayData = {
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      freqSorted(fps, keys, vals))
+
+  /** The ONE (count, fp) global order both PPJoin sides share — the
+    * positional filter's exactness depends on prefix and index using
+    * the SAME comparator, so this helper is the single source of
+    * truth for it. One binary search per fp, one local sort.
+    */
+  private def freqSorted(fps: org.apache.spark.sql.catalyst.util.ArrayData,
+      keys: Array[Long], vals: Array[Long]): Array[Long] = {
     val n = fps.numElements()
     val pairs = new Array[(Long, Long)](n)
     var i = 0
@@ -460,7 +457,7 @@ object TextHashes {
     val out = new Array[Long](n)
     i = 0
     while (i < n) { out(i) = pairs(i)._2; i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
 
   /** Jaccard of two SORTED long-fingerprint sets by linear merge —

@@ -60,7 +60,7 @@ object Dedup {
     * candidate set complete.
     */
   /** Width for pair-machinery exchanges, from a corpus ROW-COUNT hint
-    * (0 = unknown): one partition per ~2 500 docs, floored at the
+    * (0 = unknown): one partition per ~1 000 docs, floored at the
     * session shuffle width, capped at 4096. Row count is the ONE
     * usable pre-execution statistic here: Catalyst's estimate of a
     * cached explode is off by orders of magnitude (it planned the 50×
@@ -183,6 +183,16 @@ object Dedup {
     */
   private val CollapseDensity = 0.95
 
+  /** Default docs-hint threshold above which [[containmentDistinct]]'s
+    * prefix-fp semi-filter ships as a bounded bloom sketch instead of
+    * an exact broadcast (≈10 distinct prefix fps/doc ⇒ ~30 M longs =
+    * a 240 MB broadcast at 3 M docs — past the point where the 16 MB
+    * sketch wins). [[containment]] takes it as a parameter so the spec
+    * can force the bloom arm on the fixture and assert identical
+    * output.
+    */
+  val DefaultBloomSemiFilterDocs: Long = 3000000L
+
   private def collapsedPairs(docs: DataFrame, k: Int, threshold: Double,
       scoreName: String, aCol: String, bCol: String, directional: Boolean,
       maxGroup: Option[Int] = None)(
@@ -207,7 +217,13 @@ object Dedup {
     // widths the pair-machinery exchanges ([[hintedParts]])
     val docsEst = probe.getLong(0) * 8
     val setsEst = probe.getLong(1) * 8
-    if (probe.getLong(1) > CollapseDensity * probe.getLong(0)) return core(docs, docsEst)
+    // The doc-level early exit is a pure plan choice ONLY when no cap
+    // is set: with `maxGroup` the collapsed formulation (groups of
+    // identical sets, buckets of distinct sets) IS the documented cap
+    // semantics, and the doc-level plan's doc-counted buckets would
+    // differ — so a sample statistic must never pick between them.
+    if (maxGroup.isEmpty &&
+      probe.getLong(1) > CollapseDensity * probe.getLong(0)) return core(docs, docsEst)
     val (allMembers, allRepIds) = setGroups(docs, k)
     // `maxGroup` is [[minhashLsh]]'s maxBucket guard carried to the
     // collapse level: a clone family of g docs IS the degenerate
@@ -625,9 +641,11 @@ object Dedup {
     * |src|.
     */
   def containment(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
-      histLimit: Int = 1 << 20): DataFrame =
+      histLimit: Int = 1 << 20,
+      bloomSemiFilterDocs: Long = DefaultBloomSemiFilterDocs): DataFrame =
     collapsedPairs(docs, k, threshold, "containment", "doc_src", "doc_dst",
-      directional = true)(containmentDistinct(_, _, k, threshold, histLimit))
+      directional = true)(
+      containmentDistinct(_, _, k, threshold, histLimit, bloomSemiFilterDocs))
 
   /** [[containment]]'s machinery over a distinct-set corpus. The
     * directional expansion preserves the rep pair's orientation (C is
@@ -635,7 +653,7 @@ object Dedup {
     * from the intra arm, exactly as the doc-level machinery emitted.
     */
   private def containmentDistinct(docs: DataFrame, docsHint: Long, k: Int,
-      threshold: Double, histLimit: Int): DataFrame = {
+      threshold: Double, histLimit: Int, bloomSemiFilterDocs: Long): DataFrame = {
     val sh = shingled(docs, k)
     val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
       .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
@@ -674,15 +692,35 @@ object Dedup {
     // equi-join — semi-filter them against the (much smaller,
     // rarest-shingles) distinct-prefix-fp relation, broadcast, before
     // the shuffle (2.65 M → 520 k index rows at the 10× corpus). At
-    // corpora where the distinct prefix-fp set outgrows a broadcast the
-    // same filter ships as a bloom filter; false positives only re-admit
-    // rows the join discards, so exactness holds there too.
+    // corpora where the distinct prefix-fp set outgrows a broadcast
+    // (gated on the row-count hint — the same pre-execution statistic
+    // [[hintedParts]] uses) the filter ships as a BOUNDED bloom sketch
+    // instead: prefix fps → k bit positions → a bit_or aggregate over
+    // m/64 packed words (the Contamination.bloomOverlap build shape —
+    // the exchange carries at most m/64 rows at ANY corpus size), and
+    // the probe rides the index scan as a codegen reference object.
+    // False positives only re-admit rows the equi-join discards, so
+    // exactness holds on both arms.
     val probeFps = prefixes.select(col("_block")).distinct()
-    val index = ordered
+    val indexAll = ordered
       .withColumn("_n", size(col("_ord")))
       .select(col("doc_id").as("doc_dst"), col("_n").as("_nd"),
         posexplode(col("_ord")).as(Seq("_j", "_block")))
-      .join(broadcast(probeFps), Seq("_block"), "left_semi")
+    val index =
+      if (docsHint > 0 && docsHint > bloomSemiFilterDocs) {
+        val m = 1 << 27 // 16 MB packed; ~10 fps/doc ⇒ <1% fp rate at 3M docs
+        val nh = 4
+        val words = probeFps
+          .select(explode(GraftFunctions.bloomPositions(col("_block"), nh, m)).as("_pos"))
+          .select(shiftright(col("_pos"), 6).as("_w"),
+            expr("shiftleft(1L, cast(_pos % 64 as int))").as("_bit"))
+          .groupBy(col("_w")).agg(bit_or(col("_bit")).as("_word"))
+          .collect()
+        val packed = new Array[Long](m / 64)
+        words.foreach(r => packed(r.getLong(0).toInt) = r.getLong(1))
+        indexAll.filter(
+          GraftFunctions.bloomCountHits(array(col("_block")), packed, nh, m) > 0)
+      } else indexAll.join(broadcast(probeFps), Seq("_block"), "left_semi")
     // (A pair-level PPJoin aggregate — count of shared prefix fps m with
     // O ≤ m + |S|−take — was measured WORSE here: the match rows arrive
     // partitioned by _block, not by pair, so the groupBy gets no

@@ -54,11 +54,18 @@ object SqlKernels {
         |ORDER BY cnt DESC, word""".stripMargin)
 
   /** The dedup kernel chain straight from SQL text: shingle →
-    * fingerprint → co-shingle candidate equi-join → sorted-set Jaccard
-    * ≥ 0.5. Pairs sharing no shingle have J = 0 and can't pass a
-    * positive threshold, so the equi-join blocking is exact — no
-    * cartesian anywhere, every exchange keyed (fp, then doc ids), the
-    * same shape a /fetch user needs for near-dup SQL at scale.
+    * fingerprint → PREFIX-FILTERED candidate equi-join → sorted-set
+    * Jaccard ≥ 0.5 — the AllPairs principle (Bayardo et al., WWW'07)
+    * expressed in plain SQL. Under the global (document-frequency asc,
+    * fp asc) order, any two sets with J ≥ t share an fp within each
+    * one's first |s| − ceil(t·|s|) + 1 fps (the same pigeonhole the
+    * Scala exact arm proves in operators/Dedup.scala), so blocking on
+    * prefix fps only is still recall-exact. Every exchange is keyed
+    * (fp, then doc ids); the per-doc ordering is a doc-partitioned
+    * window, never a global sort. (The first cut blocked on ALL
+    * shared fps: exact too, but on the dup-dense 10× corpus every
+    * family-shared fp was a block holding the whole family — 220 s
+    * where this form takes the Scala arm's candidate shape.)
     */
   def sql_shingle_jaccard(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir,
@@ -66,8 +73,16 @@ object SqlKernels {
         |  SELECT doc_id, array_sort(transform(shingles(text, 3), s -> fnv1a64(s))) AS fps
         |  FROM documents),
         |ex AS (SELECT doc_id, explode(fps) AS g FROM f),
+        |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+        |pref AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT ex.doc_id, ex.g,
+        |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.c, ex.g) AS pos,
+        |           count(*) OVER (PARTITION BY ex.doc_id) AS n
+        |    FROM ex JOIN df ON ex.g = df.g)
+        |  WHERE pos <= n - ceil(0.5 * n) + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(jaccard_sorted_fp(fa.fps, fb.fps), 4) AS jaccard
         |FROM cand JOIN f fa ON fa.doc_id = cand.doc_a
         |          JOIN f fb ON fb.doc_id = cand.doc_b

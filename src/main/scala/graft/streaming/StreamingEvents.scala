@@ -24,8 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * runner takes a `ttl`/`stateTtl` (the [[StreamingDedup.emitPairs]]
   * pattern: `ProcessingTimeTimeout` + `setTimeoutDuration` re-armed on
   * each arrival, expired keys dropped) so a deployment bounds state by
-  * its analysis horizon — a user idle past the TTL is retired, and the
-  * drained table equals batch restricted to that horizon. The oracle
+  * its analysis horizon — a user idle past the TTL is retired, with the
+  * rows it had emitted RETRACTED at expiry (retire = forget the facts
+  * AND their contribution; a key reappearing later re-counts from
+  * fresh state without double-counting), so the drained table equals
+  * batch over the live-horizon keys. The oracle
   * gate leaves the TTL unset (NoTimeout): with no horizon the drained
   * table equals batch under ANY arrival order, which is what the
   * DuckDB oracle checks. StreamingSpec asserts the expiry path for all
@@ -49,14 +52,23 @@ object StreamingEvents {
     * batch first-touch recurrence: t_i = min stage-i time strictly
     * after t_{i-1}), emit newly reached stages. Reachability is
     * monotone under fact arrival — adding events can only lower the
-    * thresholds — so funnel diffs are always +1 (weights kept for
-    * uniformity with [[retentionUpdate]]).
+    * thresholds — so LIVE funnel diffs are always +1; the only -1s a
+    * funnel changelog carries are the TTL-expiry retractions below.
     */
   private[graft] def funnelUpdate(stages: Seq[String], ttl: Option[String] = None)(
       user: Long,
       rows: Iterator[(Long, Int, Long)],
       state: GroupState[FunnelState]): Iterator[(String, Long)] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.hasTimedOut) {
+      // Retire = RETRACT: expiry drops the user's state AND the rows it
+      // emitted, so the drained table equals batch over live-horizon
+      // users only. Without this a user reappearing after expiry would
+      // re-emit from fresh state and double-count against the stale
+      // rows left in the sink.
+      val gone = state.getOption.map(_.emitted).getOrElse(Nil)
+      state.remove()
+      return gone.iterator.map(s => (s, -1L))
+    }
     val prev = state.getOption.getOrElse(FunnelState(Seq.fill(stages.size)(Nil), Nil))
     val times: Array[List[Long]] = prev.times.map(_.toList).toArray
     rows.foreach { case (_, si, t) => times(si) = t :: times(si) }
@@ -89,7 +101,11 @@ object StreamingEvents {
       user: Long,
       rows: Iterator[(Long, Long, Boolean)],
       state: GroupState[RetentionState]): Iterator[(Long, Int, Long)] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.hasTimedOut) { // retire = retract (see funnelUpdate)
+      val gone = state.getOption.map(_.emitted).getOrElse(Nil)
+      state.remove()
+      return gone.iterator.map(p => (p._1, p._2, -1L))
+    }
     val prev = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil, Nil))
     var cohort = prev.cohort
     val weeks = scala.collection.mutable.Set(prev.weeks: _*)
@@ -123,7 +139,11 @@ object StreamingEvents {
       user: Long,
       rows: Iterator[(Long, Long)],
       state: GroupState[SessionState]): Iterator[(Long, Long, Long, Long, Long)] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.hasTimedOut) { // retire = retract (see funnelUpdate)
+      val gone = state.getOption.map(_.emitted).getOrElse(Nil)
+      state.remove()
+      return gone.iterator.map(t => (user, t._1, t._2, t._3, -1L))
+    }
     val prev = state.getOption.getOrElse(SessionState(Nil, Nil))
     val times = (prev.times ++ rows.map(_._2)).sorted
     var nSessions = 0L
@@ -190,13 +210,17 @@ object StreamingEvents {
       userId: Long,
       rows: Iterator[(Long, Long, Long, String)],
       state: GroupState[PathState]): Iterator[(String, Long)] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     def trigrams(ev: Seq[(Long, Long, String)]): Map[String, Long] =
       ev.sortBy(e => (e._1, e._2)).sliding(3).filter(_.length == 3)
         .map(w => w.map(_._3).mkString(">"))
         .foldLeft(Map.empty[String, Long]) { (m, p) =>
           m.updated(p, m.getOrElse(p, 0L) + 1L)
         }
+    if (state.hasTimedOut) { // retire = retract (see funnelUpdate)
+      val gone = state.getOption.map(s => trigrams(s.events)).getOrElse(Map.empty)
+      state.remove()
+      return gone.iterator.map { case (p, n) => (p, -n) }
+    }
     val prev = state.getOption.getOrElse(PathState(Nil))
     val next = PathState(prev.events ++ rows.map(r => (r._2, r._3, r._4)))
     state.update(next)
@@ -250,7 +274,11 @@ object StreamingEvents {
       eventType: String,
       rows: Iterator[(String, String)],
       state: GroupState[AnomalyState]): Iterator[(String, String, Long, Double, Long)] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.hasTimedOut) { // retire = retract (see funnelUpdate)
+      val gone = state.getOption.map(_.emitted).getOrElse(Nil)
+      state.remove()
+      return gone.iterator.map(t => (eventType, t._1, t._2, t._3, -1L))
+    }
     val prev = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
     val counts = scala.collection.mutable.Map(prev.counts.toSeq: _*)
     rows.foreach { case (_, h) => counts(h) = counts.getOrElse(h, 0L) + 1L }

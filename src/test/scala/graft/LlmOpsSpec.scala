@@ -199,6 +199,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(gotC == wantC,
       s"containment missed=${(wantC -- gotC).take(5)} extra=${(gotC -- wantC).take(5)}")
 
+    // the bloom arm of the prefix-fp semi-filter (forced by a zero
+    // docs-hint threshold) must emit the identical pair set — false
+    // positives only re-admit rows the equi-join discards
+    val gotCBloom = Dedup.containment(corpus, bloomSemiFilterDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotCBloom == wantC,
+      s"bloom-arm containment missed=${(wantC -- gotCBloom).take(5)} " +
+        s"extra=${(gotCBloom -- wantC).take(5)}")
+
     // minhash-LSH: must equal the DOC-level banding formulation
     // (probabilistic recall, so the reference is the pre-collapse
     // shape run literally, not brute force)

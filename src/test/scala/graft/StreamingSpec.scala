@@ -218,13 +218,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(net == Map((100L, 0) -> 1L, (100L, 1) -> 1L, (100L, 2) -> 1L), s"net $net")
   }
 
-  test("changelog TTL: all five stateful updates re-arm on arrival, drop expired keys, restart at the horizon") {
+  test("changelog TTL: all five stateful updates re-arm on arrival, retract on expiry, restart at the horizon") {
     // The TTL is the production state bound (the StreamingDedup.emitPairs
     // pattern); an end-to-end ProcessingTimeTimeout can't fire under
     // Trigger.AvailableNow, so expiry is asserted at the unit level for
     // each of the five changelog update functions:
     //  (a) with ttl set, every arrival re-arms the per-key clock;
-    //  (b) a timed-out key is removed and emits nothing;
+    //  (b) a timed-out key RETRACTS (-1) every row it had emitted and is
+    //      removed — so an expired key nets to zero in the drained sum
+    //      and a reappearance cannot double-count against stale rows;
     //  (c) post-horizon events rebuild from EMPTY state, emitting exactly
     //      what a first-time key would — drained ≡ batch restricted to
     //      the post-horizon events.
@@ -242,10 +244,13 @@ class StreamingSpec extends AnyFunSuite {
     // ---- funnel
     val stages = Seq("view", "click", "purchase")
     val fLive = fresh[FunnelState]()
-    assert(funnelUpdate(stages, ttl)(1L, Iterator((1L, 0, 5L)), fLive).nonEmpty)
+    val fEmitted = funnelUpdate(stages, ttl)(1L, Iterator((1L, 0, 5L)), fLive).toList
+    assert(fEmitted.nonEmpty)
     assert(fLive.getTimeoutTimestampMs.isPresent, "funnel TTL must re-arm")
     val fExp = fresh[FunnelState](Some(fLive.get), timedOut = true)
-    assert(funnelUpdate(stages, ttl)(1L, Iterator.empty, fExp).isEmpty)
+    assert(funnelUpdate(stages, ttl)(1L, Iterator.empty, fExp).toList ==
+      fEmitted.map { case (s, w) => (s, -w) },
+      "expiry must retract exactly what the key emitted")
     assert(fExp.isRemoved, "expired funnel state must be dropped")
     // (c): after expiry the same stage-0 event re-emits as a new key would
     val fPost = fresh[FunnelState]()
@@ -254,28 +259,47 @@ class StreamingSpec extends AnyFunSuite {
 
     // ---- retention
     val rLive = fresh[RetentionState]()
-    assert(retentionUpdate(4, ttl)(1L, Iterator((1L, 100L, true)), rLive).nonEmpty)
+    val rEmitted = retentionUpdate(4, ttl)(1L, Iterator((1L, 100L, true)), rLive).toList
+    assert(rEmitted.nonEmpty)
     assert(rLive.getTimeoutTimestampMs.isPresent, "retention TTL must re-arm")
     val rExp = fresh[RetentionState](Some(rLive.get), timedOut = true)
-    assert(retentionUpdate(4, ttl)(1L, Iterator.empty, rExp).isEmpty)
+    assert(retentionUpdate(4, ttl)(1L, Iterator.empty, rExp).toSet ==
+      rEmitted.map { case (c, w, wt) => (c, w, -wt) }.toSet)
     assert(rExp.isRemoved)
 
     // ---- sessionize
     val day = 86400000000L
     val sLive = fresh[SessionState]()
-    assert(sessionizeUpdate(day, ttl)(1L, Iterator((1L, 0L)), sLive).nonEmpty)
+    val sEmitted = sessionizeUpdate(day, ttl)(1L, Iterator((1L, 0L)), sLive).toList
+    assert(sEmitted.nonEmpty)
     assert(sLive.getTimeoutTimestampMs.isPresent, "sessionize TTL must re-arm")
     val sExp = fresh[SessionState](Some(sLive.get), timedOut = true)
-    assert(sessionizeUpdate(day, ttl)(1L, Iterator.empty, sExp).isEmpty)
+    assert(sessionizeUpdate(day, ttl)(1L, Iterator.empty, sExp).toSet ==
+      sEmitted.map { case (u, a, b, c, w) => (u, a, b, c, -w) }.toSet)
     assert(sExp.isRemoved)
+    // reappearance after expiry nets exactly a fresh key's emissions:
+    // +1 (pre-expiry) -1 (retraction) +1 (fresh rebuild) sums to one row
+    val sPost = fresh[SessionState]()
+    assert(sessionizeUpdate(day, ttl)(1L, Iterator((1L, day * 5)), sPost).toList ==
+      List((1L, 1L, 1L, 1L, 1L)))
 
     // ---- paths
     val pLive = fresh[PathState]()
     pathsUpdate(ttl)(1L, Iterator((1L, 1L, 1L, "a")), pLive).toList
     assert(pLive.getTimeoutTimestampMs.isPresent, "paths TTL must re-arm")
     val pExp = fresh[PathState](Some(pLive.get), timedOut = true)
-    assert(pathsUpdate(ttl)(1L, Iterator.empty, pExp).isEmpty)
+    assert(pathsUpdate(ttl)(1L, Iterator.empty, pExp).isEmpty,
+      "a 1-event timeline emitted no trigrams, so expiry retracts none")
     assert(pExp.isRemoved)
+    // a timeline that DID emit trigrams retracts its whole multiset
+    val pFull = fresh[PathState]()
+    val pOut = pathsUpdate(ttl)(1L,
+      Iterator((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+        (1L, 4L, 4L, "b"), (1L, 5L, 5L, "c")), pFull).toMap
+    val pFullExp = fresh[PathState](Some(pFull.get), timedOut = true)
+    assert(pathsUpdate(ttl)(1L, Iterator.empty, pFullExp).toMap ==
+      pOut.map { case (p, n) => (p, -n) })
+    assert(pFullExp.isRemoved)
     // (c): an expired user's timeline restarts — post-horizon trigrams
     // only, no retraction of the pre-horizon ones
     val pPost = fresh[PathState]()
@@ -285,10 +309,11 @@ class StreamingSpec extends AnyFunSuite {
 
     // ---- anomaly
     val aLive = fresh[AnomalyState]()
-    anomalyUpdate(2.0, ttl)("click", Iterator(("click", "h1")), aLive).toList
+    val aEmitted = anomalyUpdate(2.0, ttl)("click", Iterator(("click", "h1")), aLive).toList
     assert(aLive.getTimeoutTimestampMs.isPresent, "anomaly TTL must re-arm")
     val aExp = fresh[AnomalyState](Some(aLive.get), timedOut = true)
-    assert(anomalyUpdate(2.0, ttl)("click", Iterator.empty, aExp).isEmpty)
+    assert(anomalyUpdate(2.0, ttl)("click", Iterator.empty, aExp).toSet ==
+      aEmitted.map { case (e, h, n, z, w) => (e, h, n, z, -w) }.toSet)
     assert(aExp.isRemoved)
   }
 

@@ -32,6 +32,14 @@ def main():
     if "--update" in sys.argv:
         with open(CURRENT) as f:
             cur = json.load(f)
+        if os.path.exists(BASELINE):
+            with open(BASELINE) as f:
+                old = json.load(f)
+            if len(cur.get("queries", {})) < 0.9 * len(old.get("queries", {})):
+                print(f"REFUSE --update: current detail has "
+                      f"{len(cur.get('queries', {}))} queries vs baseline "
+                      f"{len(old.get('queries', {}))} — subset/truncated run")
+                return 1
         with open(BASELINE, "w") as f:
             json.dump(cur, f, indent=0, sort_keys=True)
         print(f"baseline updated from {CURRENT} "
@@ -45,6 +53,15 @@ def main():
         print(f"SKIP: baseline sf {base.get('sf')} != current sf {cur.get('sf')}")
         return 0
     bq, cq = base["queries"], cur["queries"]
+    # A current detail much smaller than the baseline means a subset or
+    # truncated run landed in bench_detail_last.json — comparing (or
+    # reblessing) against it would silently shrink the gate. Bench now
+    # writes SPARK_GRAFT_QUERIES runs to bench_detail_subset.json, but
+    # guard against stale/hand-edited files too.
+    if len(cq) < 0.9 * len(bq):
+        print(f"REFUSE: current detail has {len(cq)} queries vs baseline "
+              f"{len(bq)} — subset/truncated run; re-run the full suite")
+        return 1
     shared = sorted(set(bq) & set(cq))
     regressions = []
     improved = []
