@@ -28,14 +28,15 @@ object Bench {
     val metrics = new graft.tools.ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
-    // name -> (shuffleRead, shuffleWrite, spilled) bytes for the query
-    val shuffleBytes = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    // name -> per-query metric deltas (shuffle bytes, spill, jobs, gc)
+    val shuffleBytes =
+      scala.collection.mutable.Map.empty[String, graft.tools.ShuffleMetricsListener.Snap]
 
     def materialize(name: String): Double = {
-      val (t, r, w, s) = graft.tools.QueryMeasure.measure(spark, metrics, name)(
+      val (t, m) = graft.tools.QueryMeasure.measure(spark, metrics, name)(
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save())
-      shuffleBytes(name) = (r, w, s)
+      shuffleBytes(name) = m
       t
     }
 
@@ -56,8 +57,8 @@ object Bench {
     // per-query shuffle/spill evidence (scale design: exchanges carry
     // O(signatures)/O(keys), never the corpus; spill stays 0)
     val sb = results.map { case (k, _) =>
-      val (r, w, s) = shuffleBytes.getOrElse(k, (0L, 0L, 0L))
-      s""""$k":{"read":$r,"write":$w,"spill":$s}"""
+      val m = shuffleBytes.getOrElse(k, graft.tools.ShuffleMetricsListener.Snap(0, 0, 0, 0, 0))
+      s""""$k":{"read":${m.read},"write":${m.write},"spill":${m.spill},"njobs":${m.jobs},"gc_ms":${m.gcMs}}"""
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""

@@ -52,6 +52,70 @@ object Bpe {
     try trainFromVocab(vocab, nMerges) finally vocab.unpersist()
   }
 
+  /** Trained tokenizer state shared across pipeline entries: the merge
+    * table plus the deterministic base-symbol vocabulary [[packIds]]
+    * derives ids from. `baseSyms` is lazy — token counting never needs
+    * it, and in the distributed regime it costs an extra job.
+    */
+  final class Trained(val merges: Seq[Merge], baseSymsThunk: () => Array[String]) {
+    lazy val baseSyms: Array[String] = baseSymsThunk()
+  }
+
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Trained]
+
+  /** Memoized training keyed by (corpusKey, nMerges). Training is a
+    * pure function of the corpus, so the bpe_train / bpe_token_count /
+    * bpe_pack_ids entries of one process share ONE trained table
+    * instead of re-running the multi-round training loop three times —
+    * the sequential-job-count cost a loaded scheduler multiplies. The
+    * cached value is plain driver data (strings + longs), never a
+    * DataFrame, so it stays valid across SparkSessions; callers key by
+    * the corpus directory, whose contents are immutable inputs.
+    */
+  def trainedFor(docs: DataFrame, text: Column, nMerges: Int,
+      corpusKey: String): Trained =
+    trainedCache.getOrElseUpdate((corpusKey, nMerges),
+      trainUncached(docs, text, nMerges))
+
+  private[graft] def trainUncached(docs: DataFrame, text: Column,
+      nMerges: Int): Trained = {
+    val vocabRel = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      collectIfLocal(vocabRel) match {
+        case Some(rows) =>
+          val merges = trainLocal(rows, nMerges)
+          // base symbols fall out of the already-collected vocab — no job
+          val set = new java.util.HashSet[String]()
+          rows.foreach { case (w, _) =>
+            val a = graft.functions.TextHashes.bpeInitSyms(UTF8String.fromString(w))
+            var i = 0
+            while (i < a.numElements()) { set.add(a.getUTF8String(i).toString); i += 1 }
+          }
+          import scala.jdk.CollectionConverters._
+          val syms = sortedSyms(set.asScala.toArray)
+          new Trained(merges, () => syms)
+        case None =>
+          val merges = trainDistributed(vocabRel, nMerges)
+          // thunk re-derives the distinct base symbols from the corpus
+          // when (and only when) a packIds caller needs them — by then
+          // vocabRel is unpersisted, so recompute its cheap lineage
+          val vocabAgain = wordCounts(docs, text)
+          new Trained(merges, () => sortedSyms(
+            vocabAgain
+              .select(explode(GraftFunctions.bpeInitSyms(col("word"))).as("s"))
+              .distinct().collect().map(_.getString(0))))
+      }
+    } finally vocabRel.unpersist()
+  }
+
+  /** UTF8String binary order — the same ordering Spark's orderBy uses
+    * on string columns, so symbol ids are engine-independent.
+    */
+  private def sortedSyms(a: Array[String]): Array[String] =
+    a.sortWith((x, y) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0)
+
   /** Above this many distinct words the merge rounds stay distributed;
     * below it the word-frequency table collects to the driver once and
     * the rounds run locally (see trainFromVocab). ~10-char words plus
@@ -210,20 +274,42 @@ object Bpe {
       val c = a._1.compareTo(b._1)
       c < 0 || (c == 0 && a._2.compareTo(b._2) < 0)
     }
+    // Both per-round passes are embarrassingly parallel over words —
+    // chunked across the common FJ pool: the count pass merges exact
+    // per-chunk long histograms (addition is order-free, so the merged
+    // counts are identical to the sequential fold's), and the apply
+    // pass mutates disjoint index ranges. A real-vocabulary training
+    // (~10^6 words near localVocabThreshold) was single-threaded driver
+    // CPU for the whole merge budget; this spreads it across cores
+    // without changing a single learned merge.
+    val nChunks = math.max(1, math.min(32,
+      math.min(Runtime.getRuntime.availableProcessors, syms.length / 1024 + 1)))
+    val bounds = Array.tabulate(nChunks + 1)(c => c * syms.length / nChunks)
     val merges = ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < nMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(UTF8String, UTF8String), Long]
-      var wi = 0
-      while (wi < syms.length) {
-        val s = syms(wi)
-        var i = 0
-        while (i + 1 < s.length) {
-          val k = (s(i), s(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + cnts(wi))
-          i += 1
+      val chunkCounts =
+        new Array[scala.collection.mutable.HashMap[(UTF8String, UTF8String), Long]](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+        val m = scala.collection.mutable.HashMap.empty[(UTF8String, UTF8String), Long]
+        var wi = bounds(c)
+        while (wi < bounds(c + 1)) {
+          val s = syms(wi)
+          var i = 0
+          while (i + 1 < s.length) {
+            val k = (s(i), s(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + cnts(wi))
+            i += 1
+          }
+          wi += 1
         }
-        wi += 1
+        chunkCounts(c) = m
+      }
+      val counts = chunkCounts.maxBy(_.size)
+      chunkCounts.foreach { m =>
+        if (m ne counts) m.foreach { case (k, v) =>
+          counts.update(k, counts.getOrElse(k, 0L) + v)
+        }
       }
       if (counts.isEmpty) done = true
       else {
@@ -234,15 +320,15 @@ object Bpe {
         }
         val l = Array(best._1)
         val r = Array(best._2)
-        var j = 0
-        while (j < syms.length) {
-          syms(j) = {
+        java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+          var j = bounds(c)
+          while (j < bounds(c + 1)) {
             val applied = graft.functions.TextHashes.bpeApply(
               new org.apache.spark.sql.catalyst.util.GenericArrayData(
                 syms(j).asInstanceOf[Array[AnyRef]]), l, r)
-            Array.tabulate(applied.numElements())(applied.getUTF8String)
+            syms(j) = Array.tabulate(applied.numElements())(applied.getUTF8String)
+            j += 1
           }
-          j += 1
         }
         merges += Merge(merges.length + 1, best._1.toString, best._2.toString, bestC)
       }
@@ -252,11 +338,17 @@ object Bpe {
 
   /** The learned merge table as a DataFrame (rank, left, right,
     * pair_count) — the committed artifact of tokenizer training.
+    * `corpusKey` (e.g. the corpus directory) routes through the
+    * memoized [[trainedFor]] so sibling entries reuse the table.
     */
   def trainDf(spark: SparkSession, docs: DataFrame, text: Column,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, corpusKey: Option[String] = None): DataFrame = {
     import spark.implicits._
-    trainMerges(docs, text, nMerges)
+    val merges = corpusKey match {
+      case Some(k) => trainedFor(docs, text, nMerges, k).merges
+      case None => trainMerges(docs, text, nMerges)
+    }
+    merges
       .map(m => (m.rank, m.left, m.right, m.pairCount))
       .toDF("rank", "left", "right", "pair_count")
   }
@@ -295,33 +387,14 @@ object Bpe {
     * partitioning (asserted by spec).
     */
   def packIds(spark: SparkSession, docs: DataFrame, id: Column, text: Column,
-      nMerges: Int, seqLen: Int, bucketSpan: Int = 1024): DataFrame = {
-    val vocabRel = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
-    val localVocab = collectIfLocal(vocabRel)
-    val merges = localVocab match {
-      case Some(rows) => trainLocal(rows, nMerges)
-      case None => trainDistributed(vocabRel, nMerges)
+      nMerges: Int, seqLen: Int, bucketSpan: Int = 1024,
+      corpusKey: Option[String] = None): DataFrame = {
+    val trained = corpusKey match {
+      case Some(k) => trainedFor(docs, text, nMerges, k)
+      case None => trainUncached(docs, text, nMerges)
     }
-    // base symbols: from the already-collected vocab when local (no
-    // extra job), else the distributed distinct — same UTF8String
-    // binary sort either way
-    val baseSyms = (localVocab match {
-      case Some(rows) =>
-        val set = new java.util.HashSet[String]()
-        rows.foreach { case (w, _) =>
-          val a = graft.functions.TextHashes.bpeInitSyms(UTF8String.fromString(w))
-          var i = 0
-          while (i < a.numElements()) { set.add(a.getUTF8String(i).toString); i += 1 }
-        }
-        import scala.jdk.CollectionConverters._
-        set.asScala.toArray
-      case None =>
-        vocabRel
-          .select(explode(GraftFunctions.bpeInitSyms(col("word"))).as("s"))
-          .distinct().collect().map(_.getString(0))
-    }).sortWith((a, b) =>
-      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
-    vocabRel.unpersist()
+    val merges = trained.merges
+    val baseSyms = trained.baseSyms
     val ids = new java.util.HashMap[String, Integer]()
     baseSyms.zipWithIndex.foreach { case (s, i) => ids.put(s, i) }
     merges.foreach(m =>

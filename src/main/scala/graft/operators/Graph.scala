@@ -40,29 +40,63 @@ object Graph {
       .join(degRel, col("doc_id") === col("src"), "left")
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
-    val st = nodes.agg(count(lit(1)).as("n"))
+    // Dangling mass is a DRIVER-SIDE scalar recurrence, not a per-
+    // superstep aggregate job: symmetrized edges mean a zero-out-degree
+    // node also has zero in-degree, so every dangler carries the SAME
+    // rank v_t (v_0 = 1/n; v_t = 0.15/n + 0.85·m_{t-1}/n) and the
+    // oracle's decimal(38,20) sum over danglers is exactly
+    // D × dec(v_t) — reproduced below with Spark's own Decimal cast so
+    // the doubles stay bit-identical to the old aggregate (and to the
+    // unchanged unrolled DuckDB oracle). This removes two jobs per
+    // superstep (the dangling aggregate + its broadcast); the remaining
+    // per-superstep exchange is the one O(edges) contribution shuffle.
+    val cnts = nodeDeg.agg(count(lit(1)).as("n"),
+      count(when(col("deg") === 0, 1)).as("d")).head()
+    val n = cnts.getLong(0)
+    val nDangling = cnts.getLong(1)
+    // m_t as the oracle computes it: per-dangler cast to decimal(38,20)
+    // (Spark Cast semantics via types.Decimal), exact sum, cast back to
+    // double for the update expression.
+    def danglingMassDouble(v: Double): Double =
+      if (nDangling == 0L) 0.0
+      else {
+        val d = org.apache.spark.sql.types.Decimal(v)
+        d.changePrecision(38, 20)
+        d.toJavaBigDecimal
+          .multiply(java.math.BigDecimal.valueOf(nDangling))
+          .doubleValue()
+      }
 
     val decZero = lit(0).cast("decimal(38,20)")
-    var pr = nodeDeg.crossJoin(broadcast(st))
-      .select(col("doc_id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
+    var v = 1.0 / n // every dangler's current rank
+    var pr = nodeDeg.select(col("doc_id"), col("deg"), lit(v).as("pr"))
+    var sinceCheckpoint = 0
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(pr.select(col("doc_id").as("src"),
           col("pr").as("_pr"), col("deg").as("_deg")), "src")
         .groupBy(col("dst"))
         .agg(sum((col("_pr") / col("_deg")).cast("decimal(38,20)")).as("s"))
-      val dangling = pr.filter(col("deg") === 0)
-        .agg(coalesce(sum(col("pr").cast("decimal(38,20)")), decZero).as("m"))
+      val mOverN = danglingMassDouble(v) / n
+      // same expression tree as the oracle's
+      //   0.15/n + 0.85·(coalesce(s,0)::double + m::double/n)
+      // with the row-constant terms folded on the driver (identical
+      // IEEE ops, so each iteration's doubles are unchanged)
+      val base = 0.15 / n
       pr = nodeDeg
         .join(contrib, col("doc_id") === col("dst"), "left")
-        .crossJoin(broadcast(st))
-        .crossJoin(broadcast(dangling))
         .select(col("doc_id"), col("deg"),
-          (lit(0.15) / col("n") + lit(0.85) *
-            (coalesce(col("s"), decZero).cast("double") +
-              col("m").cast("double") / col("n"))).as("pr"))
-        .localCheckpoint()
+          (lit(base) + lit(0.85) *
+            (coalesce(col("s"), decZero).cast("double") + lit(mOverN))).as("pr"))
+      v = base + 0.85 * (0.0 + mOverN)
+      sinceCheckpoint += 1
+      // truncate lineage every few supersteps instead of every one —
+      // rank rows are consumed exactly once per superstep, so the only
+      // cost of a deeper plan is analysis time, not recompute
+      if (sinceCheckpoint >= 3) {
+        pr = pr.localCheckpoint(true)
+        sinceCheckpoint = 0
+      }
     }
     pr.select(col("doc_id"), col("deg"), round(col("pr"), 8).as("pr"))
   }

@@ -85,12 +85,16 @@ object Pq {
     var books = codebooks(corpus, m, ksub, dim)
     var i = 0
     while (i < iters) {
+      // _sub rides inside the argmin struct: it is constant within the
+      // (vec_id, b) group and (_dist, cid) is already a total order, so
+      // the chosen row is unchanged — but the old re-join with `subs`
+      // (a second corpus-sized shuffle per Lloyd iteration) disappears
       val assigned = subs.join(broadcast(books), "b")
         .withColumn("_dist", col("cn2") - lit(2.0) * dot(col("_sub"), col("cent")))
         .groupBy(col("vec_id"), col("b"))
-        .agg(min(struct(col("_dist"), col("cid"))).as("_best"))
-        .select(col("vec_id"), col("b"), col("_best.cid").as("cid"))
-        .join(subs, Seq("vec_id", "b"))
+        .agg(min(struct(col("_dist"), col("cid"), col("_sub"))).as("_best"))
+        .select(col("vec_id"), col("b"), col("_best.cid").as("cid"),
+          col("_best._sub").as("_sub"))
       books = assigned
         .select(col("b"), col("cid"), posexplode(col("_sub")).as(Seq("dim", "x")))
         .groupBy(col("b"), col("cid"), col("dim"))

@@ -634,15 +634,19 @@ object LlmOps {
     * vocab-bounded rounds. Mirrored by make_expected gen_bpe_train.
     */
   def bpe_train(spark: SparkSession, dir: String): DataFrame =
-    Bpe.trainDf(spark, Tables(spark, dir, "documents"), col("text"), nMerges = 24)
+    Bpe.trainDf(spark, Tables(spark, dir, "documents"), col("text"), nMerges = 24,
+      corpusKey = Some(dir))
       .orderBy(col("rank"))
 
   /** Per-doc token counts under the corpus's own learned BPE table —
-    * the "token budget" pass. Mirrored by gen_bpe_token_count.
+    * the "token budget" pass. Mirrored by gen_bpe_token_count. The
+    * merge table comes from the memoized [[Bpe.trainedFor]], so this
+    * entry never re-trains the table bpe_train already learned for
+    * the same corpus.
     */
   def bpe_token_count(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val merges = Bpe.trainMerges(docs, col("text"), nMerges = 24)
+    val merges = Bpe.trainedFor(docs, col("text"), nMerges = 24, corpusKey = dir).merges
     Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
       .orderBy(col("doc_id"))
   }
@@ -655,7 +659,8 @@ object LlmOps {
     */
   def bpe_pack_ids(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    Bpe.packIds(spark, d, col("doc_id"), col("text"), nMerges = 24, seqLen = 64)
+    Bpe.packIds(spark, d, col("doc_id"), col("text"), nMerges = 24, seqLen = 64,
+      corpusKey = Some(dir))
       .select(col("seq_id"), posexplode(col("token_ids")))
       .toDF("seq_id", "pos", "token_id")
       .orderBy(col("seq_id"), col("pos"))
@@ -693,36 +698,51 @@ object LlmOps {
     * approximation quality in every verify run).
     */
   def sim_recall_report(spark: SparkSession, dir: String): DataFrame = {
-    // shared across the six variants: one corpus cache, one exact
-    // baseline materialization
+    // shared across the eight variants: one corpus cache, one exact
+    // ground-truth materialization — computed and PINNED before the
+    // arms fork so none of them re-derives the brute-force relation
     val emb = Tables(spark, dir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = emb.filter(col("vec_id") < 64)
     val bf = Similarity.topKBruteForce(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def recallOf(name: String, approx: DataFrame): DataFrame = {
+    val total = bf.count().toDouble // materializes both caches, once
+    def recallOf(name: String, approx: => DataFrame): (String, Double) = {
       val hits = approx.select(col("query_id"), col("neighbor_id"))
         .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
-      // denominator = actual brute-force pair count, never a constant
-      hits.agg(count(lit(1)).cast("double").as("_hits"))
-        .crossJoin(bf.agg(count(lit(1)).cast("double").as("_total")))
-        .select(lit(name).as("method"),
-          round(col("_hits") / col("_total"), 4).as("recall_at_5"))
+        .count().toDouble
+      // same HALF_UP rounding as functions.round
+      (name, BigDecimal(hits / total)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    recallOf("lsh", Similarity.topKLsh(emb, queries, k = 5, bits = 6))
-      .unionByName(recallOf("ivf", Similarity.topKIvf(emb, queries, k = 5)))
-      .unionByName(recallOf("ivf_kmeans",
-        Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)))
-      .unionByName(recallOf("pq", Pq.topKPq(emb, queries, k = 5)))
-      .unionByName(recallOf("ivfpq", Pq.topKIvfPq(emb, queries, k = 5)))
-      .unionByName(recallOf("ivfpq_nc", Pq.topKIvfPqWith(emb, queries, k = 5,
+    // The eight arms are independent reads of the pinned corpus/ground
+    // truth — score them CONCURRENTLY (Spark schedules jobs from many
+    // threads; each arm's training collects and candidate scans
+    // interleave instead of serializing). This was the suite's most
+    // expensive query precisely because the arms ran one after another.
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      ("lsh", () => Similarity.topKLsh(emb, queries, k = 5, bits = 6)),
+      ("ivf", () => Similarity.topKIvf(emb, queries, k = 5)),
+      ("ivf_kmeans", () => Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)),
+      ("pq", () => Pq.topKPq(emb, queries, k = 5)),
+      ("ivfpq", () => Pq.topKIvfPq(emb, queries, k = 5)),
+      ("ivfpq_nc", () => Pq.topKIvfPqWith(emb, queries, k = 5,
         Similarity.centroidsFor(emb, 16, kmeansIters = 0),
         Pq.codebooks(emb, m = 8, ksub = 16, dim = 64),
-        nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)))
-      .unionByName(recallOf("sq8", Sq8.topKSq8(emb, queries, k = 5)))
-      .unionByName(recallOf("opq", Opq.topKOpq(emb, queries, k = 5)))
-      .orderBy(col("method"))
+        nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)),
+      ("sq8", () => Sq8.topKSq8(emb, queries, k = 5)),
+      ("opq", () => Opq.topKOpq(emb, queries, k = 5)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val rows = Await.result(
+      Future.sequence(arms.map { case (name, mk) =>
+        Future(recallOf(name, mk()))
+      }), Duration.Inf)
+    import spark.implicits._
+    rows.sortBy(_._1).toDF("method", "recall_at_5")
   }
 
   def sim_topk_ivf(spark: SparkSession, dir: String): DataFrame = {

@@ -14,14 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryMeasure {
 
-  /** Run `work`, returning (seconds, shuffleRead, shuffleWrite,
-    * spilled) byte deltas; seconds = -1.0 if it threw (reported on
+  /** Run `work`, returning (seconds, metric deltas: shuffle read/write,
+    * spill, job count, GC ms); seconds = -1.0 if it threw (reported on
     * stderr, never fatal to the suite).
     */
   def measure(spark: SparkSession, metrics: ShuffleMetricsListener, name: String)(
-      work: => Unit): (Double, Long, Long, Long) = {
+      work: => Unit): (Double, ShuffleMetricsListener.Snap) = {
     System.gc()
-    val (r0, w0, s0) = metrics.snapshot(spark.sparkContext)
+    val m0 = metrics.snapshot(spark.sparkContext)
     val t0 = System.nanoTime()
     val t =
       try { work; (System.nanoTime() - t0) / 1e9 }
@@ -30,8 +30,8 @@ object QueryMeasure {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
-    val (r1, w1, s1) = metrics.snapshot(spark.sparkContext)
+    val m1 = metrics.snapshot(spark.sparkContext)
     spark.catalog.clearCache()
-    (t, r1 - r0, w1 - w0, s1 - s0)
+    (t, m1 - m0)
   }
 }

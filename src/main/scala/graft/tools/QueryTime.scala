@@ -31,11 +31,11 @@ object QueryTime {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       for (round <- 1 to 2) {
-        val (t, r, w, s) = QueryMeasure.measure(spark, metrics, name) {
+        val (t, m) = QueryMeasure.measure(spark, metrics, name) {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
         }
-        println(f"[qtime] $name round$round ${t}%.2f s shuffleR=${mb(r)} " +
-          f"shuffleW=${mb(w)} spill=${mb(s)}")
+        println(f"[qtime] $name round$round ${t}%.2f s shuffleR=${mb(m.read)} " +
+          f"shuffleW=${mb(m.write)} spill=${mb(m.spill)} njobs=${m.jobs} gc=${m.gcMs}ms")
       }
     }
     spark.stop()

@@ -52,8 +52,8 @@ object ScaleBench {
     catch { case _: Throwable => }
 
     def measure(name: String)(run: => Unit): (String, Double, Long, Long, Long) = {
-      val (t, r, w, s) = QueryMeasure.measure(spark, metrics, name)(run)
-      (name, t, r, w, s)
+      val (t, m) = QueryMeasure.measure(spark, metrics, name)(run)
+      (name, t, m.read, m.write, m.spill)
     }
 
     // events-table ops run when the corpus dir carries an events table
