@@ -76,6 +76,25 @@ object EngineOps {
         |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)
   }
 
+  /** CREATE TABLE … AS SELECT through the engine, then query the
+    * MATERIALIZED table by name — the catalog round trip for a
+    * pipeline OUTPUT (Engine.materializeCtas): the defining SELECT
+    * runs once into engine-managed parquet; the follow-up SELECT reads
+    * the registered files, not the source tables.
+    */
+  def eng_ctas(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val eng = engine(spark, dir)
+    eng.execute(
+      """CREATE TABLE doc_source_stats AS
+        |SELECT source, count(*) AS n_docs,
+        | cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin)
+    eng.sqlDf(
+      """SELECT source, n_docs, sum_chars FROM doc_source_stats
+        |WHERE n_docs >= 2 ORDER BY source""".stripMargin)
+  }
+
   private def roundtrip(spark: SparkSession, dir: String, table: String,
       file: String, fmt: Writers.ExportFormat, readFmt: DataSourceFormat,
       selectBack: DataFrame => DataFrame): DataFrame = {
@@ -362,6 +381,7 @@ object EngineOps {
     "fmt_glob_path" -> (fmt_glob_path _),
     "eng_fetch_limit" -> (eng_fetch_limit _),
     "eng_create_table" -> (eng_create_table _),
+    "eng_ctas" -> (eng_ctas _),
     "fmt_csv_roundtrip" -> (fmt_csv_roundtrip _),
     "fmt_tsv_roundtrip" -> (fmt_tsv_roundtrip _),
     "fmt_ndjson_roundtrip" -> (fmt_ndjson_roundtrip _),
@@ -416,6 +436,13 @@ object EngineOps {
     "eng_create_table" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+    "eng_ctas" ->
+      """WITH doc_source_stats AS (
+        | SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        | FROM documents GROUP BY source)
+        |SELECT source, n_docs, sum_chars FROM doc_source_stats
+        |WHERE n_docs >= 2 ORDER BY source""".stripMargin,
     "fmt_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "fmt_tsv_roundtrip" ->

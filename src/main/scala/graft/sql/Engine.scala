@@ -124,6 +124,47 @@ class Engine(
         e.bucketBy, Some(sortKey), e.numBuckets)
   }
 
+  /** CREATE TABLE … AS SELECT: run the SELECT through the same
+    * resolution as /fetch (direct paths, catalog names, temp views),
+    * materialize its result as engine-managed parquet under the
+    * catalog dir, and register the name — afterwards
+    * `select * from <name>` works over HTTP like any reference table,
+    * so a pipeline's OUTPUT (near-dup verdicts, quality reports)
+    * becomes a queryable relation instead of a one-shot result set.
+    *
+    * Same consistency conventions as [[materializeBucketed]]: the
+    * output dir is VERSIONED by a hash of the defining SELECT (a
+    * re-issued identical CTAS reuses the finished version via its
+    * `_SUCCESS` marker instead of rewriting under a concurrent
+    * scanner; a CHANGED select materializes a fresh dir), a
+    * cross-process file lock serializes writers of one version, and
+    * the dir carries a `.parquet` suffix so the catalog's normal
+    * extension-inferred read path resolves it with zero special-casing.
+    * 100 TB note: the write is a plain distributed parquet write of
+    * whatever plan Catalyst chose for the SELECT — the catalog itself
+    * still stores only the pointer.
+    */
+  private def materializeCtas(name: String, select: String): Unit = {
+    val ver = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(select) & 0x7fffffff)
+    val outDir = java.nio.file.Paths.get(catalogDir, "ctas", s"$name-$ver.parquet")
+    java.nio.file.Files.createDirectories(outDir.getParent)
+    val lockPath = outDir.getParent.resolve(s".$name-$ver.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (!java.nio.file.Files.exists(outDir.resolve("_SUCCESS")))
+          sqlDf(select).write.mode("overwrite").parquet(outDir.toString)
+      } finally lock.release()
+    } finally ch.close()
+    catalog.register(name, outDir.toString, Nil, None, entryType = "MANAGED")
+    // a pointer-registration temp view of the same name from an earlier
+    // read must not shadow the new version on re-resolution
+    spark.catalog.dropTempView(name)
+  }
+
   /** The /fetch DataFrame: SELECT wrapped with a row cap
     * (reference: src/controllers.rs:33 `select * from (…) limit 200`).
     */
@@ -171,6 +212,9 @@ class Engine(
           // the rebuild path after a LOCATION change); pointer-only
           // DDL stays lazy, exactly like the reference
           if (nBuckets.isDefined) materializeBucketed(name, e)
+          FetchResult(Seq("summary"), Seq(Seq("successful")), "DDL", ms)
+        case CtasStatement(name, select) =>
+          materializeCtas(name, select)
           FetchResult(Seq("summary"), Seq(Seq("successful")), "DDL", ms)
       }
       catalog.recordQuery(sql, "successful")

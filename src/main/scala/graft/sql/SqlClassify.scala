@@ -27,6 +27,15 @@ case class CreateTableStatement(
     sortBy: Option[String] = None,
     numBuckets: Option[Int] = None) extends SqlStatement
 
+/** CREATE TABLE name AS SELECT … — this engine's extension over the
+  * reference's pointer-only DDL: the SELECT runs once, its result is
+  * materialized as engine-managed parquet, and the name registers in
+  * the persistent catalog like any other table — so the OUTPUT of a
+  * pipeline run (a dedup verdict, a quality report) is queryable over
+  * /fetch by name afterwards.
+  */
+case class CtasStatement(tableRef: String, selectSql: String) extends SqlStatement
+
 class GraftSqlException(msg: String) extends RuntimeException(msg)
 
 object SqlClassify {
@@ -37,6 +46,9 @@ object SqlClassify {
       """(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s*(?:sorted\s+by\s*\(\s*(\w+)\s*\)\s*)?into\s+(\d+)\s+buckets\s*)?""" +
       """location\s+'([^']+)'\s*;?\s*$""").r
 
+  private val CtasRe =
+    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s+as\s+((?:select|with)\b.*)$""".r
+
   def classify(sql: String): SqlStatement = {
     val trimmed = sql.trim.stripSuffix(";").trim
     val head = trimmed.take(16).toLowerCase
@@ -44,6 +56,11 @@ object SqlClassify {
       DmlStatement(trimmed)
     } else if (head.startsWith("create")) {
       trimmed match {
+        case CtasRe(name, select) =>
+          if (name.contains('.'))
+            throw new GraftSqlException(
+              s"Multi-part table names are not supported: '$name' — use a single-part name")
+          CtasStatement(name, select.trim)
         case CreateTableRe(name, cols, comment, bucketCol, sortCol, nBuckets, location) =>
           if (name.contains('.'))
             throw new GraftSqlException(
@@ -52,7 +69,8 @@ object SqlClassify {
             Option(bucketCol), Option(sortCol), Option(nBuckets).map(_.toInt))
         case _ => throw new GraftSqlException(
           "Unsupported CREATE syntax — expected: CREATE TABLE name (col type, ...) [COMMENT '...'] " +
-            "[CLUSTERED BY (col) [SORTED BY (col)] INTO n BUCKETS] LOCATION 'path'")
+            "[CLUSTERED BY (col) [SORTED BY (col)] INTO n BUCKETS] LOCATION 'path' — " +
+            "or CREATE TABLE name AS SELECT ...")
       }
     } else {
       throw new GraftSqlException(

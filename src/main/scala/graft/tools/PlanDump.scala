@@ -53,7 +53,9 @@ object PlanDump {
     "q48_ignore_nulls" -> "one user-keyed exchange, partition-local IGNORE NULLS frames — scales with users, not time",
     "pipeline_rag_index" -> "chunk explode + hash-embed kernel + broadcast query relation + per-query heap, ALL inside the scan — zero corpus shuffle",
     "search_rrf" -> "two matched-postings arms over one shared scan shape, heap ranks (no windows), fusion full-outer join of two tiny pooled relations",
-    "fmt_schema_evolution" -> "merged-footer scan: v1 files project lang as null, coalesce in the projection")
+    "fmt_schema_evolution" -> "merged-footer scan: v1 files project lang as null, coalesce in the projection",
+    "dedup_simhash" -> "64-bit sigs from the scan, Manku combination banding as constant-mask bitwiseAND band keys, distinct-signature collapse before the band join",
+    "graph_pagerank" -> "per-superstep ONE O(edges) decimal-partial exchange; dangling mass folded into the update as a driver constant (no per-superstep aggregate)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -110,6 +110,44 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.catalog.listTables.exists(_.tableRef == "li_ext"))
   }
 
+  test("CTAS: classify, materialize once, query by name, survive a fresh engine") {
+    import graft.sql.CtasStatement
+    // classification: CTAS vs pointer DDL vs rejected CREATE
+    assert(SqlClassify.classify("create table t as select 1 as x") ==
+      CtasStatement("t", "select 1 as x"))
+    assert(SqlClassify.classify(
+      "CREATE TABLE t AS WITH c AS (SELECT 1 AS x) SELECT * FROM c")
+      .isInstanceOf[CtasStatement])
+    assert(SqlClassify.classify("create table t () location 'z.parquet'")
+      .isInstanceOf[CreateTableStatement])
+    intercept[GraftSqlException](SqlClassify.classify("create table a.b as select 1"))
+
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val e1 = new Engine(spark, dataDir = sfDir, catalogDir = dir)
+    val r = e1.execute(
+      s"""create table nat_by_region as
+         |select n_regionkey, count(*) as n
+         |from '$sfDir/nation.parquet' group by n_regionkey""".stripMargin)
+    assert(r.sqlType == "DDL" && r.rows == Seq(Seq("successful")))
+    // queryable by name through the catalog — and from a FRESH engine
+    // (the files are engine-managed parquet, the catalog holds the pointer)
+    val e2 = new Engine(spark, dataDir = sfDir, catalogDir = dir)
+    val res = e2.execute("select n_regionkey, n from nat_by_region order by n_regionkey")
+    assert(res.rows.length == 5 && res.rows.forall(_(1) == "5"))
+    // re-issuing the identical CTAS reuses the finished version
+    val entriesBefore = e2.catalog.entries.count(_.tableRef == "nat_by_region")
+    e2.execute(
+      s"""create table nat_by_region as
+         |select n_regionkey, count(*) as n
+         |from '$sfDir/nation.parquet' group by n_regionkey""".stripMargin)
+    val latest = e2.catalog.lookup("nat_by_region").get
+    assert(latest.tablePath.endsWith(".parquet"))
+    assert(e2.catalog.entries.count(_.tableRef == "nat_by_region") == entriesBefore + 1)
+    // export rejects CTAS like any non-SELECT
+    intercept[GraftSqlException](
+      e2.exportFile("create table z as select 1", "CSV", "/tmp/zz.csv"))
+  }
+
   test("query history records status, newest first, capped") {
     val eng = freshEngine()
     eng.execute("select 1 as x")

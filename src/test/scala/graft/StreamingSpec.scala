@@ -317,6 +317,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(aExp.isRemoved)
   }
 
+  test("changelog TTL end-to-end: ProcessingTimeTimeout fires under a real clock and the retractions land in the sink") {
+    // The unit-level TTL test above drives the expiry branch through
+    // TestGroupState; this one drives it through a REAL micro-batch run
+    // (ProcessingTime trigger — AvailableNow never fires processing-time
+    // timeouts): two users reach funnel stages, the stream idles past
+    // the horizon, a third user's batch arrives, and the sink must show
+    // the first two users' rows RETRACTED — drained equals batch
+    // restricted to live-horizon keys.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.streaming.StreamingEvents
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val ttl = Some("2 seconds")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    val input = MemoryStream[(Long, Int, Long)]
+    val sink = s"graft_ttl_e2e_${System.nanoTime()}"
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        StreamingEvents.funnelUpdate(stages, ttl))
+      .toDF("stage", "weight")
+      .groupBy(col("stage")).agg(sum(col("weight")).as("n_users"))
+      .filter(col("n_users") > 0)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // processing-time timeouts keep the engine running (empty)
+      // micro-batches continuously, so processAllAvailable never
+      // observes quiescence — every expectation below is a
+      // deadline-bounded poll of the Complete-mode sink instead
+      def awaitSink(expect: Map[String, Long], what: String): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var got = Map.empty[String, Long]
+        while ({
+          got = spark.table(sink).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          got != expect && System.nanoTime() < deadline
+        }) Thread.sleep(200)
+        assert(got == expect, s"$what: got $got, want $expect")
+      }
+      // user 1 reaches view+click, user 2 reaches view
+      input.addData((1L, 0, 100L), (1L, 1, 200L), (2L, 0, 150L))
+      awaitSink(Map("01_view" -> 2L, "02_click" -> 1L), "pre-expiry")
+      // idle past the 2 s horizon, then land a batch for a NEW user —
+      // users 1 and 2 time out under the real clock and retract
+      // everything they emitted: the sink must converge to batch over
+      // live-horizon keys only
+      Thread.sleep(2600)
+      input.addData((3L, 0, 900L))
+      awaitSink(Map("01_view" -> 1L), "post-expiry")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
