@@ -179,7 +179,7 @@ object StreamingEvents {
     import spark.implicits._
     val us = gapUs
     val prepared = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    drain(spark, prepared, batches, "ts_us", "sessionize-stream", arrivalSalt) { stream =>
+    drain(spark, prepared, batches, "ts_us", "sessionize-stream", arrivalSalt, selfTerminating = stateTtl.isEmpty) { stream =>
       stream.as[(Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -245,7 +245,7 @@ object StreamingEvents {
     import spark.implicits._
     val prepared = events.select(col("user_id"),
       unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
-    val drained = drain(spark, prepared, batches, "tsu", "paths", arrivalSalt) { stream =>
+    val drained = drain(spark, prepared, batches, "tsu", "paths", arrivalSalt, selfTerminating = stateTtl.isEmpty) { stream =>
       stream.as[(Long, Long, Long, String)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -312,7 +312,7 @@ object StreamingEvents {
     import spark.implicits._
     val prepared = events.select(col("event_type"),
       date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
-    drain(spark, prepared, batches, "hour", "anomaly-stream", arrivalSalt) { stream =>
+    drain(spark, prepared, batches, "hour", "anomaly-stream", arrivalSalt, selfTerminating = stateTtl.isEmpty) { stream =>
       stream.as[(String, String)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -356,7 +356,8 @@ object StreamingEvents {
     * across seeds.
     */
   private[streaming] def drain(spark: SparkSession, prepared: DataFrame, batches: Int,
-      rangeCol: String, sinkPrefix: String, arrivalSalt: Option[Long] = None)(
+      rangeCol: String, sinkPrefix: String, arrivalSalt: Option[Long] = None,
+      selfTerminating: Boolean = true)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$sinkPrefix")
     dir.toFile.deleteOnExit()
@@ -365,6 +366,13 @@ object StreamingEvents {
       .getOrElse(col(rangeCol))
     prepared.repartitionByRange(batches, batchKey)
       .write.mode("overwrite").parquet(dir.toString)
+    // `selfTerminating = false` (any pipeline arming ProcessingTimeTimeout):
+    // MicroBatchExecution.shouldRunAnotherBatch is unconditionally true
+    // once processing-time timeouts exist, so Trigger.AvailableNow NEVER
+    // reaches its end-of-data stop — the query spins empty micro-batches
+    // forever. Drain such pipelines by watching cumulative source input
+    // rows and stopping once every staged row is committed.
+    val staged = if (selfTerminating) -1L else spark.read.parquet(dir.toString).count()
     val stream = spark.readStream
       .schema(prepared.schema)
       .option("maxFilesPerTrigger", "1")
@@ -375,8 +383,36 @@ object StreamingEvents {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally if (q.isActive) q.stop()
+      try {
+        if (selfTerminating) q.awaitTermination()
+        else {
+          // recentProgress is a bounded ring the empty-batch spin would
+          // overwrite — accumulate input rows in a listener instead.
+          val consumed = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+              if (e.progress.id == q.id) consumed.addAndGet(e.progress.numInputRows)
+          }
+          spark.streams.addListener(listener)
+          try {
+            val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+            while (q.isActive && consumed.get() < staged && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            if (consumed.get() < staged)
+              throw new IllegalStateException(
+                s"drain($sinkPrefix): ${consumed.get()}/$staged rows after deadline")
+          } finally {
+            spark.streams.removeListener(listener)
+            q.stop()
+            q.awaitTermination()
+          }
+        }
+      } finally if (q.isActive) q.stop()
     }
     val drained = spark.table(sinkName).localCheckpoint()
     spark.catalog.dropTempView(sinkName)
@@ -490,7 +526,7 @@ object StreamingEvents {
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), stageIdx.as("stage_idx"),
         unix_micros(col("ts")).as("ts_us"))
-    drain(spark, prepared, batches, "ts_us", "funnel-stream", arrivalSalt) { stream =>
+    drain(spark, prepared, batches, "ts_us", "funnel-stream", arrivalSalt, selfTerminating = stateTtl.isEmpty) { stream =>
       stream.as[(Long, Int, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(
@@ -514,7 +550,7 @@ object StreamingEvents {
     val prepared = events.select(col("user_id"),
       floor(unix_timestamp(col("ts")) / lit(7L * 24 * 3600)).cast("long").as("week"),
       (col("event_type") === anchor).as("is_anchor"))
-    drain(spark, prepared, batches, "week", "retention-stream", arrivalSalt) { stream =>
+    drain(spark, prepared, batches, "week", "retention-stream", arrivalSalt, selfTerminating = stateTtl.isEmpty) { stream =>
       stream.as[(Long, Long, Boolean)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), timeoutFor(stateTtl))(

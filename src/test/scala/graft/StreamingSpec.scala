@@ -382,6 +382,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL-armed drain terminates: poll-stop ends the AvailableNow spin and matches plain") {
+    // With ProcessingTimeTimeout armed, MicroBatchExecution's
+    // shouldRunAnotherBatch is unconditionally true — an AvailableNow
+    // query never reaches its end-of-data stop and spins empty
+    // micro-batches forever (observed live: a 25x stress arm still
+    // spinning after 40 minutes). drain(selfTerminating = false) must
+    // stop the query once every staged row is committed, and the
+    // drained table must equal the plain (NoTimeout) drain — the 7-day
+    // horizon expires nothing during the run.
+    val events = Tables(spark, sfDir, "events")
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(r.fieldIndex("stage")),
+      r.getLong(r.fieldIndex("n_users")))
+    val plain = graft.streaming.StreamingEvents.runFunnel(spark, events)
+      .collect().map(key).toSet
+    val ttl = graft.streaming.StreamingEvents.runFunnel(spark, events,
+        stateTtl = Some("7 days"))
+      .collect().map(key).toSet
+    assert(ttl == plain, s"ttl-armed drain $ttl != plain $plain")
+  }
+
   test("sessionization: single user with two bursts yields two sessions") {
     import spark.implicits._
     val ts = (off: Long) => new java.sql.Timestamp(1700000000000L + off)
