@@ -719,6 +719,14 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def vecNorm(c: Column): Column = Bridge.column(VecNorm(Bridge.expression(c)))
+
+  /** One-pass fixed-point vector moments (n, Σ⌊x·fp⌋, upper-triangle
+    * Σ⌊xᵢxⱼ·fp⌋) — the scalable replacement for posexplode-then-sum
+    * moment plans; exact and order-free like them.
+    */
+  def vecMomentsFp(vec: Column, fp: Double, dim: Int, outer: Boolean): Column =
+    Bridge.column(org.apache.spark.sql.graftglue.VecMomentsFp(
+      Bridge.expression(vec), fp, dim, outer).toAggregateExpression())
   def winnowMinMax(c: Column, n: Int): Column =
     Bridge.column(WinnowMinMax(Bridge.expression(c), n))
   def shingles(c: Column, k: Int): Column =

@@ -43,32 +43,35 @@ object Pca {
     * integer-sum aggregates; returns (n, mean, cov).
     */
   def moments(emb: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
-    val x = emb.select(posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi").cast("double").as("xi"))
-    val m1 = x.groupBy(col("i"))
-      .agg(sum((col("xi") * lit(Fp)).cast("long")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val n = m1.head.getLong(2)
-    val s1 = Array.ofDim[Long](dim)
-    m1.foreach(r => s1(r.getInt(0)) = r.getLong(1))
-
-    val s2rows = emb.select(col("embedding"))
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"),
-        ((col("xi") * col("xj").cast("double")) * lit(Fp)).cast("long").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s2"))
-      .collect()
+    // One scan, one custom aggregate, one collected row: the old plan
+    // double-posexploded every embedding into dim(dim+1)/2 = 2 080
+    // (i, j, product) rows BEFORE the partial aggregate — 2 080× the
+    // corpus row count through a hash aggregate, in two separate jobs.
+    // VecMomentsFp keeps one running (n, s1, s2) array per partial
+    // (map-side combined, one triple per partition on the exchange)
+    // with the identical per-element truncate-then-sum arithmetic, so
+    // the collected moments are bit-identical to the explode form.
+    val row = emb.agg(graft.functions.GraftFunctions
+      .vecMomentsFp(col("embedding"), Fp, dim, outer = true).as("m"))
+      .head().getStruct(0)
+    val n = row.getLong(0)
+    val s1 = row.getSeq[Long](1).toArray
+    val s2 = row.getSeq[Long](2).toArray
 
     val mean = s1.map(s => s.toDouble / (Fp * n.toDouble))
     val cov = Array.ofDim[Double](dim, dim)
-    s2rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val c = r.getLong(2).toDouble / (Fp * n.toDouble) - mean(i) * mean(j)
-      cov(i)(j) = c
-      cov(j)(i) = c
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = s2(idx).toDouble / (Fp * n.toDouble) - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        idx += 1
+        j += 1
+      }
+      i += 1
     }
     (n, mean, cov)
   }

@@ -95,19 +95,24 @@ object Pq {
         .agg(min(struct(col("_dist"), col("cid"), col("_sub"))).as("_best"))
         .select(col("vec_id"), col("b"), col("_best.cid").as("cid"),
           col("_best._sub").as("_sub"))
+      // one-pass fixed-point mean via the VecMomentsFp aggregate —
+      // same truncate-then-sum arithmetic as the old posexplode +
+      // per-dim sum (bit-identical centroids), without inflating the
+      // corpus by sub-vector width before the partial aggregate
       books = assigned
-        .select(col("b"), col("cid"), posexplode(col("_sub")).as(Seq("dim", "x")))
-        .groupBy(col("b"), col("cid"), col("dim"))
-        .agg((sum((col("x") * Fp).cast("long")).cast("double") /
-          (count(lit(1)) * Fp)).as("mn"))
         .groupBy(col("b"), col("cid"))
-        .agg(expr("array_sort(collect_list(struct(dim, mn)))").as("dm"))
-        .select(col("b"), col("cid"),
-          expr("transform(dm, s -> cast(s.mn as float))").as("cent"))
+        .agg(graft.functions.GraftFunctions
+          .vecMomentsFp(col("_sub"), Fp, dim / m, outer = false).as("_m"))
+        .select(col("b"), col("cid"), expr(
+          s"transform(_m.s1, s -> cast(cast(s as double) / (_m.n * ${Fp}D) as float))")
+          .as("cent"))
         .withColumn("cn2", dot(col("cent"), col("cent")))
       i += 1
     }
-    books
+    // the trained artifact is m×ksub rows and every caller uses it at
+    // least twice (encode + query LUT) — persist so the Lloyd chain
+    // above runs once, not once per downstream broadcast
+    if (iters > 0) books.persist(StorageLevel.MEMORY_AND_DISK) else books
   }
 
   /** The PQ index: (vec_id, codes array<int>[m], vnorm, rnorm). This

@@ -93,10 +93,15 @@ object Similarity {
         l2norm(col("embedding")).as("_cnorm"))
     var i = 0
     while (i < iters) {
+      // embedding rides through the argmin aggregate: it is constant
+      // within the vec_id group (every row is the same corpus vector ×
+      // a different centroid), so first() is deterministic here — and
+      // the old re-join with `corpus` (a corpus-sized shuffle join per
+      // Lloyd iteration at cluster scale) disappears.
       val assigned = corpus.join(broadcast(centroids))
         .withColumn("_cscore", dot(col("embedding"), col("_cent")) / col("_cnorm"))
-        .groupBy(col("vec_id")).agg(expr("max_by(cid, _cscore)").as("cid"))
-        .join(corpus, "vec_id")
+        .groupBy(col("vec_id")).agg(expr("max_by(cid, _cscore)").as("cid"),
+          first(col("embedding")).as("embedding"))
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
