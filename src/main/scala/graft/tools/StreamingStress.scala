@@ -82,28 +82,39 @@ object StreamingStress {
       ("evt_anomaly_stream", "plain", () => StreamingEvents.runAnomaly(spark, events)),
       ("evt_anomaly_stream", "ttl", () => StreamingEvents.runAnomaly(spark, events, stateTtl = ttl)))
 
+    // Both state-store backends: the default in-memory/HDFS provider
+    // AND RocksDB — the backend a 100 TB deployment actually runs
+    // (state off-heap and disk-spillable, snapshot+changelog uploads).
+    // Same pipelines, same drain; only the provider conf changes.
+    val providers = Seq(
+      "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
     val out = new StringBuilder("[")
     var first = true
-    runs.foreach { case (name, variant, mk) =>
-      System.gc()
-      listener.reset()
-      val t0 = System.nanoTime()
-      val res =
-        try { val n = mk().count(); Right(n) }
-        catch { case e: Throwable => Left(e.getMessage) }
-      val wall = (System.nanoTime() - t0) / 1e9
-      // progress events arrive async; give the bus a moment
-      org.apache.spark.graftglue.CoreBridge.waitListenerBus(spark.sparkContext)
-      val line = res match {
-        case Right(n) =>
-          f"""{"query":"$name","variant":"$variant","wall_s":$wall%.2f,"rows":$n,"batches":${listener.batches.get()},"peak_state_rows":${listener.maxRows.get()},"peak_state_bytes":${listener.maxBytes.get()}}"""
-        case Left(msg) =>
-          s"""{"query":"$name","variant":"$variant","error":${"\"" + msg.replace("\"", "'").take(120) + "\""}}"""
+    providers.foreach { case (provName, provClass) =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provClass)
+      runs.foreach { case (name, variant, mk) =>
+        System.gc()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val res =
+          try { val n = mk().count(); Right(n) }
+          catch { case e: Throwable => Left(e.getMessage) }
+        val wall = (System.nanoTime() - t0) / 1e9
+        // progress events arrive async; give the bus a moment
+        org.apache.spark.graftglue.CoreBridge.waitListenerBus(spark.sparkContext)
+        val line = res match {
+          case Right(n) =>
+            f"""{"query":"$name","variant":"$variant","provider":"$provName","wall_s":$wall%.2f,"rows":$n,"batches":${listener.batches.get()},"peak_state_rows":${listener.maxRows.get()},"peak_state_bytes":${listener.maxBytes.get()}}"""
+          case Left(msg) =>
+            s"""{"query":"$name","variant":"$variant","provider":"$provName","error":${"\"" + msg.replace("\"", "'").take(120) + "\""}}"""
+        }
+        println(s"[stress] $line")
+        if (!first) out.append(",\n") else first = false
+        out.append(line)
+        spark.catalog.clearCache()
       }
-      println(s"[stress] $line")
-      if (!first) out.append(",\n") else first = false
-      out.append(line)
-      spark.catalog.clearCache()
     }
     out.append("]")
     try {
