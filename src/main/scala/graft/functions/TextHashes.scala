@@ -873,6 +873,14 @@ object GraftFunctions {
           val k = intLit("spacesaving_topk", "k", 1)(es(1))
           org.apache.spark.sql.graftglue.SpaceSavingTopK(es.head, k,
             intLit("spacesaving_topk", "capacity", k)(es(2))) }),
+      ("vec_moments_fp",
+        "vec_moments_fp(vec, fp_bits, dim, outer) - AGGREGATE: one-pass 2^fp_bits fixed-point vector moments struct(n, s1, s2-upper-triangle)",
+        es => { arity("vec_moments_fp", 4)(es)
+          val fpBits = intLit("vec_moments_fp", "fp_bits", 1)(es(1))
+          org.apache.spark.sql.graftglue.VecMomentsFp(es.head,
+            (1L << fpBits).toDouble,
+            intLit("vec_moments_fp", "dim", 1)(es(2)),
+            intLit("vec_moments_fp", "outer", 0)(es(3)) != 0) }),
     )
   }
 

@@ -75,6 +75,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((30.0, 2L), (20.0, 3L)))
       val hh = agg.getSeq[org.apache.spark.sql.Row](1)
       assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("b", 2L), ("a", 1L)))
+      // one-pass fixed-point moments from SQL text: fp_bits=1 (fp=2),
+      // vectors (1,2) and (3,4) -> n=2, s1=(8,12),
+      // s2 upper-triangle = (2*1*1+2*3*3, 2*1*2+2*3*4, 2*2*2+2*4*4)
+      val mm = s.sql(
+        """SELECT vec_moments_fp(v, 1, 2, 1) AS m FROM VALUES
+          |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+          |  (array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS t(v)""".stripMargin)
+        .head().getStruct(0)
+      assert(mm.getLong(0) == 2L)
+      assert(mm.getSeq[Long](1) == Seq(8L, 12L))
+      assert(mm.getSeq[Long](2) == Seq(20L, 28L, 40L))
       // literal validation applies across the surface, not just hash_embed
       val bad = intercept[org.apache.spark.sql.AnalysisException] {
         s.sql("SELECT shingles('a b', 0)").head()
