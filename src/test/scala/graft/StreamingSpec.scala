@@ -382,6 +382,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint recovery: a stopped stateful drain resumes with correct state on both state-store providers") {
+    // A 100 TB deployment stops and restarts streaming queries
+    // constantly (deploys, preemption, failure); correctness rests on
+    // the state store reloading from the checkpoint so that sessions
+    // MERGE across the restart boundary. This drives it end-to-end:
+    // phase 1 drains the first half of the timeline (AvailableNow, an
+    // explicit checkpoint), the query terminates, the second half of
+    // the same users' events lands in the source dir, and a RESTARTED
+    // query (fresh memory sink, same checkpoint) must produce exactly
+    // the batch sessionization of the full corpus — late events merge
+    // into sessions whose state predates the restart. Run on both the
+    // default provider and RocksDB.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.functions.{col, sum, unix_micros}
+    import graft.streaming.StreamingEvents
+    import spark.implicits._
+    val events = Tables(spark, sfDir, "events")
+    val prepared = events.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val med = prepared.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val batch = Events.sessionStats(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+      for (prov <- Seq(
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        spark.conf.set(provKey, prov)
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-recov-src")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-recov-ckpt")
+        srcDir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+        prepared.filter(col("ts_us") <= med)
+          .repartition(2).write.mode("append").parquet(srcDir.toString)
+        def start(sink: String) = spark.readStream
+          .schema(prepared.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            StreamingEvents.sessionizeUpdate(86400000000L))
+          .toDF("user_id", "n_sessions", "n_events", "max_session_events", "weight")
+          .groupBy(col("user_id"), col("n_sessions"), col("n_events"),
+            col("max_session_events"))
+          .agg(sum(col("weight")).as("w"))
+          .filter(col("w") > 0)
+          .select(col("user_id"), col("n_sessions"), col("n_events"),
+            col("max_session_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        val sink1 = s"graft_recov1_${System.nanoTime()}"
+        val q1 = start(sink1)
+        q1.awaitTermination()
+        val partial = spark.table(sink1).count()
+        assert(partial > 0, s"$prov: phase 1 drained nothing")
+        // the rest of the SAME users' timelines arrives after the stop
+        prepared.filter(col("ts_us") > med)
+          .repartition(2).write.mode("append").parquet(srcDir.toString)
+        val sink2 = s"graft_recov2_${System.nanoTime()}"
+        val q2 = start(sink2)
+        q2.awaitTermination()
+        val resumed = spark.table(sink2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(resumed == batch,
+          s"$prov: resumed drain != batch (resumed ${resumed.size}, batch ${batch.size})")
+        spark.catalog.dropTempView(sink1)
+        spark.catalog.dropTempView(sink2)
+      }
+    } finally {
+      spark.conf.set(partKey, prevParts)
+      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+  }
+
   test("TTL-armed drain terminates: poll-stop ends the AvailableNow spin and matches plain") {
     // With ProcessingTimeTimeout armed, MicroBatchExecution's
     // shouldRunAnotherBatch is unconditionally true — an AvailableNow
