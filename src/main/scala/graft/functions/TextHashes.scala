@@ -877,6 +877,14 @@ object GraftFunctions {
         "vec_moments_fp(vec, fp_bits, dim, outer) - AGGREGATE: one-pass 2^fp_bits fixed-point vector moments struct(n, s1, s2-upper-triangle)",
         es => { arity("vec_moments_fp", 4)(es)
           val fpBits = intLit("vec_moments_fp", "fp_bits", 1)(es(1))
+          // 1L << n masks n to 6 bits in JVM semantics: fp_bits >= 63
+          // would silently wrap to a negative/wrong scale — reject it
+          // at analysis instead
+          if (fpBits > 62)
+            throw new org.apache.spark.sql.AnalysisException(
+              "INVALID_PARAMETER_VALUE.INTEGER",
+              Map("parameter" -> "fp_bits", "functionName" -> "vec_moments_fp",
+                "invalidValue" -> s"$fpBits (fp_bits must be <= 62)"))
           org.apache.spark.sql.graftglue.VecMomentsFp(es.head,
             (1L << fpBits).toDouble,
             intLit("vec_moments_fp", "dim", 1)(es(2)),

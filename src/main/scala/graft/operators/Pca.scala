@@ -55,6 +55,9 @@ object Pca {
       .vecMomentsFp(col("embedding"), Fp, dim, outer = true).as("m"))
       .head().getStruct(0)
     val n = row.getLong(0)
+    // fail loudly on an empty corpus (the old posexplode plan threw on
+    // head(); a silent n=0 here would divide into NaN means/covariance)
+    require(n > 0, "Pca.moments: empty input — no embedding rows to aggregate")
     val s1 = row.getSeq[Long](1).toArray
     val s2 = row.getSeq[Long](2).toArray
 

@@ -109,10 +109,19 @@ object Pq {
         .withColumn("cn2", dot(col("cent"), col("cent")))
       i += 1
     }
-    // the trained artifact is m×ksub rows and every caller uses it at
-    // least twice (encode + query LUT) — persist so the Lloyd chain
-    // above runs once, not once per downstream broadcast
-    if (iters > 0) books.persist(StorageLevel.MEMORY_AND_DISK) else books
+    // The trained artifact is m×ksub rows and every caller uses it at
+    // least twice (encode + query LUT) — persist AND materialize it so
+    // the Lloyd chain runs once and the corpus-sized `subs` cache can
+    // be released here rather than leak. OWNERSHIP: the returned
+    // relation is persisted; the caller should unpersist() it when
+    // done (sweeps training many configs otherwise accumulate cached
+    // books until LRU eviction).
+    if (iters > 0) {
+      val out = books.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize while `subs` is still cached
+      subs.unpersist()
+      out
+    } else books
   }
 
   /** The PQ index: (vec_id, codes array<int>[m], vnorm, rnorm). This
@@ -193,6 +202,18 @@ object Pq {
       normCorrect: Boolean = false): DataFrame = {
     val index = encode(corpus, books, m, dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    topKPqOnIndex(index, corpus, queries, k, books, m, dim, rerankMult, normCorrect)
+  }
+
+  /** PQ search over a PREBUILT (typically persisted) [[encode]]
+    * relation — callers scoring several query batches or several search
+    * variants share ONE coded corpus instead of re-encoding per call
+    * (sim_recall_report's pq/ivfpq/ivfpq_nc arms ride one index).
+    * `index` must be the encode() of `corpus` under `books`.
+    */
+  def topKPqOnIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      books: DataFrame, m: Int, dim: Int, rerankMult: Int,
+      normCorrect: Boolean = false): DataFrame = {
     val lut = queryLut(queries, books, m, dim)
     val qnorms = queryNorms(queries)
     // normCorrect divides ADC by the reconstruction's norm, not the
@@ -237,19 +258,20 @@ object Pq {
     */
   def varianceBalancedPerm(corpus: DataFrame, m: Int, dim: Int): Seq[Int] = {
     val Fp = 1048576.0
-    val stats = corpus
-      .select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(sum((col("x") * Fp).cast("long")).as("s1"),
-        sum((col("x") * col("x") * Fp).cast("long")).as("s2"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map { r =>
-        val n = r.getLong(3).toDouble
-        val mean = r.getLong(1).toDouble / (n * Fp)
-        val ex2 = r.getLong(2).toDouble / (n * Fp)
-        (r.getInt(0), ex2 - mean * mean)
-      }
+    // one-pass moments via VecMomentsFp (the s2 upper-triangle DIAGONAL
+    // is exactly Σ⌊xᵢ²·fp⌋) — replaces a dim×-row posexplode through a
+    // hash aggregate with one running-array partial per partition
+    val row = corpus.agg(graft.functions.GraftFunctions
+      .vecMomentsFp(col("embedding"), Fp, dim, outer = true).as("m"))
+      .head().getStruct(0)
+    val n = row.getLong(0).toDouble
+    val s1 = row.getSeq[Long](1)
+    val s2 = row.getSeq[Long](2)
+    val stats = (0 until dim).map { d =>
+      val mean = s1(d).toDouble / (n * Fp)
+      val ex2 = s2(d * dim - d * (d - 1) / 2).toDouble / (n * Fp)
+      (d, ex2 - mean * mean)
+    }
     require(stats.length == dim, s"expected $dim dims, saw ${stats.length}")
     val ordered = stats.sortBy { case (d, v) => (-v, d) }.map(_._1)
     // serpentine deal: 0..m-1, m-1..0, ... so block variance sums stay
@@ -301,13 +323,31 @@ object Pq {
   def topKIvfPqWith(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, books: DataFrame, nProbe: Int,
       m: Int, dim: Int, rerankMult: Int, normCorrect: Boolean = false): DataFrame = {
-    // the persisted production relation: coded corpus + cell id
+    val index = ivfPqIndex(corpus, centroids, books, m, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    topKIvfPqOnIndex(index, corpus, queries, k, centroids, books, nProbe, m, dim,
+      rerankMult, normCorrect)
+  }
+
+  /** The persisted production relation of IVF-PQ: coded corpus + cell
+    * id. Exposed so callers can build it ONCE (optionally from an
+    * already-persisted [[encode]] via the join in sim_recall_report)
+    * and search it repeatedly with [[topKIvfPqOnIndex]].
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, books: DataFrame,
+      m: Int, dim: Int): DataFrame = {
     val cells = Similarity.assignCells(corpus, centroids, "vec_id", "embedding", keep = 1)
       .withColumnRenamed("cid", "_cell")
-    val index = encode(corpus, books, m, dim)
-      .join(cells, "vec_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    encode(corpus, books, m, dim).join(cells, "vec_id")
+  }
 
+  /** IVF-PQ search over a PREBUILT (typically persisted) [[ivfPqIndex]]
+    * relation — the normCorrect and plain arms of one report share one
+    * coded+celled corpus instead of re-encoding per arm.
+    */
+  def topKIvfPqOnIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, books: DataFrame, nProbe: Int,
+      m: Int, dim: Int, rerankMult: Int, normCorrect: Boolean = false): DataFrame = {
     val probes = Similarity.assignCells(queries, centroids, "vec_id", "embedding", keep = nProbe)
       .select(col("vec_id").as("query_id"), col("cid").as("_cell"))
     val lut = queryLut(queries, books, m, dim)

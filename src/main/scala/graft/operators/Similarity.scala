@@ -80,40 +80,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Lloyd's k-means refinement of IVF centroids, fully declarative:
-    * assign (broadcast centroids + max_by), recompute means via
-    * posexplode over dimensions (one shuffle keyed by (cid, dim) —
-    * cardinality k×dims, uniform), rebuild centroid vectors. Seeds
-    * are the first k corpus vectors; `iters` rounds suffice for cell
-    * balance (exact convergence isn't needed for an ANN index).
+  /** Lloyd's k-means refinement of IVF centroids. The k centroids are
+    * a few KB, so they live DRIVER-SIDE between iterations (the
+    * classic Spark k-means shape): each iteration scores every corpus
+    * row against the k centroid literals inline (k·dim codegen'd
+    * multiply-adds — no join, no per-vector grouping shuffle) and
+    * recomputes means with ONE map-side-combined VecMomentsFp
+    * aggregate whose exchange is at most k (n, s1) pairs per
+    * partition. One Spark job per Lloyd iteration — the old
+    * declarative form cost a broadcast join + two shuffles + a 64×-row
+    * posexplode per iteration (29 jobs for the ivf_kmeans report arm;
+    * this form runs it in ~6). Seeds are the first k corpus vectors;
+    * `iters` rounds suffice for cell balance (exact convergence isn't
+    * needed for an ANN index). Fixed-point means (same device as
+    * [[Pq.trainCodebooks]]) keep the trained centroids independent of
+    * partial-aggregation order.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
-        l2norm(col("embedding")).as("_cnorm"))
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val Fp = 1048576.0 // 2^20 fixed-point scale for order-free means
+    var cents: Array[(Long, Array[Float])] = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
     var i = 0
     while (i < iters) {
-      // embedding rides through the argmin aggregate: it is constant
-      // within the vec_id group (every row is the same corpus vector ×
-      // a different centroid), so first() is deterministic here — and
-      // the old re-join with `corpus` (a corpus-sized shuffle join per
-      // Lloyd iteration at cluster scale) disappears.
-      val assigned = corpus.join(broadcast(centroids))
-        .withColumn("_cscore", dot(col("embedding"), col("_cent")) / col("_cnorm"))
-        .groupBy(col("vec_id")).agg(expr("max_by(cid, _cscore)").as("cid"),
-          first(col("embedding")).as("embedding"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"),
-          expr("transform(dm, s -> cast(s.m as float))").as("_cent"))
-      centroids = means.withColumn("_cnorm", l2norm(col("_cent")))
+      // argmax cell id as an inline expression: struct(score, cid)
+      // array_max — ties resolve to the highest cid, deterministically
+      val scoreCols = cents.map { case (cid, c) =>
+        val cnorm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        struct((dot(col("embedding"), typedLit(c.toSeq)) / lit(cnorm)).as("s"),
+          lit(cid).as("cid"))
+      }
+      val best = array_max(array(scoreCols.toIndexedSeq: _*)).getField("cid")
+      cents = corpus
+        .groupBy(best.as("cid"))
+        .agg(graft.functions.GraftFunctions
+          .vecMomentsFp(col("embedding"), Fp, dim, outer = false).as("_m"))
+        .select(col("cid"), col("_m.n").as("n"), col("_m.s1").as("s1"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getLong(0), r.getSeq[Long](2).toArray.map(s => (s / (n * Fp)).toFloat))
+        }
+        .sortBy(_._1)
       i += 1
     }
-    centroids
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "_cent")
+      .withColumn("_cnorm", l2norm(col("_cent")))
   }
 
   /** IVF (inverted-file) approximate top-k. Index build: every vector
@@ -130,8 +146,9 @@ object Similarity {
   private[graft] def centroidsFor(
       corpus: DataFrame, nCentroids: Int, kmeansIters: Int): DataFrame =
     if (kmeansIters > 0)
+      // already a k-row local relation (kmeansCentroids keeps the
+      // trained centroids driver-side) — nothing to persist
       kmeansCentroids(corpus, nCentroids, kmeansIters)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("_cent"),
         l2norm(col("embedding")).as("_cnorm"))

@@ -716,31 +716,57 @@ object LlmOps {
       (name, BigDecimal(hits / total)
         .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    // The eight arms are independent reads of the pinned corpus/ground
-    // truth — score them CONCURRENTLY (Spark schedules jobs from many
-    // threads; each arm's training collects and candidate scans
-    // interleave instead of serializing). This was the suite's most
-    // expensive query precisely because the arms ran one after another.
+    // Shared index artifacts, trained ONCE: the ivf / ivfpq / ivfpq_nc
+    // arms read the same seed-centroid relation; pq / ivfpq / ivfpq_nc
+    // ride ONE persisted coded corpus (encode runs once, not three
+    // times), and the IVF-PQ cell join builds off that same cache.
+    // Materialized sequentially BEFORE the arms fork so no two arms
+    // race to compute the same cached partitions.
+    val seedCentroids = Similarity.centroidsFor(emb, 16, kmeansIters = 0)
+    val seedBooks = Pq.codebooks(emb, m = 8, ksub = 16, dim = 64)
+    val pqIndex = Pq.encode(emb, seedBooks, m = 8, dim = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqIndex.count()
+    val ivfpqIndex = pqIndex.join(
+      Similarity.assignCells(emb, seedCentroids, "vec_id", "embedding", keep = 1)
+        .withColumnRenamed("cid", "_cell"), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfpqIndex.count()
+    // Heavy trainers (opq's PCA+Lloyd, ivf_kmeans' Lloyd, sq8's grid)
+    // lead the submission order so they overlap the cheap index readers.
     val arms: Seq[(String, () => DataFrame)] = Seq(
-      ("lsh", () => Similarity.topKLsh(emb, queries, k = 5, bits = 6)),
-      ("ivf", () => Similarity.topKIvf(emb, queries, k = 5)),
+      ("opq", () => Opq.topKOpq(emb, queries, k = 5)),
       ("ivf_kmeans", () => Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)),
-      ("pq", () => Pq.topKPq(emb, queries, k = 5)),
-      ("ivfpq", () => Pq.topKIvfPq(emb, queries, k = 5)),
-      ("ivfpq_nc", () => Pq.topKIvfPqWith(emb, queries, k = 5,
-        Similarity.centroidsFor(emb, 16, kmeansIters = 0),
-        Pq.codebooks(emb, m = 8, ksub = 16, dim = 64),
-        nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)),
       ("sq8", () => Sq8.topKSq8(emb, queries, k = 5)),
-      ("opq", () => Opq.topKOpq(emb, queries, k = 5)))
-    import scala.concurrent.{Await, Future}
+      ("lsh", () => Similarity.topKLsh(emb, queries, k = 5, bits = 6)),
+      ("ivf", () => Similarity.topKIvfWith(emb, queries, k = 5, seedCentroids, nProbe = 4)),
+      ("pq", () => Pq.topKPqOnIndex(pqIndex, emb, queries, k = 5,
+        seedBooks, m = 8, dim = 64, rerankMult = 8)),
+      ("ivfpq", () => Pq.topKIvfPqOnIndex(ivfpqIndex, emb, queries, k = 5,
+        seedCentroids, seedBooks, nProbe = 4, m = 8, dim = 64, rerankMult = 8)),
+      ("ivfpq_nc", () => Pq.topKIvfPqOnIndex(ivfpqIndex, emb, queries, k = 5,
+        seedCentroids, seedBooks, nProbe = 4, m = 8, dim = 64, rerankMult = 8,
+        normCorrect = true)))
+    // Bounded concurrency: 3 arms in flight, not 8 — overlapping a few
+    // training-collect-scan pipelines hides scheduler latency without
+    // the unbounded-global-pool GC storm (90 s GC in the round-6 loaded
+    // bench) of launching all eight at once.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val rows = Await.result(
-      Future.sequence(arms.map { case (name, mk) =>
-        Future(recallOf(name, mk()))
-      }), Duration.Inf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try Await.result(
+        Future.sequence(arms.map { case (name, mk) =>
+          Future(recallOf(name, mk()))
+        }), Duration.Inf)
+      finally {
+        pool.shutdown()
+        ivfpqIndex.unpersist()
+        pqIndex.unpersist()
+        bf.unpersist()
+        emb.unpersist()
+      }
     import spark.implicits._
     rows.sortBy(_._1).toDF("method", "recall_at_5")
   }

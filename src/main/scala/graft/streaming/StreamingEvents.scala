@@ -379,40 +379,46 @@ object StreamingEvents {
       .parquet(dir.toString)
     val sinkName = s"graft_${sinkPrefix.replace('-', '_')}_${System.nanoTime()}"
     withStreamingPartitions(spark) {
-      val q = pipeline(stream)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
-        .start()
+      // recentProgress is a bounded ring the empty-batch spin would
+      // overwrite — accumulate input rows in a listener instead. The
+      // listener registers BEFORE start() and matches on the sink/query
+      // NAME (unique per drain via nanoTime): the listener bus is async,
+      // so a listener added after start() can miss the first batches'
+      // progress events, leaving `consumed` permanently short of
+      // `staged` and spinning the drain into its 30-minute deadline.
+      val consumed = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.name == sinkName) consumed.addAndGet(e.progress.numInputRows)
+      }
+      if (!selfTerminating) spark.streams.addListener(listener)
       try {
-        if (selfTerminating) q.awaitTermination()
-        else {
-          // recentProgress is a bounded ring the empty-batch spin would
-          // overwrite — accumulate input rows in a listener instead.
-          val consumed = new java.util.concurrent.atomic.AtomicLong
-          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-            override def onQueryStarted(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-            override def onQueryTerminated(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-            override def onQueryProgress(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-              if (e.progress.id == q.id) consumed.addAndGet(e.progress.numInputRows)
+        val q = pipeline(stream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          if (selfTerminating) q.awaitTermination()
+          else {
+            try {
+              val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+              while (q.isActive && consumed.get() < staged && System.nanoTime() < deadline)
+                Thread.sleep(100)
+              if (consumed.get() < staged)
+                throw new IllegalStateException(
+                  s"drain($sinkPrefix): ${consumed.get()}/$staged rows after deadline")
+            } finally {
+              q.stop()
+              q.awaitTermination()
+            }
           }
-          spark.streams.addListener(listener)
-          try {
-            val deadline = System.nanoTime() + 30L * 60 * 1000000000L
-            while (q.isActive && consumed.get() < staged && System.nanoTime() < deadline)
-              Thread.sleep(100)
-            if (consumed.get() < staged)
-              throw new IllegalStateException(
-                s"drain($sinkPrefix): ${consumed.get()}/$staged rows after deadline")
-          } finally {
-            spark.streams.removeListener(listener)
-            q.stop()
-            q.awaitTermination()
-          }
-        }
-      } finally if (q.isActive) q.stop()
+        } finally if (q.isActive) q.stop()
+      } finally if (!selfTerminating) spark.streams.removeListener(listener)
     }
     val drained = spark.table(sinkName).localCheckpoint()
     spark.catalog.dropTempView(sinkName)

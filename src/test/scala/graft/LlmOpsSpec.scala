@@ -349,6 +349,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.keySet ==
       Set("lsh", "ivf", "ivf_kmeans", "pq", "ivfpq", "ivfpq_nc", "sq8", "opq"))
     r.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+    // Per-arm recall FLOORS on the fixture corpus (sf0.001: 640
+    // vectors, 64 queries, fully deterministic arms — measured values
+    // are exact constants; floors sit just below so a silent quality
+    // regression that keeps schema/rows, e.g. a codebook or rotation
+    // bug, turns the suite red while honest parameter tweaks retain
+    // headroom). Measured r7: lsh .3438 ivf .5875 ivf_kmeans .6344
+    // pq .5813 ivfpq .4938 ivfpq_nc .5031 sq8 1.0 opq .6781.
+    val floors = Map(
+      "lsh" -> 0.30, "ivf" -> 0.55, "ivf_kmeans" -> 0.58,
+      "pq" -> 0.55, "ivfpq" -> 0.45, "ivfpq_nc" -> 0.45,
+      "sq8" -> 0.99, "opq" -> 0.65)
+    floors.foreach { case (arm, floor) =>
+      assert(r(arm) >= floor,
+        s"$arm recall ${r(arm)} fell below its $floor floor — quality regression")
+    }
   }
 
   test("quality floor keeps >=90% per lang and nothing below the lang's p10") {

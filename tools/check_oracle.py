@@ -80,12 +80,20 @@ def main():
             print(f"FAIL {name}: no oracle and no spark output")
             n_fail += 1
             continue
+        if name not in ROWS_ONLY:
+            # a no-oracle query must be EXPLICITLY declared rows-only
+            # (with its expected row count) — otherwise a future query
+            # added without an oracle would get a bare rows>0 rubber
+            # stamp while printing PASS
+            print(f"FAIL {name}: no oracle and not declared in ROWS_ONLY")
+            n_fail += 1
+            continue
         rows = con.execute(
             f"select count(*) from read_parquet('{os.path.join(out_dir, name, '*.parquet')}')"
         ).fetchone()[0]
-        want = ROWS_ONLY.get(name)
-        if (want is not None and rows != want) or rows <= 0:
-            print(f"FAIL {name}: rows-only check got {rows}, want {want or '> 0'}")
+        want = ROWS_ONLY[name]
+        if rows != want:
+            print(f"FAIL {name}: rows-only check got {rows}, want {want}")
             n_fail += 1
         else:
             print(f"PASS {name} ({rows} rows, rows-only — no oracle by design)")
