@@ -32,13 +32,26 @@ object Graph {
     */
   def pageRank(docs: DataFrame, pairs: DataFrame, iters: Int = 10): DataFrame = {
     val nodes = docs.select(col("doc_id"))
+    // Pin the edge layout ON src ONCE: localCheckpoint preserves the
+    // repartition's hash partitioning in the LogicalRDD, so every
+    // superstep's contribution join reuses it instead of re-shuffling
+    // the O(edges) relation per iteration (at 10× corpus the edge
+    // re-shuffle dominated the 34.6 s wall). The rank relation arrives
+    // hash-partitioned on doc_id (aliased to src) from the previous
+    // superstep, so the only per-superstep exchange left is the
+    // dst-keyed contribution aggregate.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     val degRel = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // nodeDeg pinned on doc_id for the same reason: the per-superstep
+    // rank update joins it with the dst-partitioned contribution
+    // relation on doc_id === dst — compatible layouts, zero exchange.
     val nodeDeg = nodes
       .join(degRel, col("doc_id") === col("src"), "left")
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .repartition(col("doc_id"))
       .localCheckpoint()
     // Dangling mass is a DRIVER-SIDE scalar recurrence, not a per-
     // superstep aggregate job: symmetrized edges mean a zero-out-degree

@@ -1,16 +1,23 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded metadata for one media blob. */
+/** Decoded metadata for one media blob — width/height/format read from
+  * the REAL codec header (javax.imageio), not the blob's byte count.
+  */
 case class MediaMeta(
     doc_id: Long,
     media_type: String,
     width: Int,
     height: Int,
-    n_bytes: Long,
-    first_byte: Int)
+    n_pixels: Long,
+    format: String)
 
 /** One sampled "frame" of a media blob. */
 case class FrameSample(doc_id: Long, frame_idx: Int, byte_offset: Long, frame_byte: Int)
@@ -21,60 +28,163 @@ case class ResizeMeta(doc_id: Long, width: Int, height: Int, out_w: Int, out_h: 
 /** Multimodal-column plumbing (SURVEY.md §2D).
   *
   * Media rides as opaque `binary` columns with typed metadata beside
-  * it. The decode step itself is STUBBED — image/audio codecs aren't
-  * in this container — with a deterministic fake that derives
-  * "dimensions" from the bytes; everything around it (binary column
-  * handling, per-partition batch iteration, typed Dataset output,
-  * no driver involvement) is the real production shape: swap
-  * `fakeDecode` for an actual codec call and nothing else changes.
+  * it. IMAGES ARE REAL as of round 7: the JDK ships PNG/JPEG/BMP/GIF
+  * codecs in javax.imageio, so the decode/feature steps
+  * ([[decodeMeta]], [[resizeMeta]], [[phashDedup]]) parse actual
+  * image headers and pixels. The test corpus carries no blobs, so
+  * [[withSyntheticImages]] renders a deterministic grayscale gradient
+  * PNG per document (spec below — integer-only, so the independent
+  * Python oracle derives every expected pixel without a codec; PNG is
+  * lossless, so decode returns exactly the generated raster). Only
+  * VIDEO/AUDIO remain declared stubs ([[sampleFrames]] — no container
+  * codecs in the JDK): frame sampling demonstrates the fan-out
+  * plumbing over raw bytes.
+  *
+  * Synthetic image spec (all integer arithmetic, doc_id-only):
+  *   w = 16 + doc_id % 17, h = 16 + doc_id % 13
+  *   cell(x, y) = (y*8/h)*8 + (x*8/w)            (the 8×8 coarse grid)
+  *   px(x, y) = splitmix64(doc_id·64 + cell) >>> 56   (top byte)
+  * — a per-doc pseudorandom COARSE block pattern (splitmix64 of the
+  * (doc, cell) index; a mere multiplicative rotor is near-arithmetic
+  * in its top byte and aHash phase-cancels it into mass collisions):
+  * every doc's 8×8 block-mean profile is an independent 64-byte code,
+  * so perceptual hashes are doc-distinctive, while the coarse
+  * structure survives small pixel perturbations and lossy re-encodes
+  * like a natural image's low frequencies do.
   */
 object Multimodal {
 
-  /** STUB: deterministic fake decoder standing in for e.g. a JPEG
-    * header parse. Real implementation would read the codec header
-    * from `bytes`; this derives the same fields arithmetically so
-    * correctness of the *plumbing* is oracle-checkable.
+  private[graft] def synthDims(docId: Long): (Int, Int) =
+    ((16 + (docId % 17)).toInt, (16 + (docId % 13)).toInt)
+
+  /** Row-major (y*w + x) grayscale raster of the synthetic coarse
+    * block pattern (spec in the object doc).
     */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
-    val w = (bytes.length % 640).toInt
-    val h = if (bytes.isEmpty) 0 else (bytes(0) & 0xff) % 480
-    (w, h)
+  private[graft] def synthPixels(docId: Long): Array[Int] = {
+    val (w, h) = synthDims(docId)
+    Array.tabulate(h * w) { i =>
+      val y = i / w
+      val x = i % w
+      val cell = (y * 8 / h) * 8 + (x * 8 / w)
+      (graft.functions.TextHashes.splitmix64(docId * 64L + cell) >>> 56).toInt
+    }
+  }
+
+  /** Encode a grayscale raster via the JDK's own codec. `format` is an
+    * ImageIO writer name ("png" lossless, "jpg" lossy).
+    */
+  private[graft] def encodeImage(w: Int, h: Int, px: Array[Int],
+      format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, px(y * w + x))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, baos), s"no ImageIO writer for $format")
+    baos.toByteArray
+  }
+
+  /** Header-only decode: (width, height, codec format name) without
+    * reading pixel data — at scale metadata extraction should not
+    * decompress the raster.
+    */
+  private[graft] def decodeHeader(bytes: Array[Byte]): (Int, Int, String) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognizes this blob")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Full decode to a row-major grayscale raster (any JDK-supported
+    * format; color inputs read their first band — the test images are
+    * single-band gray).
+    */
+  private[graft] def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Attach a REAL synthetic PNG media column: one deterministic
+    * gradient image per document (spec in the object doc), rendered
+    * and PNG-encoded on the executors — the ingest shape where blobs
+    * arrive beside the row.
+    */
+  def withSyntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = synthDims(id)
+          (id, encodeImage(w, h, synthPixels(id)))
+        }
+      }
+      .toDF("doc_id", "media")
+      .withColumn("media_type", lit("image/png"))
   }
 
   /** Attach a fake binary "media" column (UTF-8 bytes of the text) —
-    * the test corpus has no real blobs; at ingest this column would
-    * come from the source (e.g. image bytes in parquet/webdataset).
+    * used only by the VIDEO frame-sampling stub, which has no JDK
+    * codec to lean on.
     */
   def withFakeMedia(docs: DataFrame): DataFrame =
     docs.withColumn("media", col("text").cast("binary"))
-      .withColumn("media_type", lit("image/fake"))
+      .withColumn("media_type", lit("video/fake"))
 
-  /** Per-partition decode of binary media into typed metadata.
-    * `mapPartitions` (not per-row UDF) so a real decoder could
-    * amortize codec/context setup across a batch — the same shape a
-    * Pandas-UDF batch decode has in PySpark.
+  /** Per-partition REAL header decode of binary media into typed
+    * metadata. `mapPartitions` (not per-row UDF) so the codec lookup
+    * machinery amortizes across a batch — the same shape a Pandas-UDF
+    * batch decode has in PySpark.
     */
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("media"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition: a real codec would init once here
-        it.map { case (id, rawBytes, mtype) =>
-          // null blobs (missing media at ingest) decode as empty, not NPE
-          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-          val (w, h) = fakeDecode(bytes)
-          MediaMeta(id, mtype, w, h, bytes.length.toLong, if (bytes.isEmpty) 0 else bytes(0) & 0xff)
+        it.map { case (id, bytes, mtype) =>
+          // null blobs (missing media at ingest) report 0×0, not NPE
+          if (bytes == null || bytes.isEmpty) MediaMeta(id, mtype, 0, 0, 0L, "none")
+          else {
+            val (w, h, fmt) = decodeHeader(bytes)
+            MediaMeta(id, mtype, w, h, w.toLong * h, fmt)
+          }
         }
       }
   }
 
   /** Per-partition frame sampling: `k` evenly spaced "frames" per
-    * blob. STUB: a frame is the byte at offset ⌊i·n/k⌋ (a real
-    * implementation seeks keyframes via the container index); the
-    * plumbing is the production shape — one input row fans out to k
-    * frame rows inside the executor, empty blobs yield no frames, and
-    * nothing is materialized on the driver.
+    * blob. DECLARED STUB for video (no container codecs in the JDK): a
+    * frame is the byte at offset ⌊i·n/k⌋ (a real implementation seeks
+    * keyframes via the container index); the plumbing is the
+    * production shape — one input row fans out to k frame rows inside
+    * the executor, empty blobs yield no frames, and nothing is
+    * materialized on the driver.
     */
   def sampleFrames(spark: SparkSession, docs: DataFrame, k: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
@@ -91,29 +201,38 @@ object Multimodal {
       }
   }
 
-  /** STUB "grayscale 8×8 downsample": 64 pixel values 0..255, pixel i
-    * = integer mean of the i-th of 64 even byte chunks (a real
-    * implementation decodes and area-averages actual pixels; identical
-    * blobs give identical grids, near-identical blobs near-identical
-    * ones, which is all the hash needs). Integer-only, so the Python
-    * fixture mirror is exact by construction.
+  /** 8×8 area-average downsample of a REAL decoded raster: cell
+    * (by, bx) averages the pixel block x ∈ [bx·w/8, (bx+1)·w/8),
+    * y ∈ [by·h/8, (by+1)·h/8) with integer floor bounds and integer
+    * mean — the classic aHash preprocessing, exact by construction so
+    * the Python oracle mirrors it without float concerns. Output index
+    * = by*8 + bx.
     */
-  def fakeGray64(bytes: Array[Byte]): Array[Int] = {
-    val px = new Array[Int](64)
-    val n = bytes.length
-    var i = 0
-    while (i < 64) {
-      val lo = (i.toLong * n / 64).toInt
-      val hi = ((i + 1).toLong * n / 64).toInt
-      if (hi > lo) {
-        var s = 0L
-        var j = lo
-        while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
-        px(i) = (s / (hi - lo)).toInt
+  private[graft] def gray64(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8
+      val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8
+        val x1 = (bx + 1) * w / 8
+        if (x1 > x0 && y1 > y0) {
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); x += 1 }
+            y += 1
+          }
+          out(by * 8 + bx) = (s / ((x1 - x0).toLong * (y1 - y0))).toInt
+        }
+        bx += 1
       }
-      i += 1
+      by += 1
     }
-    px
+    out
   }
 
   /** Average perceptual hash (aHash): bit i set iff 64·pixel(i) >
@@ -133,45 +252,53 @@ object Multimodal {
     sig
   }
 
-  /** STUB re-encode: the same "image" after a lossy codec round-trip —
-    * low-bit flips at three spread byte positions, length preserved
-    * (real lossy re-encodes perturb pixel values without moving
-    * structure, which is exactly what survives a perceptual hash and
-    * kills an exact hash).
+  /** Deterministic lossy-STYLE re-encode: decode the real pixels,
+    * perturb them in PIXEL space (+2 on the (x+y) % 5 == 0 lattice,
+    * clamped — the magnitude/shape of mild quantization noise), and
+    * re-encode as PNG. Bytes change everywhere (defeating exact
+    * hashing); the raster moves by ≤ 2 per pixel (surviving the
+    * perceptual hash). Deterministic end to end so the Python oracle
+    * replays it exactly; the ACTUAL-JPEG robustness of the same hash
+    * is spec-asserted in MultimodalSpec (a JPEG round-trip's pixel
+    * error isn't reproducible without the codec).
     */
-  def fakeReencode(bytes: Array[Byte]): Array[Byte] = {
-    val out = bytes.clone()
-    if (out.length > 0) {
-      var k = 1
-      while (k <= 3) {
-        val p = k * out.length / 4
-        val q = if (p >= out.length) out.length - 1 else p
-        out(q) = (out(q) ^ 1).toByte
-        k += 1
+  private[graft] def perturbPixels(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val out = px.clone()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if ((x + y) % 5 == 0) {
+          val i = y * w + x
+          out(i) = math.min(255, out(i) + 2)
+        }
+        x += 1
       }
+      y += 1
     }
     out
   }
 
   /** Re-encoded copies of the first `n` docs (ids shifted by
     * `idOffset`) — the ingest-time "same media, different bytes" case
-    * the perceptual dedup exists for.
+    * the perceptual dedup exists for. Real decode → pixel perturbation
+    * → real PNG encode, all on the executors.
     */
   def reencodedCopies(spark: SparkSession, docs: DataFrame,
       n: Long, idOffset: Long): DataFrame = {
     import spark.implicits._
     docs.filter(col("doc_id") < n)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, rawBytes) =>
-        val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-        (id + idOffset, fakeReencode(bytes))
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, px) = decodePixels(bytes)
+        (id + idOffset, encodeImage(w, h, perturbPixels(w, h, px)))
       })
       .toDF("doc_id", "media")
   }
 
   /** Perceptual-hash near-dup pairs over the media column: per-
-    * partition downsample+hash (mapPartitions — a real decoder
-    * amortizes codec setup per batch), then EXACTLY the simhash
+    * partition REAL decode + downsample + hash (mapPartitions — codec
+    * setup amortizes per batch), then EXACTLY the simhash
     * combination-banding machinery ([[Dedup.hammingBandPairs]]):
     * pigeonhole-exact recall at the requested hamming, clone groups
     * (re-encodes collapsing to one aHash) pair off on the full value
@@ -182,9 +309,9 @@ object Multimodal {
     import spark.implicits._
     val sigs = docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, rawBytes) =>
-          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-          (id, aHash64(fakeGray64(bytes)))
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodePixels(bytes)
+          (id, aHash64(gray64(w, h, px)))
         }
       }
       .toDF("doc_id", "_sig")
@@ -192,23 +319,25 @@ object Multimodal {
   }
 
   /** Fit-in-box resize plan (never upscales): output dims for a
-    * `box`×`box` bound with aspect preserved. STUB: dims come from
-    * [[fakeDecode]] and only the plan is computed (a real
-    * implementation hands the plan to the codec in the same
-    * mapPartitions batch); degenerate dims pass through as 0×0.
+    * `box`×`box` bound with aspect preserved, computed from the REAL
+    * decoded header dims (a real deployment hands the plan to the
+    * codec in the same mapPartitions batch); missing blobs pass
+    * through as 0×0.
     */
   def resizeMeta(spark: SparkSession, docs: DataFrame, box: Int = 224): Dataset[ResizeMeta] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, rawBytes) =>
-          val bytes = if (rawBytes == null) Array.empty[Byte] else rawBytes
-          val (w, h) = fakeDecode(bytes)
-          if (w <= 0 || h <= 0) ResizeMeta(id, w, h, 0, 0)
+        it.map { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) ResizeMeta(id, 0, 0, 0, 0)
           else {
-            val scale = math.min(box.toDouble / w, box.toDouble / h)
-            if (scale >= 1.0) ResizeMeta(id, w, h, w, h)
-            else ResizeMeta(id, w, h, (w * scale).toInt, (h * scale).toInt)
+            val (w, h, _) = decodeHeader(bytes)
+            if (w <= 0 || h <= 0) ResizeMeta(id, w, h, 0, 0)
+            else {
+              val scale = math.min(box.toDouble / w, box.toDouble / h)
+              if (scale >= 1.0) ResizeMeta(id, w, h, w, h)
+              else ResizeMeta(id, w, h, (w * scale).toInt, (h * scale).toInt)
+            }
           }
         }
       }

@@ -954,33 +954,45 @@ object LlmOps {
       .orderBy(col("stage"))
   }
 
-  /** Perceptual-hash near-dup pairs over the (stub-decoded) media
-    * column — image dedup as a training pipeline runs it: 8×8
-    * downsample → average-hash → the simhash hamming-band machinery.
-    * Mirrored by make_expected gen_mm_phash_dedup.
+  /** Perceptual-hash near-dup pairs over REAL decoded images — image
+    * dedup as a training pipeline runs it: javax.imageio pixel decode
+    * → 8×8 area-average downsample → average-hash → the simhash
+    * hamming-band machinery. Mirrored by make_expected
+    * gen_mm_phash_dedup (the synthetic-PNG pixel spec is integer-only
+    * and PNG is lossless, so the Python oracle derives every pixel
+    * without a codec).
     */
   def mm_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Multimodal.withFakeMedia(docs(spark, dir))
+    val base = Multimodal.withSyntheticImages(docs(spark, dir))
       .select(col("doc_id"), col("media"))
-    // the ingest scenario the op exists for: the corpus plus lossy
-    // RE-ENCODES of its first 32 blobs (ids +10^7) — exact hashing
-    // misses every (original, re-encode) pair, the perceptual hash
-    // links them at hamming <= 3
+    // the ingest scenario the op exists for: the corpus plus pixel-
+    // perturbed RE-ENCODES of its first 32 blobs (ids +10^7) — exact
+    // hashing misses every (original, re-encode) pair, the perceptual
+    // hash links them at hamming <= 3
     val withRe = base.unionByName(
       Multimodal.reencodedCopies(spark, base, n = 32, idOffset = 10_000_000L))
     Multimodal.phashDedup(spark, withRe).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** REAL image-header decode (width/height/format via javax.imageio,
+    * header-only — no raster decompression) over the per-doc synthetic
+    * PNG column.
+    */
   def mm_decode_meta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
+    Multimodal.decodeMeta(spark, Multimodal.withSyntheticImages(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"))
 
   def mm_frame_sample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(spark, Multimodal.withFakeMedia(docs(spark, dir)))
       .toDF().orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Fit-in-box resize plan from REAL decoded dims; box = 24 so the
+    * shrink path actually exercises on the 16..32-px synthetic images
+    * (224 would never bind).
+    */
   def mm_resize_meta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeMeta(spark, Multimodal.withFakeMedia(docs(spark, dir)))
+    Multimodal.resizeMeta(spark, Multimodal.withSyntheticImages(docs(spark, dir)),
+      box = 24)
       .toDF().orderBy(col("doc_id"))
 
   /** Top PMI bigram collocations (Church & Hanks) — see
@@ -2052,9 +2064,8 @@ object LlmOps {
         |FROM kept k JOIN documents d USING (doc_id) ORDER BY k.doc_id""".stripMargin,
     // frame i sits at byte offset floor(i*n/4). DuckDB strlen is BYTE
     // length but ord(substr(..)) indexes CHARACTERS — equal only
-    // because the driver corpora are pure ASCII (verified; same
-    // assumption as mm_decode_meta's first_byte). A non-ASCII corpus
-    // needs a blob-indexing oracle instead.
+    // because the driver corpora are pure ASCII (verified). A
+    // non-ASCII corpus needs a blob-indexing oracle instead.
     "mm_frame_sample" ->
       """SELECT doc_id, cast(u.i as int) AS frame_idx,
         | (u.i * strlen(text)) // 4 AS byte_offset,
@@ -2062,27 +2073,31 @@ object LlmOps {
         |FROM documents, unnest(range(4)) AS u(i)
         |WHERE strlen(text) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // fit-in-224-box, aspect preserved, never upscale; dims mirror the
-    // fakeDecode arithmetic of mm_decode_meta
+    // fit-in-24-box, aspect preserved, never upscale; dims mirror the
+    // synthetic-PNG generation spec — the Spark side READS them back
+    // from the real PNG header (lossless round trip, so the spec IS
+    // the decode result); box 24 so the shrink branch exercises on
+    // the 16..32-px images
     "mm_resize_meta" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         cast(strlen(text) % 640 as int) AS width,
-        |         cast(ord(substr(text, 1, 1)) % 480 as int) AS height
+        |         cast(16 + doc_id % 17 as int) AS width,
+        |         cast(16 + doc_id % 13 as int) AS height
         |  FROM documents)
         |SELECT doc_id, width, height,
-        |  CASE WHEN width <= 0 OR height <= 0 THEN 0
-        |       WHEN least(224.0/width, 224.0/height) >= 1.0 THEN width
-        |       ELSE cast(floor(width * least(224.0/width, 224.0/height)) as int) END AS out_w,
-        |  CASE WHEN width <= 0 OR height <= 0 THEN 0
-        |       WHEN least(224.0/width, 224.0/height) >= 1.0 THEN height
-        |       ELSE cast(floor(height * least(224.0/width, 224.0/height)) as int) END AS out_h
+        |  CASE WHEN least(24.0/width, 24.0/height) >= 1.0 THEN width
+        |       ELSE cast(floor(width * least(24.0/width, 24.0/height)) as int) END AS out_w,
+        |  CASE WHEN least(24.0/width, 24.0/height) >= 1.0 THEN height
+        |       ELSE cast(floor(height * least(24.0/width, 24.0/height)) as int) END AS out_h
         |FROM d ORDER BY doc_id""".stripMargin,
+    // real javax.imageio header decode of the synthetic PNGs: width/
+    // height/format come from the codec; the oracle predicts them from
+    // the generation spec
     "mm_decode_meta" ->
-      """SELECT doc_id, 'image/fake' AS media_type,
-        | cast(strlen(text) % 640 as int) AS width,
-        | cast(ord(substr(text, 1, 1)) % 480 as int) AS height,
-        | strlen(text) AS n_bytes,
-        | cast(ord(substr(text, 1, 1)) as int) AS first_byte
+      """SELECT doc_id, 'image/png' AS media_type,
+        | cast(16 + doc_id % 17 as int) AS width,
+        | cast(16 + doc_id % 13 as int) AS height,
+        | (16 + doc_id % 17) * (16 + doc_id % 13) AS n_pixels,
+        | 'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

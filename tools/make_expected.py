@@ -1022,39 +1022,61 @@ def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
 
 
 def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
-    """Mirror of LlmOps.mm_phash_dedup: the corpus media (UTF-8 text
-    bytes) plus fakeReencode copies of the first n_re blobs (low-bit
-    flips at k*len//4, k=1..3; ids + id_offset), then aHash64 over the
-    64 integer chunk-mean 'pixels' (bit i set iff 64*px[i] > sum(px))
-    and all-pairs hamming <= 3 (the banding is pigeonhole-complete at
-    3, so all-pairs IS the candidate-set semantics)."""
-    def ahash(b):
-        n = len(b)
-        px = [0] * 64
-        for i in range(64):
-            lo = i * n // 64
-            hi = (i + 1) * n // 64
-            if hi > lo:
-                px[i] = sum(b[lo:hi]) // (hi - lo)
-        total = sum(px)
+    """Mirror of LlmOps.mm_phash_dedup over REAL synthetic images: the
+    Spark side renders one deterministic grayscale-gradient PNG per doc
+    (Multimodal.withSyntheticImages), javax.imageio-decodes it back
+    (PNG is lossless, so decode == generation), 8x8 area-average
+    downsamples, aHash64s (bit i set iff 64*px[i] > sum(px)), and
+    hamming-band-pairs at <= 3 (pigeonhole-complete, so all-pairs IS
+    the candidate-set semantics). Re-encodes of the first n_re docs
+    (ids + id_offset) perturb the PIXELS (+2 on the (x+y)%5==0
+    lattice, clamped) before a fresh PNG encode — bytes change, raster
+    moves by <= 2/px. Every step is integer arithmetic on the
+    generation spec, so this mirror needs no codec:
+      w = 16 + doc_id%17, h = 16 + doc_id%13
+      cell(x,y) = (y*8//h)*8 + (x*8//w)
+      px(x,y) = splitmix64(doc_id*64 + cell) >> 56   (top byte)"""
+    def synth(doc_id):
+        w = 16 + doc_id % 17
+        h = 16 + doc_id % 13
+        px = [splitmix64(doc_id * 64 + (y * 8 // h) * 8 + x * 8 // w) >> 56
+              for y in range(h) for x in range(w)]
+        return w, h, px
+
+    def perturb(w, h, px):
+        out = list(px)
+        for y in range(h):
+            for x in range(w):
+                if (x + y) % 5 == 0:
+                    i = y * w + x
+                    out[i] = min(255, out[i] + 2)
+        return out
+
+    def gray64(w, h, px):
+        out = [0] * 64
+        for by in range(8):
+            y0, y1 = by * h // 8, (by + 1) * h // 8
+            for bx in range(8):
+                x0, x1 = bx * w // 8, (bx + 1) * w // 8
+                if x1 > x0 and y1 > y0:
+                    s = sum(px[y * w + x]
+                            for y in range(y0, y1) for x in range(x0, x1))
+                    out[by * 8 + bx] = s // ((x1 - x0) * (y1 - y0))
+        return out
+
+    def ahash(w, h, px):
+        g = gray64(w, h, px)
+        total = sum(g)
         sig = 0
         for i in range(64):
-            if px[i] * 64 > total:
+            if g[i] * 64 > total:
                 sig |= 1 << i
         return sig
 
-    def reencode(b):
-        out = bytearray(b)
-        if len(out) > 0:
-            for k in (1, 2, 3):
-                p = k * len(out) // 4
-                q = len(out) - 1 if p >= len(out) else p
-                out[q] ^= 1
-        return bytes(out)
-
-    blobs = [(d["doc_id"], d["text"].encode("utf-8")) for d in docs]
-    blobs += [(did + id_offset, reencode(b)) for did, b in blobs if did < n_re]
-    sigs = [(did, ahash(b)) for did, b in blobs]
+    imgs = [(d["doc_id"],) + synth(d["doc_id"]) for d in docs]
+    imgs += [(did + id_offset, w, h, perturb(w, h, px))
+             for did, w, h, px in imgs if did < n_re]
+    sigs = [(did, ahash(w, h, px)) for did, w, h, px in imgs]
     rows = []
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
@@ -1073,10 +1095,10 @@ def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
 
 
 def variance_perm(rows, m, dim):
-    """Mirror of Pq.varianceBalancedPerm on float32 embeddings: x*Fp
-    summed as truncated longs; x*x is a FLOAT32 multiply (Spark's
-    Multiply on two floats) widened before the Fp scale; (variance
-    desc, dim) order; serpentine deal onto m blocks."""
+    """Mirror of Pq.varianceBalancedPerm on float32 embeddings via the
+    VecMomentsFp kernel arithmetic: each float element widens to double
+    FIRST, then x*Fp and x*x*Fp truncate to longs and sum (order-free);
+    (variance desc, dim) order; serpentine deal onto m blocks."""
     FP = 1048576.0
     s1 = [0] * dim
     s2 = [0] * dim
@@ -1085,7 +1107,7 @@ def variance_perm(rows, m, dim):
         x = e["embedding"]
         for d in range(dim):
             s1[d] += int(x[d] * FP)
-            s2[d] += int(f32(x[d] * x[d]) * FP)
+            s2[d] += int(x[d] * x[d] * FP)
     stats = []
     for d in range(dim):
         mean = float(s1[d]) / (n * FP)
