@@ -54,6 +54,12 @@ case class ResizeMeta(doc_id: Long, width: Int, height: Int, out_w: Int, out_h: 
   */
 object Multimodal {
 
+  // ImageIO defaults to a disk-backed stream cache (a temp FILE per
+  // encode/decode) — pure overhead for KB-sized in-memory blobs; the
+  // heap cache is strictly faster here and per-JVM global is safe
+  // (executors only ever stream from byte arrays).
+  ImageIO.setUseCache(false)
+
   private[graft] def synthDims(docId: Long): (Int, Int) =
     ((16 + (docId % 17)).toInt, (16 + (docId % 13)).toInt)
 

@@ -334,7 +334,7 @@ object StreamingEvents {
     * wall time changes. A production deployment sizes this to its
     * actual key cardinality instead.
     */
-  private[streaming] def withStreamingPartitions[T](spark: SparkSession, n: Int = 8)(
+  private[streaming] def withStreamingPartitions[T](spark: SparkSession, n: Int = 4)(
       body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Anatomy of the streaming drain's fixed costs: run a few streaming
+  * twins while a listener captures every micro-batch's durationMs
+  * breakdown (triggerExecution, addBatch, getBatch, walCommit,
+  * queryPlanning, commitOffsets) — the evidence for what the trigger
+  * floor is actually made of (round-6 verdict task #7).
+  *
+  * Usage: runMain graft.tools.StreamFloorProbe <sfDir> [name ...]
+  */
+object StreamFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("evt_attribution_stream", "evt_window_stream", "dedup_exact_stream")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val d = p.durationMs
+        batches.add(f"batch=${p.batchId} rows=${p.numInputRows} " +
+          f"trigger=${d.getOrDefault("triggerExecution", -1L)}ms " +
+          f"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
+          f"getBatch=${d.getOrDefault("getBatch", -1L)}ms " +
+          f"latestOffset=${d.getOrDefault("latestOffset", -1L)}ms " +
+          f"queryPlanning=${d.getOrDefault("queryPlanning", -1L)}ms " +
+          f"walCommit=${d.getOrDefault("walCommit", -1L)}ms " +
+          f"commitOffsets=${d.getOrDefault("commitOffsets", -1L)}ms")
+      }
+    })
+
+    names.foreach { name =>
+      batches.clear()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[floor-probe] $name wall=$wall%.2f s rows=$n")
+      batches.forEach(b => println(s"[floor-probe]   $b"))
+    }
+    spark.stop()
+  }
+}

@@ -91,6 +91,12 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT shingles('a b', 0)").head()
       }
       assert(bad.getMessage.contains("shingles"))
+      // fp_bits >= 63 would wrap (1L << n masks n to 6 bits) — must be
+      // an analysis error, not a silently negative fixed-point scale
+      val wrap = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT vec_moments_fp(array(CAST(1.0 AS FLOAT)), 63, 1, 0)").head()
+      }
+      assert(wrap.getMessage.contains("fp_bits"))
     } finally {
       // do not stop: the SparkContext is shared with the suite session
       s.catalog.clearCache()
