@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -265,6 +265,90 @@ object TextHashes {
     var i = 0
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Fused distinct word-k-shingle FINGERPRINTS: bit-identical to
+    * `array_sort(transform(shingles(s, k), fnv1a64))` — same
+    * tokenization (String.split(" ")), same string-level dedup (a true
+    * fnv collision between two DISTINCT shingles keeps both fps, like
+    * the composed form), same byte stream into fnv (word bytes joined
+    * by a single 0x20), ascending sort — but with NO per-shingle
+    * allocation: no StringBuilder, no shingle String/UTF8String, no
+    * LinkedHashSet boxing, no interpreted `transform` lambda, no
+    * separate array_sort pass. One byte[] per WORD is the only
+    * per-token allocation (k× fewer objects than the composed form);
+    * the dedup is an open-addressed long table with exact byte compare
+    * on fp equality. This is the hot inner kernel of the n-gram dedup
+    * family — the composed form's allocation rate made
+    * sql_shingle_jaccard's 10× wall swing 20-102 s with GC.
+    */
+  def shingleFps(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    val wb = new Array[Array[Byte]](words.length)
+    var wi = 0
+    while (wi < words.length) { wb(wi) = words(wi).getBytes("UTF-8"); wi += 1 }
+
+    def hashWindow(start: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < len) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        val b = wb(start + j)
+        var p = 0
+        while (p < b.length) {
+          h ^= (b(p) & 0xff).toLong
+          h *= 0x100000001b3L
+          p += 1
+        }
+        j += 1
+      }
+      h
+    }
+    def sameWindow(a: Int, b: Int, len: Int): Boolean = {
+      var j = 0
+      while (j < len) {
+        if (!java.util.Arrays.equals(wb(a + j), wb(b + j))) return false
+        j += 1
+      }
+      true
+    }
+
+    val nWin = if (words.length <= k) 1 else words.length - k + 1
+    val winLen = if (words.length <= k) words.length else k
+    // open-addressed (fp -> first window index) table; a same-fp slot
+    // with DIFFERENT bytes probes on (keeping both, like the composed
+    // form's string-distinct-then-hash order)
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val mask = cap - 1
+    val slotFp = new Array[Long](cap)
+    val slotWin = new Array[Int](cap)
+    java.util.Arrays.fill(slotWin, -1)
+    val out = new Array[Long](nWin)
+    var nOut = 0
+    var i = 0
+    while (i < nWin) {
+      val fp = hashWindow(i, winLen)
+      var idx = (fp.toInt ^ (fp >>> 32).toInt) & mask
+      var dup = false
+      var placed = false
+      while (!placed && !dup) {
+        if (slotWin(idx) < 0) {
+          slotFp(idx) = fp
+          slotWin(idx) = i
+          placed = true
+        } else if (slotFp(idx) == fp && sameWindow(slotWin(idx), i, winLen)) {
+          dup = true
+        } else {
+          idx = (idx + 1) & mask
+        }
+      }
+      if (!dup) { out(nOut) = fp; nOut += 1 }
+      i += 1
+    }
+    val res = java.util.Arrays.copyOf(out, nOut)
+    java.util.Arrays.sort(res)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
   }
 
   /** POSITIONAL word-k-gram fingerprints: fnv1a64 of the window
@@ -733,6 +817,8 @@ object GraftFunctions {
     Bridge.column(Shingles(Bridge.expression(c), k))
   def shinglesPos(c: Column, k: Int): Column =
     Bridge.column(ShinglesPos(Bridge.expression(c), k))
+  def shingleFps(c: Column, k: Int): Column =
+    Bridge.column(ShingleFps(Bridge.expression(c), k))
   def charWindows(c: Column, l: Int): Column =
     Bridge.column(CharWindows(Bridge.expression(c), l))
   def charWindows(c: Column, l: Int, base: Long): Column =
@@ -846,6 +932,10 @@ object GraftFunctions {
       ("shingles", "shingles(str, k) - distinct word-k-shingles of a string",
         es => { arity("shingles", 2)(es)
           Shingles(es.head, intLit("shingles", "k", 1)(es(1))) }),
+      ("shingle_fps",
+        "shingle_fps(str, k) - sorted distinct word-k-shingle fnv1a64 fingerprints (fused, allocation-free)",
+        es => { arity("shingle_fps", 2)(es)
+          ShingleFps(es.head, intLit("shingle_fps", "k", 1)(es(1))) }),
       ("minhash_sig", "minhash_sig(arr, num) - num-hash MinHash signature of a string array",
         es => { arity("minhash_sig", 2)(es)
           MinHashSig(es.head, intLit("minhash_sig", "num", 1)(es(1))) }),

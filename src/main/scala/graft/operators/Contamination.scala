@@ -106,8 +106,10 @@ object Contamination {
   }
 
   /** Distinct shingle fps as one array per doc — the probe kernel
-    * takes the whole array, so the doc row never fans out.
+    * takes the whole array, so the doc row never fans out. Fused
+    * ShingleFps kernel: same fp multiset (hit counts unchanged), no
+    * per-shingle string allocation.
     */
   private def transformShingleFps(text: Column, k: Int): Column =
-    transform(GraftFunctions.shingles(text, k), g => GraftFunctions.fnv1a64(g))
+    GraftFunctions.shingleFps(text, k)
 }

@@ -144,9 +144,11 @@ object Dedup {
     * they never appear in the doc-level output either.
     */
   private[graft] def setGroups(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val fps = array_sort(transform(col("_shingles"), s => GraftFunctions.fnv1a64(s)))
-    val members = shingled(docs, k)
-      .select(col("doc_id"), fps.as("_fps"))
+    // fused ShingleFps kernel: bit-identical to
+    // array_sort(transform(shingles, fnv1a64)) with no per-shingle
+    // string/set allocation (see TextHashes.shingleFps)
+    val members = docs
+      .select(col("doc_id"), GraftFunctions.shingleFps(col("text"), k).as("_fps"))
       .filter(size(col("_fps")) > 0)
       .select(col("doc_id"),
         xxhash64(col("_fps")).as("_k1"),
@@ -206,8 +208,7 @@ object Dedup {
     // the right call at low density anyway. The probe shingles ⅛ of
     // the docs and materializes nothing, so the clone-light overhead
     // is one sub-scan instead of a full keyed corpus pass.
-    val fps = array_sort(transform(
-      GraftFunctions.shingles(col("text"), k), s => GraftFunctions.fnv1a64(s)))
+    val fps = GraftFunctions.shingleFps(col("text"), k)
     val probe = docs
       .filter(pmod(xxhash64(col("doc_id")), lit(8)) === 0)
       .select(xxhash64(fps).as("_pk"))
@@ -296,9 +297,8 @@ object Dedup {
     */
   private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
       docsHint: Long = 0L): DataFrame = {
-    val sh = shingled(docs, k).select(col("doc_id"),
-      array_sort(transform(col("_shingles"),
-        s => GraftFunctions.fnv1a64(s))).as("_fps"))
+    val sh = docs.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps"))
     // The spread takes the hinted width so the verify compute scales
     // with pair volume. The fetch joins themselves are left to the
     // planner: forcing a shuffle join here materializes an exchange
@@ -580,13 +580,15 @@ object Dedup {
     */
   private def ngramJaccardDistinct(docs: DataFrame, docsHint: Long, k: Int,
       threshold: Double, freqSampleRate: Double, histLimit: Int): DataFrame = {
-    val sh = shingled(docs, k)
     // all frequency/order/blocking bookkeeping — and the Jaccard
     // verify itself (see verifyJaccard) — runs on the 64-bit shingle
     // fingerprint, not the shingle string: 8-byte keys, exact up to
-    // 2^-64-probability fingerprint collisions per shingle pair.
-    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    // 2^-64-probability fingerprint collisions per shingle pair. The
+    // fused ShingleFps kernel means shingle STRINGS never materialize
+    // anywhere in this operator.
+    val sh = docs.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+    val ex = sh.select(col("doc_id"), explode(col("_fps0")).as("h"))
     // deterministic occurrence sample: (doc_id, h) is unique per
     // occurrence (shingles are per-doc distinct), so hashing the pair
     // picks the same ~rate fraction on every partitioning
@@ -608,9 +610,8 @@ object Dedup {
     // whole-query at 5 k docs; the kernel is O(log K).)
     val keys = top.map(_._1)
     val vals = top.map(_._2)
-    val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
     val prefixes = sh.select(col("doc_id"),
-      explode(GraftFunctions.freqPrefix(fps, keys, vals, threshold))
+      explode(GraftFunctions.freqPrefix(col("_fps0"), keys, vals, threshold))
         .as("_block"))
     verifyJaccard(candidatePairs(prefixes, Seq("_block"), docsHint = docsHint),
       docs, k, docsHint)
@@ -654,9 +655,11 @@ object Dedup {
     */
   private def containmentDistinct(docs: DataFrame, docsHint: Long, k: Int,
       threshold: Double, histLimit: Int, bloomSemiFilterDocs: Long): DataFrame = {
-    val sh = shingled(docs, k)
-    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    // fused fp arrays — shingle strings never materialize (see
+    // ngramJaccardDistinct)
+    val sh = docs.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+    val ex = sh.select(col("doc_id"), explode(col("_fps0")).as("h"))
     val top = ex
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -666,7 +669,7 @@ object Dedup {
       .sortBy(_._1)
     val keys = top.map(_._1)
     val vals = top.map(_._2)
-    val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
+    val fps = col("_fps0")
     // POSITIONAL prefix filter (PPJoin, Xiao et al. 2008 §3.2): both
     // sides expose each fp's index in the SAME global (count, fp) order
     // (the freqOrder kernel — freqPrefix without the cut), and a match
@@ -738,9 +741,9 @@ object Dedup {
           least(col("_ns") - col("_i") - 1, col("_nd") - col("_j") - 1))
           .cast("double") / col("_ns") >= threshold)
       .select(col("doc_src"), col("doc_dst")).distinct()
-    val sorted = sh.select(col("doc_id"),
-      array_sort(transform(col("_shingles"),
-        s => GraftFunctions.fnv1a64(s))).as("_fps"))
+    // ShingleFps output is already ascending-sorted — the verify's
+    // sorted-merge relation is just a rename
+    val sorted = sh.select(col("doc_id"), col("_fps0").as("_fps"))
     // same compute-funnel guard as verifyJaccard: candidate pairs are
     // byte-tiny, pin the partition count against AQE coalesce, at the
     // hinted width so the verify compute scales with pair volume (the

@@ -70,7 +70,7 @@ object SqlKernels {
   def sql_shingle_jaccard(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir,
       """WITH f AS (
-        |  SELECT doc_id, array_sort(transform(shingles(text, 3), s -> fnv1a64(s))) AS fps
+        |  SELECT doc_id, shingle_fps(text, 3) AS fps
         |  FROM documents),
         |ex AS (SELECT doc_id, explode(fps) AS g FROM f),
         |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g),

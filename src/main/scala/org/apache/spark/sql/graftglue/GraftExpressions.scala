@@ -263,6 +263,26 @@ case class Shingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd FUSED distinct word-k-shingle fingerprints: bit-identical
+  * to array_sort(transform(shingles(s,k), fnv1a64)) with no per-shingle
+  * allocation — the hot kernel of the n-gram dedup family.
+  */
+case class ShingleFps(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.shingleFps(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.shingleFps($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFps =
+    copy(child = newChild)
+}
+
 /** Codegen'd POSITIONAL word-k-gram fingerprints (not deduplicated;
   * index = window start position) — the span-removal kernel.
   */

@@ -32,6 +32,27 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
     stable && local
   }
 
+  // adversarial text: multi-space runs, leading/trailing spaces,
+  // empties, non-ASCII — everything String.split(" ") treats specially
+  private val messyText: Gen[String] = {
+    val token = Gen.oneOf(word, Gen.const(""), Gen.const("héllo"), Gen.const("näïve"))
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+      .flatMap(s => Gen.oneOf(s, " " + s, s + " ", s.replace(" ", "  ")))
+  }
+
+  property("shingleFps == array_sort(transform(shingles, fnv1a64)) on adversarial text") =
+    Prop.forAll(messyText, Gen.chooseNum(1, 4)) { (s, k) =>
+      val u = UTF8String.fromString(s)
+      // composed form, computed kernel-by-kernel exactly as the old
+      // Catalyst expression chain did
+      val sh = TextHashes.shingles(u, k)
+      val composed = (0 until sh.numElements())
+        .map(i => TextHashes.fnv1a64(sh.getUTF8String(i))).sorted
+      val fused = TextHashes.shingleFps(u, k)
+      val got = (0 until fused.numElements()).map(fused.getLong)
+      got == composed
+    }
+
   property("shingles: distinct and exactly the k-gram sequence") =
     Prop.forAll(text, Gen.chooseNum(1, 4)) { (s, k) =>
       val arr = TextHashes.shingles(UTF8String.fromString(s), k)
