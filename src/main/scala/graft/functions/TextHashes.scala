@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -56,6 +56,33 @@ object TextHashes {
       var j = 0
       while (j < n) {
         val v = a * base(j) + b
+        if (v < m) m = v
+        j += 1
+      }
+      out(f) = m
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** MinHash signature over PRECOMPUTED shingle fingerprints (the
+    * [[shingleFps]] output): bit-identical to [[minhashSig]] over the
+    * string shingles — the base hash there IS fnv1a64 of each shingle,
+    * and min() is order- and duplicate-insensitive — without ever
+    * materializing the shingle strings the string form hashes.
+    */
+  def minhashSigFp(fps: org.apache.spark.sql.catalyst.util.ArrayData, num: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = fps.numElements()
+    val out = new Array[Long](num)
+    var f = 0
+    while (f < num) {
+      val a = splitmix64(2L * f + 1) | 1L
+      val b = splitmix64(2L * f + 2)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = a * fps.getLong(j) + b
         if (v < m) m = v
         j += 1
       }
@@ -798,6 +825,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def minhashSig(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+  def minhashSigFp(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSigFp(Bridge.expression(c), numHashes))
   def hyperplaneSig(c: Column, bits: Int, planeOffset: Int = 0): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), bits, planeOffset))
   def vecDot(a: Column, b: Column): Column =

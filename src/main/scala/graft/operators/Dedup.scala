@@ -38,16 +38,14 @@ object Dedup {
     docs.groupBy(md5(text).as("text_md5"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Word-k-shingle set per document (distinct, codegen'd kernel). */
-  private def shingled(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_shingles"))
-
-  /** MinHash signature via the codegen'd MinHashSig expression — the
-    * equivalent nested-lambda SQL is interpreted per element and
-    * ~1000x slower on real corpora.
+  /** MinHash signature straight from the fused fingerprint array —
+    * the string-array MinHashSig's base hash IS fnv1a64 per shingle,
+    * so riding ShingleFps output is bit-identical while shingle
+    * strings never materialize (the equivalent nested-lambda SQL is
+    * interpreted per element and ~1000x slower on real corpora).
     */
   private def minhashCol(numHashes: Int): Column =
-    GraftFunctions.minhashSig(col("_shingles"), numHashes)
+    GraftFunctions.minhashSigFp(col("_fps0"), numHashes)
 
   /** Ordered candidate id pairs from equality on (narrow) bucket keys.
     *
@@ -267,7 +265,7 @@ object Dedup {
     */
   private[graft] def bandBuckets(
       docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame =
-    shingled(docs, k)
+    docs.select(col("doc_id"), GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
       .withColumn("_minhash", minhashCol(bands * rowsPerBand))
       .select(col("doc_id"),
         explode(expr(

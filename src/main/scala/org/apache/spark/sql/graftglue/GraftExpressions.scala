@@ -65,6 +65,26 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd MinHash signature over PRECOMPUTED shingle fingerprints
+  * (ShingleFps output) — bit-identical to MinHashSig over the string
+  * shingles, with no string materialization.
+  */
+case class MinHashSigFp(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSigFp(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.minhashSigFp($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFp =
+    copy(child = newChild)
+}
+
 /** Codegen'd random-hyperplane sign signature of a float vector.
   * `planeOffset` selects a disjoint plane family per LSH table.
   */

@@ -53,6 +53,14 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       got == composed
     }
 
+  property("minhashSigFp(shingleFps) == minhashSig(shingles) on adversarial text") =
+    Prop.forAll(messyText, Gen.chooseNum(1, 4)) { (s, k) =>
+      val u = UTF8String.fromString(s)
+      val viaStrings = TextHashes.minhashSig(TextHashes.shingles(u, k), 16)
+      val viaFps = TextHashes.minhashSigFp(TextHashes.shingleFps(u, k), 16)
+      (0 until 16).forall(i => viaStrings.getLong(i) == viaFps.getLong(i))
+    }
+
   property("shingles: distinct and exactly the k-gram sequence") =
     Prop.forAll(text, Gen.chooseNum(1, 4)) { (s, k) =>
       val arr = TextHashes.shingles(UTF8String.fromString(s), k)
