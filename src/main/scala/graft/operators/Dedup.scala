@@ -930,9 +930,9 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 10): DataFrame = {
     val t = rtrim(text)
+    // fused kernel: identical fp multiset, no span strings materialized
     val spans = docs
-      .select(id.as("doc_id"), explode(GraftFunctions.shingles(t, w)).as("_span"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_span")).as("_h"))
+      .select(id.as("doc_id"), explode(GraftFunctions.shingleFps(t, w)).as("_h"))
     // spans are distinct within a doc, so count(*) == #docs containing
     val shared = spans.groupBy(col("_h"))
       .agg(count(lit(1)).as("_nd"))
@@ -940,7 +940,9 @@ object Dedup {
       .select(col("_h"))
     val perDoc = spans.join(shared, "_h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
-    docs.select(id.as("doc_id"), size(GraftFunctions.shingles(t, w)).as("n_spans"))
+    // length equals the string form's ALWAYS (string-exact dedup keeps
+    // collision duplicates), so the count is identical, not just close
+    docs.select(id.as("doc_id"), size(GraftFunctions.shingleFps(t, w)).as("n_spans"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("dup_span_frac",

@@ -235,13 +235,16 @@ object TextAnalysis {
     // split, and the DuckDB oracle's string_split
     val t = rtrim(text)
     val nw = size(split(t, " "))
+    // shingleFps length equals the string form's ALWAYS (string-exact
+    // dedup; fnv collisions kept as duplicates), so the distinct-gram
+    // counts are identical with no string materialization
     val arrayMetrics = docs.select(
       id.as("doc_id"),
       round(lit(1.0) -
-        size(GraftFunctions.shingles(t, 2)).cast("double") / (nw - 1), 4)
+        size(GraftFunctions.shingleFps(t, 2)).cast("double") / (nw - 1), 4)
         .as("dup_bigram_frac"),
       round(lit(1.0) -
-        size(GraftFunctions.shingles(t, 3)).cast("double") / (nw - 2), 4)
+        size(GraftFunctions.shingleFps(t, 3)).cast("double") / (nw - 2), 4)
         .as("dup_trigram_frac"))
     // histogram keys are 64-bit word fingerprints, not the words —
     // the (doc,word) exchange carries 8-byte keys (measured ~2x less
@@ -384,10 +387,10 @@ object TextAnalysis {
     */
   def boilerplateSpans(docs: DataFrame, id: Column, text: Column,
       k: Int = 5, top: Int = 20, minDocs: Int = 2): DataFrame = {
-    val spans = docs.select(id.as("doc_id"),
-      explode(GraftFunctions.shingles(text, k)).as("_sp"))
-    val counts = spans
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_sp")).as("_fp"))
+    // counting scan rides the fused fp kernel (no span strings); the
+    // string fetch below is the only scan that materializes shingles
+    val counts = docs
+      .select(id.as("doc_id"), explode(GraftFunctions.shingleFps(text, k)).as("_fp"))
       .groupBy(col("_fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -397,7 +400,7 @@ object TextAnalysis {
     val survivors = counts.crossJoin(broadcast(thr))
       .filter(col("n_docs") >= col("_thr"))
       .select(col("_fp"), col("n_docs"))
-    spans
+    docs.select(explode(GraftFunctions.shingles(text, k)).as("_sp"))
       .select(GraftFunctions.fnv1a64(col("_sp")).as("_fp"), col("_sp"))
       .join(broadcast(survivors), "_fp")
       .groupBy(col("_fp"), col("n_docs")).agg(min(col("_sp")).as("span"))

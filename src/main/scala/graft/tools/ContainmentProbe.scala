@@ -23,15 +23,16 @@ object ContainmentProbe {
     GraftFunctions.register(spark)
     val docs = graft.Tables(spark, dir, "documents")
     val k = 3; val threshold = 0.9; val histLimit = 1 << 20
-    val sh = docs.select(col("doc_id"), GraftFunctions.shingles(col("text"), k).as("_shingles"))
-    val ex = sh.select(col("doc_id"), explode(col("_shingles")).as("_s"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_s")).as("h"))
+    // fused fp kernel — keeps the probe representative of the
+    // round-7 containment structure (no shingle strings anywhere)
+    val sh = docs.select(col("doc_id"), GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+    val ex = sh.select(col("doc_id"), explode(col("_fps0")).as("h"))
     val top = ex.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .orderBy(col("cnt").desc, col("h")).limit(histLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val keys = top.map(_._1); val vals = top.map(_._2)
-    val fps = transform(col("_shingles"), s => GraftFunctions.fnv1a64(s))
+    val fps = col("_fps0")
     val prefixes = sh.select(col("doc_id").as("doc_src"),
       explode(GraftFunctions.freqPrefix(fps, keys, vals, threshold)).as("_block"))
     val ordered = sh.select(col("doc_id"),
