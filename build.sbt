@@ -36,7 +36,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Single-JVM local[32] is the contract (driver brief: 32 threads,
+  // 128 GiB box). The old 8g default — a v0 leftover — gave 32 tasks
+  // ~150 MB of execution memory each: at 10x data the window sorts and
+  // hashed relations spilled 13 GB per heavy query and GC ate 20-40%
+  // of wall. 48g removes the spill entirely (measured: sql_shingle_
+  // jaccard 10x warm 36s/13GB spill -> 35s/0 spill, cold 59 -> 43s)
+  // while leaving room for a second concurrent fork (loaded-run
+  // reproductions) plus sbt itself on the 125 GB machine.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // ~60 queries x whole-stage-codegen classes overflow the default
   // 240m JIT code cache mid-bench, silently de-optimizing later
   // queries (observed: q01 1.7s -> 23s depending on run order).
