@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis}
+import graft.operators.{Audio, Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -995,6 +995,38 @@ object LlmOps {
       box = 24)
       .toDF().orderBy(col("doc_id"))
 
+  /** REAL audio-container decode (encoding/rate/channels/bits/frames
+    * via javax.sound.sampled, header-only) over the per-doc synthetic
+    * WAV column — the oracle states the generation spec; the engine
+    * must recover it from the actual RIFF header.
+    */
+  def mm_audio_meta(spark: SparkSession, dir: String): DataFrame =
+    Audio.decodeMeta(spark, Audio.withSyntheticAudio(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"))
+
+  /** REAL PCM frame sampling through the JDK decoder: 4 evenly spaced
+    * decoded amplitudes per clip (the video twin, mm_frame_sample,
+    * stays a declared byte-offset stub — no video codec in the JDK).
+    */
+  def mm_audio_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Audio.sampleFrames(spark, Audio.withSyntheticAudio(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Perceptual audio dedup over REAL decoded PCM — envelope-profile
+    * average hash + hamming banding, against gain-scaled re-encodes
+    * of the first 32 clips (ids +10^7): exact hashing misses every
+    * (original, re-upload) pair, the envelope hash links them.
+    * Mirrored by make_expected gen_mm_audio_dedup (integer-only spec,
+    * WAV PCM lossless — the Python oracle needs no codec).
+    */
+  def mm_audio_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Audio.withSyntheticAudio(docs(spark, dir))
+      .select(col("doc_id"), col("media"))
+    val withRe = base.unionByName(
+      Audio.reencodedCopies(spark, base, n = 32, idOffset = 10_000_000L))
+    Audio.audioDedup(spark, withRe).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Top PMI bigram collocations (Church & Hanks) — see
     * TextAnalysis.pmiCollocations for the fingerprint-keyed shape.
     */
@@ -1086,6 +1118,9 @@ object LlmOps {
     "mm_phash_dedup" -> (mm_phash_dedup _),
     "mm_frame_sample" -> (mm_frame_sample _),
     "mm_resize_meta" -> (mm_resize_meta _),
+    "mm_audio_meta" -> (mm_audio_meta _),
+    "mm_audio_frame_sample" -> (mm_audio_frame_sample _),
+    "mm_audio_dedup" -> (mm_audio_dedup _),
     "search_bm25" -> (search_bm25 _),
     "graph_pagerank" -> (graph_pagerank _),
     "emb_pca" -> (emb_pca _),
@@ -1852,6 +1887,7 @@ object LlmOps {
     "text_fingerprint" -> fixtureSql("text_fingerprint", "documents"),
     "text_entropy" -> fixtureSql("text_entropy", "documents"),
     "mm_phash_dedup" -> fixtureSql("mm_phash_dedup", "documents"),
+    "mm_audio_dedup" -> fixtureSql("mm_audio_dedup", "documents"),
     "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "emb_pca" -> fixtureSql("emb_pca", "embeddings"),
@@ -2072,6 +2108,23 @@ object LlmOps {
         | cast(ord(substr(text, cast((u.i * strlen(text)) // 4 as int) + 1, 1)) as int) AS frame_byte
         |FROM documents, unnest(range(4)) AS u(i)
         |WHERE strlen(text) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the synthetic-WAV generation spec (Audio.scala): the Spark side
+    // must read every field back from the REAL RIFF header written by
+    // the JDK's WAV encoder; duration floors to whole ms
+    "mm_audio_meta" ->
+      """SELECT doc_id, 'PCM_UNSIGNED' AS encoding, 8000 AS sample_rate,
+        | 1 AS channels, 8 AS bits,
+        | cast(64 + doc_id % 97 as bigint) AS n_frames,
+        | (64 + doc_id % 97) * 1000 // 8000 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame i sits at PCM offset floor(i*n/4); amplitude is the spec's
+    // sample value — the engine reads it back through the real decoder
+    "mm_audio_frame_sample" ->
+      """SELECT doc_id, cast(u.i as int) AS frame_idx,
+        | (u.i * (64 + doc_id % 97)) // 4 AS frame_offset,
+        | cast((doc_id * 131 + ((u.i * (64 + doc_id % 97)) // 4) * 31) % 256 as int) AS amplitude
+        |FROM documents, unnest(range(4)) AS u(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // fit-in-24-box, aspect preserved, never upscale; dims mirror the
     // synthetic-PNG generation spec — the Spark side READS them back

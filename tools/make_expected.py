@@ -1094,6 +1094,71 @@ def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
     })
 
 
+def gen_mm_audio_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
+    """Mirror of LlmOps.mm_audio_dedup over REAL synthetic WAV clips:
+    the Spark side renders one deterministic 8-bit unsigned mono PCM
+    clip per doc (Audio.withSyntheticAudio), WAV-encodes it with the
+    JDK's own writer, javax.sound.sampled-decodes it back (WAV PCM is
+    lossless, so decode == generation), 64-window amplitude-envelope
+    profiles it, aHash64s (bit w set iff 64*e[w] > sum(e)), and
+    hamming-band-pairs at <= 3. Re-encodes of the first n_re clips
+    (ids + id_offset) scale every amplitude around the 128 midline by
+    5/4 (integer floor on the magnitude, clamped to 8-bit) before a
+    fresh WAV encode. Every step is integer arithmetic on the
+    generation spec, so this mirror needs no codec:
+      n = 64 + doc_id % 97
+      sample(i) = (doc_id*131 + i*31) % 256"""
+    def synth(doc_id):
+        n = 64 + doc_id % 97
+        return [(doc_id * 131 + i * 31) % 256 for i in range(n)]
+
+    def scale_gain(pcm):
+        out = []
+        for x in pcm:
+            a = x - 128
+            s = min(127, a * 5 // 4) if a >= 0 else -min(128, (-a) * 5 // 4)
+            out.append(128 + s)
+        return out
+
+    def envelope64(pcm):
+        n = len(pcm)
+        out = [0] * 64
+        for w in range(64):
+            i0, i1 = w * n // 64, (w + 1) * n // 64
+            if i1 > i0:
+                out[w] = sum(abs(pcm[i] - 128) for i in range(i0, i1)) // (i1 - i0)
+        return out
+
+    def ahash(pcm):
+        e = envelope64(pcm)
+        total = sum(e)
+        sig = 0
+        for w in range(64):
+            if e[w] * 64 > total:
+                sig |= 1 << w
+        return sig
+
+    clips = [(d["doc_id"], synth(d["doc_id"])) for d in docs]
+    clips += [(did + id_offset, scale_gain(pcm))
+              for did, pcm in clips if did < n_re]
+    sigs = [(did, ahash(pcm)) for did, pcm in clips]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ida, sa), (idb, sb) = sigs[i], sigs[j]
+            if ida > idb:
+                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
+            h = ((sa ^ sb) & M64).bit_count()
+            if h <= max_hamming:
+                rows.append((ida, idb, h))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
 def variance_perm(rows, m, dim):
     """Mirror of Pq.varianceBalancedPerm on float32 embeddings via the
     VecMomentsFp kernel arithmetic: each float element widens to double
@@ -1294,6 +1359,7 @@ GENERATORS = {
     "text_fingerprint": ("documents", gen_text_fingerprint),
     "text_entropy": ("documents", gen_text_entropy),
     "mm_phash_dedup": ("documents", gen_mm_phash_dedup),
+    "mm_audio_dedup": ("documents", gen_mm_audio_dedup),
     "text_tfidf": ("documents", gen_text_tfidf),
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
