@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, GramFps, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MatchedTermFps, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -407,6 +407,82 @@ object TextHashes {
         arr
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fused DSIR gram stream: fnv1a64 fingerprints of every unigram
+    * and every adjacent bigram ("w1 w2"), NOT deduplicated — one text
+    * scan replaces the composed form's two explode passes and its
+    * per-bigram arrays_zip struct + concat string allocations.
+    * Tokenization mirrors `split(rtrim(text), " ")`: Java's split
+    * drops trailing empty fields (≡ rtrim), keeps leading/interior
+    * empties, and the empty/all-space doc yields the single empty
+    * word the SQL form sees. Bigram bytes are word₁ ⧺ 0x20 ⧺ word₂ —
+    * identical to fnv1a64(concat(w1, ' ', w2)). Equivalence with the
+    * composed form is ScalaCheck-pinned (KernelPropertiesSpec).
+    */
+  def gramFps(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words0 = s.toString.split(" ")
+    val words = if (words0.length == 0) Array("") else words0
+    val n = words.length
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wb(i) = words(i).getBytes("UTF-8"); i += 1 }
+    @inline def mix(h0: Long, b: Array[Byte]): Long = {
+      var h = h0
+      var p = 0
+      while (p < b.length) {
+        h ^= (b(p) & 0xff).toLong
+        h *= 0x100000001b3L
+        p += 1
+      }
+      h
+    }
+    val basis = 0xcbf29ce484222325L
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    i = 0
+    while (i < n) { out(i) = mix(basis, wb(i)); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      var h = mix(basis, wb(i))
+      h ^= 0x20L
+      h *= 0x100000001b3L
+      out(n + i) = mix(h, wb(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Matched-postings scan kernel: fnv1a64 fingerprints of ONLY the
+    * words present in the sorted `terms` fingerprint set, in
+    * positional order, not deduplicated. The composed form —
+    * `explode(split(rtrim(text), " "))` then `isin(termSet)` —
+    * materializes a UTF8String per corpus word and string-compares
+    * each against every term BEFORE the filter drops ~all of them;
+    * this emits O(matches) longs from one scan (binary search per
+    * word, no per-word string beyond the split). Matching is by
+    * fingerprint: exact up to an fnv1a64 collision between a corpus
+    * word and a query term (the n-gram dedup family's 2⁻⁶⁴
+    * convention); callers require() the term set itself collision-
+    * free. Tokenization mirrors split(rtrim(text), " ") like
+    * [[gramFps]].
+    */
+  def matchedTermFps(s: UTF8String, terms: Array[Long]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.split(" ")
+    var out = new Array[Long](8)
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      val fp = fnv1a64(words(i).getBytes("UTF-8"))
+      if (java.util.Arrays.binarySearch(terms, fp) >= 0) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = fp
+        n += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, n))
   }
 
   /** POSITIONAL char-`L`-window fingerprints: a rolling Rabin-Karp
@@ -848,6 +924,10 @@ object GraftFunctions {
     Bridge.column(ShinglesPos(Bridge.expression(c), k))
   def shingleFps(c: Column, k: Int): Column =
     Bridge.column(ShingleFps(Bridge.expression(c), k))
+  def gramFps(c: Column): Column =
+    Bridge.column(GramFps(Bridge.expression(c)))
+  def matchedTermFps(c: Column, terms: Array[Long]): Column =
+    Bridge.column(MatchedTermFps(Bridge.expression(c), terms))
   def charWindows(c: Column, l: Int): Column =
     Bridge.column(CharWindows(Bridge.expression(c), l))
   def charWindows(c: Column, l: Int, base: Long): Column =
@@ -965,6 +1045,9 @@ object GraftFunctions {
         "shingle_fps(str, k) - sorted distinct word-k-shingle fnv1a64 fingerprints (fused, allocation-free)",
         es => { arity("shingle_fps", 2)(es)
           ShingleFps(es.head, intLit("shingle_fps", "k", 1)(es(1))) }),
+      ("gram_fps",
+        "gram_fps(str) - fnv1a64 fingerprints of every unigram and adjacent bigram (fused, not deduplicated)",
+        es => { arity("gram_fps", 1)(es); GramFps(es.head) }),
       ("minhash_sig", "minhash_sig(arr, num) - num-hash MinHash signature of a string array",
         es => { arity("minhash_sig", 2)(es)
           MinHashSig(es.head, intLit("minhash_sig", "num", 1)(es(1))) }),

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * `ln(1 + (N-df+0.5)/(df+0.5))` idf form).
   *
   * Plan shape, sized for 100 TB:
-  *  - the corpus scan computes doc length and explodes ONLY tokens
-  *    matching the query-term set (an `IN` filter against a bounded
-  *    literal list — codegen'd, no join): non-matching text never
-  *    leaves the scan;
+  *  - the corpus scan computes doc length and emits ONLY the
+  *    fingerprints of tokens in the query-term set (the codegen'd
+  *    MatchedTermFps kernel — binary search per word, no join, no
+  *    per-word string explode): non-matching text never leaves the
+  *    scan, not even as exploded rows;
   *  - the one corpus-proportional exchange carries (doc_id, term)
   *    pairs AFTER map-side combine, i.e. O(distinct matched doc-term
   *    pairs), each row 8B id + a term from the fixed query vocabulary
@@ -41,39 +42,57 @@ object Bm25 {
     3 -> "customer query fast",
     4 -> "stream batch filter")
 
+  /** The query-term fingerprint relation: (query_id, term fp) plus
+    * the sorted distinct fp array the MatchedTermFps scan kernel
+    * binary-searches. require()s the term set fp-collision-free so
+    * fp-keyed matching is exactly string-keyed matching (up to the
+    * 2⁻⁶⁴ corpus-word/term collision convention the n-gram dedup
+    * family already carries).
+    */
+  private def termFingerprints(
+      queries: Seq[(Int, String)]): (Seq[(Int, Long)], Array[Long]) = {
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, t))
+    }
+    val termSet = qTerms.map(_._2).distinct
+    val fps = termSet.map(t => graft.functions.TextHashes.fnv1a64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    require(fps.distinct.length == termSet.length,
+      "Bm25: fnv1a64 collision inside the query term set")
+    (qTerms.map(_._1).zip(fps), fps.toArray.sorted)
+  }
+
   /** Top-k docs per keyword query: (query_id, rank, doc_id, score). */
   def topK(docs: DataFrame, queries: Seq[(Int, String)], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val qTerms = queries.flatMap { case (qid, text) =>
-      text.split(" ").distinct.map(t => (qid, t))
-    }
-    val termSet = qTerms.map(_._2).distinct
+    val (qTermFps, termFps) = termFingerprints(queries)
 
-    val words = split(rtrim(col("text")), " ")
-    // matched postings: tf per (doc, term), dl carried through (it is
-    // constant per doc — max() is just the cheapest way to keep it)
+    // matched postings: tf per (doc, term fp), dl carried through (it
+    // is constant per doc — max() is just the cheapest way to keep
+    // it). The scan kernel emits O(matches) longs; non-matching text
+    // never leaves the scan, not even as exploded rows.
     val tf = docs
-      .select(col("doc_id"), size(words).as("dl"), explode(words).as("w"))
-      .filter(col("w").isin(termSet: _*))
-      .groupBy(col("doc_id"), col("w"))
+      .select(col("doc_id"), size(split(rtrim(col("text")), " ")).as("dl"),
+        explode(GraftFunctions.matchedTermFps(col("text"), termFps)).as("_fp"))
+      .groupBy(col("doc_id"), col("_fp"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
-    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dfRel = tf.groupBy(col("_fp")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n"),
       sum(size(split(rtrim(col("text")), " "))).as("sdl"))
-    val q = qTerms.toDF("query_id", "w")
+    val q = qTermFps.toDF("query_id", "_fp")
 
     // per-term score — written as the EXACT expression tree the DuckDB
     // oracle uses (same literals, same associativity), so each term
     // score is the same IEEE double on both engines; the per-doc sum
     // is decimal for partition-order independence
     val scored = tf
-      .join(broadcast(dfRel), "w")
+      .join(broadcast(dfRel), "_fp")
       .crossJoin(broadcast(stats))
-      .join(broadcast(q), "w")
+      .join(broadcast(q), "_fp")
       .withColumn("_s",
         (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(2.2)) /
@@ -114,18 +133,14 @@ object Bm25 {
     import spark.implicits._
     val bm = topK(docs, queries, kPool)
       .select(col("query_id"), col("doc_id"), col("rank").as("_r1"))
-    val qTerms = queries.flatMap { case (qid, text) =>
-      text.split(" ").distinct.map(t => (qid, t))
-    }
-    val termSet = qTerms.map(_._2).distinct
-    val words = split(rtrim(col("text")), " ")
+    val (qTermFps, termFps) = termFingerprints(queries)
     val tf = docs
-      .select(col("doc_id"), explode(words).as("w"))
-      .filter(col("w").isin(termSet: _*))
-      .groupBy(col("doc_id"), col("w"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.matchedTermFps(col("text"), termFps)).as("_fp"))
+      .groupBy(col("doc_id"), col("_fp"))
       .agg(count(lit(1)).as("tf"))
     val lex = tf
-      .join(broadcast(qTerms.toDF("query_id", "w")), "w")
+      .join(broadcast(qTermFps.toDF("query_id", "_fp")), "_fp")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("nmatch"), sum(col("tf")).as("tfsum"))
       // Composite key reproducing ORDER BY nmatch DESC, tfsum DESC in one

@@ -39,18 +39,15 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, id: Column, text: Column,
       isTarget: Column, buckets: Int = 4096): DataFrame = {
-    val w = split(rtrim(text), " ")
-    val base = docs.select(id.as("doc_id"), isTarget.as("_t"), w.as("_w"))
-    val uni = base.select(col("doc_id"), col("_t"), explode(col("_w")).as("_g"))
-      .select(col("doc_id"), col("_t"), GraftFunctions.fnv1a64(col("_g")).as("_h"))
-    val bi = base.select(col("doc_id"), col("_t"),
-        explode(arrays_zip(
-          slice(col("_w"), lit(1), size(col("_w")) - 1),
-          slice(col("_w"), lit(2), size(col("_w")) - 1))).as("_p"))
-      .select(col("doc_id"), col("_t"),
-        GraftFunctions.fnv1a64(concat(col("_p").getField("0"), lit(" "),
-          col("_p").getField("1"))).as("_h"))
-    val grams = uni.unionAll(bi).withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
+    // fused GramFps kernel: one text scan emits every unigram and
+    // bigram fingerprint — the composed split/arrays_zip/concat form
+    // scanned the text twice per pass and allocated a struct + a
+    // concatenated string per bigram (its tokenization,
+    // split(rtrim(text), " "), is what the kernel mirrors —
+    // ScalaCheck-pinned in KernelPropertiesSpec)
+    val grams = docs.select(id.as("doc_id"), isTarget.as("_t"),
+        explode(GraftFunctions.gramFps(text)).as("_h"))
+      .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
     // one pass builds BOTH LMs: raw count + target-conditional count
     // ≤`buckets` rows — persisting it means the corpus-sized gram
     // stream is scanned exactly twice (histogram, scoring), not three

@@ -281,9 +281,12 @@ object TextAnalysis {
     // stream is corpus-sized and is re-scanned (twice) instead of
     // cached; the corpus total derives from the histogram, not a
     // third pass
+    // shinglesPos(text, 1) is fnv1a64 of each word in one fused scan
+    // — same tokenization and bytes as the composed
+    // split(rtrim)/explode/fnv1a64 chain, with no per-word UTF8String
     val words = docs
-      .select(id.as("doc_id"), explode(split(rtrim(text), " ")).as("_word"))
-      .select(col("doc_id"), GraftFunctions.fnv1a64(col("_word")).as("_w"))
+      .select(id.as("doc_id"),
+        explode(GraftFunctions.shinglesPos(text, 1)).as("_w"))
     val counts = words.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("_c")).as("_n"))
@@ -307,14 +310,18 @@ object TextAnalysis {
     * single word produce no bigrams and are absent from the output.
     */
   def bigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val w = split(rtrim(text), " ")
+    // per-word fps from ONE fused kernel scan (shinglesPos k=1 ≡
+    // fnv1a64 per word); the bigram zip then rides primitive longs —
+    // the old form materialized a struct of two word STRINGS per
+    // bigram and hashed every word twice (once as prev, once as cur)
+    val w = GraftFunctions.shinglesPos(text, 1)
     val bg = docs
       .select(id.as("doc_id"),
         explode(arrays_zip(
           slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
       .select(col("doc_id"),
-        GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_prev"),
-        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_cur"))
+        col("_bg").getField("0").as("_prev"),
+        col("_bg").getField("1").as("_cur"))
     val c2 = bg.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("_prev")).agg(sum(col("_c2")).as("_c1"))
@@ -346,14 +353,15 @@ object TextAnalysis {
     * expression tree as the DuckDB oracle; per-doc sums in decimal.
     */
   def knSurprisal(docs: DataFrame, id: Column, text: Column, d: Double = 0.75): DataFrame = {
-    val w = split(rtrim(text), " ")
+    // same fused per-word-fp bigram extraction as [[bigramSurprisal]]
+    val w = GraftFunctions.shinglesPos(text, 1)
     val bg = docs
       .select(id.as("doc_id"),
         explode(arrays_zip(
           slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
       .select(col("doc_id"),
-        GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_prev"),
-        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_cur"))
+        col("_bg").getField("0").as("_prev"),
+        col("_bg").getField("1").as("_cur"))
     val c2 = bg.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("_prev"))
@@ -472,11 +480,15 @@ object TextAnalysis {
     val cu = words.groupBy(col("_fp")).agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cu.agg(sum(col("_c")).as("_n"))
+    // bigram fps from the fused per-word-fp kernel (longs through the
+    // zip, no word-string structs) — the unigram scan above keeps
+    // strings because survivors fetch their words from it
+    val u = GraftFunctions.shinglesPos(text, 1)
     val bg = docs.select(
         explode(arrays_zip(
-          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("_bg"))
-      .select(GraftFunctions.fnv1a64(col("_bg").getField("0")).as("_fa"),
-        GraftFunctions.fnv1a64(col("_bg").getField("1")).as("_fb"))
+          slice(u, lit(1), size(u) - 1), slice(u, lit(2), size(u) - 1))).as("_bg"))
+      .select(col("_bg").getField("0").as("_fa"),
+        col("_bg").getField("1").as("_fb"))
     val c2 = bg.groupBy(col("_fa"), col("_fb")).agg(count(lit(1)).as("_c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wTot = c2.agg(sum(col("_c2")).as("_w"))

@@ -66,20 +66,33 @@ object SqlKernels {
     * shared fps: exact too, but on the dup-dense 10× corpus every
     * family-shared fp was a block holding the whole family — 220 s
     * where this form takes the Scala arm's candidate shape.)
+    *
+    * Plan shape (the round-7 rewrite of the round-5 window form):
+    * the frequency relation keeps only fps seen ≥ 2 times — a
+    * frequency-1 fp orders identically whether its count comes from
+    * `df` or from the LEFT-join `coalesce(c, 1)` tie, so the prefix
+    * set is bit-identical — which shrinks `df` from O(distinct fps)
+    * to O(repeated fps) and lets AQE broadcast it instead of
+    * shuffling the full exploded relation by fp; and the per-doc set
+    * size rides along from `size(fps)` instead of a second
+    * `count(*) OVER (PARTITION BY doc_id)` window, so ONE WindowExec
+    * (the row_number prefix cut) remains. Same device as the Scala
+    * arm's driver-side cnt≥2 histogram (operators/Dedup.scala:598),
+    * expressed in the optimizer's own terms.
     */
   def sql_shingle_jaccard(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir,
       """WITH f AS (
         |  SELECT doc_id, shingle_fps(text, 3) AS fps
         |  FROM documents),
-        |ex AS (SELECT doc_id, explode(fps) AS g FROM f),
-        |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+        |ex AS (SELECT doc_id, size(fps) AS n, explode(fps) AS g FROM f),
+        |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g HAVING count(*) >= 2),
         |pref AS (
         |  SELECT doc_id, g FROM (
-        |    SELECT ex.doc_id, ex.g,
-        |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.c, ex.g) AS pos,
-        |           count(*) OVER (PARTITION BY ex.doc_id) AS n
-        |    FROM ex JOIN df ON ex.g = df.g)
+        |    SELECT ex.doc_id, ex.g, ex.n,
+        |           row_number() OVER (PARTITION BY ex.doc_id
+        |                              ORDER BY coalesce(df.c, 1L), ex.g) AS pos
+        |    FROM ex LEFT JOIN df ON ex.g = df.g)
         |  WHERE pos <= n - ceil(0.5 * n) + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)

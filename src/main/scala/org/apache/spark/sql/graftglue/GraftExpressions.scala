@@ -322,6 +322,26 @@ case class ShinglesPos(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd fused DSIR gram stream: fnv1a64 of every unigram and
+  * adjacent bigram in one text scan, not deduplicated — replaces the
+  * composed split/arrays_zip/concat two-explode form.
+  */
+case class GramFps(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.gramFps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.gramFps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramFps =
+    copy(child = newChild)
+}
+
 /** Codegen'd positional char-L-window rolling hashes (Rabin-Karp);
   * `base` selects the polynomial base (two bases → an independent
   * 128-bit verification pair).
@@ -339,6 +359,30 @@ case class CharWindows(child: Expression, l: Int, base: Long = 0x100000001b3L)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes$$.MODULE$$.charWindows($c, $l, ${base}L)")
 
   override protected def withNewChildInternal(newChild: Expression): CharWindows =
+    copy(child = newChild)
+}
+
+/** Codegen'd matched-postings scan: fnv1a64 fps of only the words in
+  * the sorted `terms` fingerprint set (binary-searched; array rides
+  * as a codegen reference object) — emits O(matches) longs instead of
+  * exploding every corpus word as a string through an isin filter.
+  */
+case class MatchedTermFps(child: Expression, terms: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "matched_term_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.matchedTermFps(input.asInstanceOf[UTF8String], terms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("termFps", terms, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.matchedTermFps($c, $termsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatchedTermFps =
     copy(child = newChild)
 }
 

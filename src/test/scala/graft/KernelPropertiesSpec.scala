@@ -53,6 +53,45 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       got == composed
     }
 
+  property("shinglesPos(s, 1) == per-word fnv1a64 of split(rtrim) on adversarial text") =
+    Prop.forAll(messyText) { s =>
+      val u = UTF8String.fromString(s)
+      val ws = s.replaceAll(" +$", "").split(" ", -1)
+      val composed = ws.toIndexedSeq.map(w => TextHashes.fnv1a64(UTF8String.fromString(w)))
+      val fused = TextHashes.shinglesPos(u, 1)
+      val got = (0 until fused.numElements()).map(fused.getLong)
+      got == composed
+    }
+
+  property("gramFps == composed split(rtrim)/fnv1a64 uni+bi stream on adversarial text") =
+    Prop.forAll(messyText) { s =>
+      val u = UTF8String.fromString(s)
+      // composed form: exactly Dsir's old split(rtrim(text), " ") →
+      // explode unigrams ∪ explode bigram concat(w1, ' ', w2) chain
+      val ws = s.replaceAll(" +$", "").split(" ", -1)
+      val uni = ws.toIndexedSeq.map(w => TextHashes.fnv1a64(UTF8String.fromString(w)))
+      val bi = if (ws.length < 2) Seq.empty[Long]
+        else ws.toIndexedSeq.sliding(2)
+          .map(p => TextHashes.fnv1a64(UTF8String.fromString(p(0) + " " + p(1)))).toSeq
+      val fused = TextHashes.gramFps(u)
+      val got = (0 until fused.numElements()).map(fused.getLong)
+      got == (uni ++ bi)
+    }
+
+  property("matchedTermFps == explode/isin composed filter on adversarial text") =
+    Prop.forAll(messyText, Gen.listOfN(3, word)) { (s, terms) =>
+      val u = UTF8String.fromString(s)
+      val distinctTerms = terms.distinct
+      val fps = distinctTerms
+        .map(t => TextHashes.fnv1a64(UTF8String.fromString(t))).toArray.sorted
+      val ws = s.replaceAll(" +$", "").split(" ", -1)
+      val composed = ws.toIndexedSeq.filter(distinctTerms.contains)
+        .map(w => TextHashes.fnv1a64(UTF8String.fromString(w)))
+      val fused = TextHashes.matchedTermFps(u, fps)
+      val got = (0 until fused.numElements()).map(fused.getLong)
+      got == composed
+    }
+
   property("minhashSigFp(shingleFps) == minhashSig(shingles) on adversarial text") =
     Prop.forAll(messyText, Gen.chooseNum(1, 4)) { (s, k) =>
       val u = UTF8String.fromString(s)
