@@ -35,10 +35,12 @@ case class ResizeMeta(doc_id: Long, width: Int, height: Int, out_w: Int, out_h: 
   * [[withSyntheticImages]] renders a deterministic grayscale gradient
   * PNG per document (spec below — integer-only, so the independent
   * Python oracle derives every expected pixel without a codec; PNG is
-  * lossless, so decode returns exactly the generated raster). Only
-  * VIDEO/AUDIO remain declared stubs ([[sampleFrames]] — no container
-  * codecs in the JDK): frame sampling demonstrates the fan-out
-  * plumbing over raw bytes.
+  * lossless, so decode returns exactly the generated raster). AUDIO
+  * is real via javax.sound.sampled ([[Audio]]) and multi-frame VIDEO
+  * is real for animated GIF via the same javax.imageio ([[Video]]);
+  * only GENERAL video containers (MP4/WebM — no such codec in the
+  * JDK) keep the declared byte-offset stub [[sampleFrames]], which
+  * demonstrates the fan-out plumbing over raw bytes.
   *
   * Synthetic image spec (all integer arithmetic, doc_id-only):
   *   w = 16 + doc_id % 17, h = 16 + doc_id % 13

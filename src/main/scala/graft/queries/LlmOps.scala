@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Audio, Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis}
+import graft.operators.{Audio, Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1005,8 +1005,9 @@ object LlmOps {
       .toDF().orderBy(col("doc_id"))
 
   /** REAL PCM frame sampling through the JDK decoder: 4 evenly spaced
-    * decoded amplitudes per clip (the video twin, mm_frame_sample,
-    * stays a declared byte-offset stub — no video codec in the JDK).
+    * decoded amplitudes per clip (mm_frame_sample keeps the
+    * byte-offset stub for GENERAL video containers; animated GIF gets
+    * real frame decode in mm_video_frame_sample).
     */
   def mm_audio_frame_sample(spark: SparkSession, dir: String): DataFrame =
     Audio.sampleFrames(spark, Audio.withSyntheticAudio(docs(spark, dir)))
@@ -1025,6 +1026,40 @@ object LlmOps {
     val withRe = base.unionByName(
       Audio.reencodedCopies(spark, base, n = 32, idOffset = 10_000_000L))
     Audio.audioDedup(spark, withRe).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** REAL multi-frame container decode over the per-doc synthetic
+    * animated GIF: frame count via a genuine stream scan, dims from
+    * the first frame header, per-frame delay and total duration from
+    * each frame's GraphicControlExtension — the oracle states the
+    * generation spec; the engine must recover every field from the
+    * actual container (operators/Video.scala).
+    */
+  def mm_video_meta(spark: SparkSession, dir: String): DataFrame =
+    Video.decodeMeta(spark, Video.withSyntheticVideos(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"))
+
+  /** REAL video frame sampling through the JDK's GIF LZW decoder: 2
+    * evenly spaced frames per clip, each decoded to pixels and
+    * reduced to its integer mean luma. Mirrored by make_expected
+    * gen_mm_video_frame_sample (integer-only spec, GIF LZW lossless —
+    * the Python oracle needs no codec).
+    */
+  def mm_video_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Video.sampleFrames(spark, Video.withSyntheticVideos(docs(spark, dir)))
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Perceptual video dedup over REAL decoded frames — temporal-
+    * average 8×8 profile + average hash + hamming banding, against
+    * per-frame pixel-perturbed GIF re-encodes of the first 32 clips
+    * (ids +10^7). Mirrored by make_expected gen_mm_video_dedup.
+    */
+  def mm_video_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Video.withSyntheticVideos(docs(spark, dir))
+      .select(col("doc_id"), col("media"))
+    val withRe = base.unionByName(
+      Video.reencodedCopies(spark, base, n = 32, idOffset = 10_000_000L))
+    Video.videoDedup(spark, withRe).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Top PMI bigram collocations (Church & Hanks) — see
@@ -1121,6 +1156,9 @@ object LlmOps {
     "mm_audio_meta" -> (mm_audio_meta _),
     "mm_audio_frame_sample" -> (mm_audio_frame_sample _),
     "mm_audio_dedup" -> (mm_audio_dedup _),
+    "mm_video_meta" -> (mm_video_meta _),
+    "mm_video_frame_sample" -> (mm_video_frame_sample _),
+    "mm_video_dedup" -> (mm_video_dedup _),
     "search_bm25" -> (search_bm25 _),
     "graph_pagerank" -> (graph_pagerank _),
     "emb_pca" -> (emb_pca _),
@@ -1888,6 +1926,8 @@ object LlmOps {
     "text_entropy" -> fixtureSql("text_entropy", "documents"),
     "mm_phash_dedup" -> fixtureSql("mm_phash_dedup", "documents"),
     "mm_audio_dedup" -> fixtureSql("mm_audio_dedup", "documents"),
+    "mm_video_dedup" -> fixtureSql("mm_video_dedup", "documents"),
+    "mm_video_frame_sample" -> fixtureSql("mm_video_frame_sample", "documents"),
     "text_tfidf" -> fixtureSql("text_tfidf", "documents"),
     "sim_topk_bruteforce" -> fixtureSql("sim_topk_bruteforce", "embeddings"),
     "emb_pca" -> fixtureSql("emb_pca", "embeddings"),
@@ -2117,6 +2157,18 @@ object LlmOps {
         | 1 AS channels, 8 AS bits,
         | cast(64 + doc_id % 97 as bigint) AS n_frames,
         | (64 + doc_id % 97) * 1000 // 8000 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the synthetic-GIF generation spec (Video.scala): the Spark side
+    // must recover every field from the REAL container — frame count
+    // needs a stream scan, delay lives in each frame's
+    // GraphicControlExtension, duration = n_frames * delay * 10 ms
+    "mm_video_meta" ->
+      """SELECT doc_id, cast(2 + doc_id % 4 as int) AS n_frames,
+        | cast(16 + doc_id % 17 as int) AS width,
+        | cast(16 + doc_id % 13 as int) AS height,
+        | cast(4 + doc_id % 7 as int) AS delay_cs,
+        | (2 + doc_id % 4) * (4 + doc_id % 7) * 10 AS duration_ms,
+        | 'gif' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     // frame i sits at PCM offset floor(i*n/4); amplitude is the spec's
     // sample value — the engine reads it back through the real decoder

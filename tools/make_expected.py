@@ -1159,6 +1159,112 @@ def gen_mm_audio_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
     })
 
 
+def _video_synth_frame(doc_id, f):
+    """Frame f of the synthetic animated GIF (Video.scala spec):
+      w = 16 + doc_id%17, h = 16 + doc_id%13
+      cell(x,y) = (y*8//h)*8 + (x*8//w)
+      px(f,x,y) = splitmix64((doc_id*131 + f)*64 + cell) >> 56"""
+    w = 16 + doc_id % 17
+    h = 16 + doc_id % 13
+    px = [splitmix64(((doc_id * 131 + f) * 64 + (y * 8 // h) * 8 + x * 8 // w) & M64) >> 56
+          for y in range(h) for x in range(w)]
+    return w, h, px
+
+
+def gen_mm_video_frame_sample(docs, k=2):
+    """Mirror of LlmOps.mm_video_frame_sample over REAL synthetic
+    animated GIFs: the Spark side renders n_frames = 2 + doc_id%4
+    frames per doc (Video.withSyntheticVideos), GIF-encodes them with
+    the JDK's own sequence writer, decodes frame src = i*n//k back
+    through the LZW codec (GIF is lossless over an explicit 256-gray
+    palette, so decode == generation), and reduces each sampled frame
+    to its integer mean luma. Every step is integer arithmetic on the
+    generation spec, so this mirror needs no codec."""
+    rows = []
+    for d in docs:
+        did = d["doc_id"]
+        n = 2 + did % 4
+        for i in range(k):
+            src = i * n // k
+            w, h, px = _video_synth_frame(did, src)
+            rows.append((did, i, src, sum(px) // (w * h)))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "frame_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "src_frame": pa.array([r[2] for r in rows], pa.int32()),
+        "mean_luma": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def gen_mm_video_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
+    """Mirror of LlmOps.mm_video_dedup over REAL synthetic animated
+    GIFs: per-frame 8x8 area-average profile (the image family's
+    gray64), averaged per cell across frames (integer floor) into a
+    temporal profile, aHash64'd, hamming-band-paired at <= 3.
+    Re-encodes of the first n_re clips (ids + id_offset) perturb
+    EVERY frame's pixels (+2 on the (x+y)%5==0 lattice, clamped)
+    before a fresh GIF encode. Integer arithmetic end to end."""
+    def perturb(w, h, px):
+        out = list(px)
+        for y in range(h):
+            for x in range(w):
+                if (x + y) % 5 == 0:
+                    i = y * w + x
+                    out[i] = min(255, out[i] + 2)
+        return out
+
+    def gray64(w, h, px):
+        out = [0] * 64
+        for by in range(8):
+            y0, y1 = by * h // 8, (by + 1) * h // 8
+            for bx in range(8):
+                x0, x1 = bx * w // 8, (bx + 1) * w // 8
+                if x1 > x0 and y1 > y0:
+                    s = sum(px[y * w + x]
+                            for y in range(y0, y1) for x in range(x0, x1))
+                    out[by * 8 + bx] = s // ((x1 - x0) * (y1 - y0))
+        return out
+
+    def temporal_ahash(frames):
+        acc = [0] * 64
+        for w, h, px in frames:
+            g = gray64(w, h, px)
+            for c in range(64):
+                acc[c] += g[c]
+        t = [acc[c] // len(frames) for c in range(64)]
+        total = sum(t)
+        sig = 0
+        for c in range(64):
+            if t[c] * 64 > total:
+                sig |= 1 << c
+        return sig
+
+    clips = []
+    for d in docs:
+        did = d["doc_id"]
+        frames = [_video_synth_frame(did, f) for f in range(2 + did % 4)]
+        clips.append((did, frames))
+    clips += [(did + id_offset, [(w, h, perturb(w, h, px)) for w, h, px in frames])
+              for did, frames in clips if did < n_re]
+    sigs = [(did, temporal_ahash(frames)) for did, frames in clips]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ida, sa), (idb, sb) = sigs[i], sigs[j]
+            if ida > idb:
+                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
+            h = ((sa ^ sb) & M64).bit_count()
+            if h <= max_hamming:
+                rows.append((ida, idb, h))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
 def variance_perm(rows, m, dim):
     """Mirror of Pq.varianceBalancedPerm on float32 embeddings via the
     VecMomentsFp kernel arithmetic: each float element widens to double
@@ -1360,6 +1466,8 @@ GENERATORS = {
     "text_entropy": ("documents", gen_text_entropy),
     "mm_phash_dedup": ("documents", gen_mm_phash_dedup),
     "mm_audio_dedup": ("documents", gen_mm_audio_dedup),
+    "mm_video_frame_sample": ("documents", gen_mm_video_frame_sample),
+    "mm_video_dedup": ("documents", gen_mm_video_dedup),
     "text_tfidf": ("documents", gen_text_tfidf),
     "sim_topk_bruteforce": ("embeddings", gen_sim_topk_bruteforce),
     "sim_topk_lsh": ("embeddings", gen_sim_topk_lsh),
