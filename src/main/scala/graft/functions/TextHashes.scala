@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, GramFps, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MatchedTermFps, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, GramFps, GramLutSum, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MatchedTermFps, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -858,6 +858,39 @@ object TextHashes {
     acc
   }
 
+  /** Fused DSIR scoring kernel: one text scan computes the doc's gram
+    * count and its importance weight against a CONSTANT-size hashed
+    * LM — `lut(b)` is the per-bucket log-ratio term, decimal(·,12)
+    * quantized and scaled to a long, for bucket b = pmod(fp,
+    * lut.length). Replaces the explode → broadcast-join → per-doc
+    * hash-aggregate scoring pass with pure in-scan arithmetic; the
+    * long sum is EXACT and reproduces the former decimal-sum path
+    * bit-for-bit (each term is the same BigDecimal.valueOf(double)
+    * .setScale(12, HALF_UP) value the decimal cast produced; exact
+    * decimal addition is order-independent). addExact fails loudly if
+    * a pathological doc (≳2×10⁵ grams at extreme log-ratios) would
+    * overflow instead of wrapping. The final weight repeats the old
+    * plan's epilogue exactly: decimal→double (correctly rounded by
+    * BigDecimal.doubleValue) then round(·, 4) HALF_UP.
+    */
+  def gramLutSum(s: UTF8String, lut: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val fps = gramFps(s)
+    val n = fps.numElements()
+    val m = lut.length.toLong
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val fp = fps.getLong(i)
+      acc = Math.addExact(acc, lut((((fp % m) + m) % m).toInt))
+      i += 1
+    }
+    val w = java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    val w4 = java.math.BigDecimal.valueOf(w)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, w4))
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token's
     * fnv1a64 votes ±1 on every bit; the sign of each bit-sum is the
     * fingerprint bit. Near-identical texts land within a small
@@ -961,6 +994,8 @@ object GraftFunctions {
 
   def bloomPositions(c: Column, numHashes: Int, m: Int): Column =
     Bridge.column(BloomPositions(Bridge.expression(c), numHashes, m))
+  def gramLutSum(c: Column, lut: Array[Long]): Column =
+    Bridge.column(GramLutSum(Bridge.expression(c), lut))
   def sumBucketWeights(c: Column, w: Array[Long]): Column =
     Bridge.column(SumBucketWeights(Bridge.expression(c), w))
   def bloomCountHits(c: Column, words: Array[Long], numHashes: Int, m: Int): Column =

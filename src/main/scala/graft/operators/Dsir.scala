@@ -16,17 +16,19 @@ import graft.functions.GraftFunctions
   *
   * The hashing trick is what makes this 100 TB-safe: both LMs live in
   * `buckets` (default 4096) hashed bins, so the model relation is a
-  * CONSTANT-size broadcast no matter the corpus — unlike a word-level
-  * LM whose vocabulary grows with the data. Shape: the gram stream
-  * (unigrams + bigrams, fnv1a64 → pmod bucket) is scanned twice, like
-  * [[TextAnalysis.surprisal]] — once into a ≤`buckets`-row map-side-
-  * combined histogram (target counts ride the same aggregate as a
-  * conditional sum, so ONE pass builds both LMs), once joined back
-  * against the broadcast histogram for per-doc scoring. No
-  * corpus-sized relation is ever persisted or shuffled; the per-doc
-  * aggregate's exchange carries one row per document.
+  * CONSTANT-size model no matter the corpus — unlike a word-level
+  * LM whose vocabulary grows with the data. Shape: the text is
+  * scanned twice — once through the fused GramFps kernel into a
+  * ≤`buckets`-row map-side-combined histogram (target counts ride the
+  * same aggregate as a conditional sum, so ONE pass builds both LMs),
+  * then the histogram collects to the driver (bounded by `buckets`,
+  * not the corpus) and becomes a scaled-long LUT; the scoring pass is
+  * ONE GramLutSum scan emitting a single (doc_id, n_grams, weight)
+  * row per document with no gram explode, join, or regroup. The only
+  * exchanges anywhere are the ≤`buckets`-row histogram and the
+  * per-doc output.
   *
-  * Per-gram log-ratio terms are cast to exact decimal before the
+  * Per-gram log-ratio terms are decimal(28,12)-quantized before the
   * per-doc sum (the surprisal convention) so the result is
   * independent of partial-aggregation order; the Laplace-smoothed
   * probabilities make every bucket finite. Mirrored bit-for-bit by
@@ -45,28 +47,40 @@ object Dsir {
     // concatenated string per bigram (its tokenization,
     // split(rtrim(text), " "), is what the kernel mirrors —
     // ScalaCheck-pinned in KernelPropertiesSpec)
-    val grams = docs.select(id.as("doc_id"), isTarget.as("_t"),
+    val grams = docs.select(isTarget.as("_t"),
         explode(GraftFunctions.gramFps(text)).as("_h"))
       .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
-    // one pass builds BOTH LMs: raw count + target-conditional count
-    // ≤`buckets` rows — persisting it means the corpus-sized gram
-    // stream is scanned exactly twice (histogram, scoring), not three
-    // times (the totals aggregate below reuses the cached histogram)
-    val hist = grams.groupBy(col("_b")).agg(
+    // one pass builds BOTH LMs: raw count + target-conditional count.
+    // The histogram is ≤`buckets` rows BY CONSTRUCTION (the hashing
+    // trick), so it collects to the driver at any corpus size — the
+    // model becomes a constant-size scaled-long LUT and scoring is
+    // pure in-scan arithmetic (GramLutSum), not an explode →
+    // broadcast-join → corpus-group hash-aggregate. Each LUT term is
+    // BigDecimal.valueOf(term).setScale(12, HALF_UP) — exactly the
+    // decimal(28,12) cast of the old per-gram `_term` column — so the
+    // exact long sum reproduces the former decimal sum bit-for-bit.
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    grams.groupBy(col("_b")).agg(
       count(lit(1)).as("_cr"),
       sum(when(col("_t"), lit(1L)).otherwise(lit(0L))).as("_ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = hist.agg(sum(col("_cr")).as("_rawTot"), sum(col("_ct")).as("_tgtTot"))
-    grams
-      .join(broadcast(hist), "_b")
-      .crossJoin(broadcast(totals))
-      .withColumn("_term",
-        (log((col("_ct") + lit(1L)).cast("double") / (col("_tgtTot") + lit(buckets.toLong)))
-          - log((col("_cr") + lit(1L)).cast("double") / (col("_rawTot") + lit(buckets.toLong))))
-          .cast("decimal(28,12)"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        round(sum(col("_term")).cast("double"), 4).as("dsir_weight"))
+      .collect().foreach { r =>
+        val b = r.getLong(0).toInt
+        cr(b) = r.getLong(1)
+        ct(b) = r.getLong(2)
+      }
+    val rawTot = cr.sum
+    val tgtTot = ct.sum
+    val lut = Array.tabulate(buckets) { b =>
+      val term =
+        math.log((ct(b) + 1L).toDouble / (tgtTot + buckets.toLong)) -
+          math.log((cr(b) + 1L).toDouble / (rawTot + buckets.toLong))
+      java.math.BigDecimal.valueOf(term)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+    docs.select(id.as("doc_id"), GraftFunctions.gramLutSum(text, lut).as("_a"))
+      .select(col("doc_id"), col("_a.n_grams").as("n_grams"),
+        col("_a.dsir_weight").as("dsir_weight"))
   }
 }

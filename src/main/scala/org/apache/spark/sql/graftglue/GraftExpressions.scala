@@ -4,7 +4,7 @@ import graft.functions.TextHashes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions. They live in this glue package because
@@ -658,6 +658,32 @@ case class CommonSortedFp(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CommonSortedFp =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd fused DSIR scorer: text → struct(n_grams, dsir_weight)
+  * against a constant-size scaled-long LUT (one scan, no gram
+  * explode/join/regroup — see TextHashes.gramLutSum for the
+  * bit-identity argument vs the decimal-sum plan it replaces).
+  */
+case class GramLutSum(child: Expression, lut: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("dsir_weight", DoubleType, nullable = false)))
+  override def prettyName: String = "gram_lut_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.gramLutSum(input.asInstanceOf[UTF8String], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("dsirLut", lut, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes$$.MODULE$$.gramLutSum($c, $lutRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramLutSum =
+    copy(child = newChild)
 }
 
 /** Codegen'd scaled-long margin: sum of weight entries at the given
