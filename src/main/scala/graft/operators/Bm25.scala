@@ -131,33 +131,70 @@ object Bm25 {
       kPool: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bm = topK(docs, queries, kPool)
-      .select(col("query_id"), col("doc_id"), col("rank").as("_r1"))
     val (qTermFps, termFps) = termFingerprints(queries)
+
+    // BOTH arms rank the same matched postings, so the corpus is
+    // scanned ONCE for them (plus the full-corpus stats aggregate —
+    // two scans total, down from three): one combined per-(query,
+    // doc) aggregate carries the BM25 decimal score sum AND the
+    // lexical counts, and one per-query aggregate holds BOTH
+    // bounded heaps — no shared-subtree recompute, nothing persisted.
+    // Every component expression is identical to the two-tree form it
+    // replaces (same joins, literals, decimal sums, heap semantics),
+    // so the fused output is bit-identical.
     val tf = docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(split(rtrim(col("text")), " ")).as("dl"),
         explode(GraftFunctions.matchedTermFps(col("text"), termFps)).as("_fp"))
       .groupBy(col("doc_id"), col("_fp"))
-      .agg(count(lit(1)).as("tf"))
-    val lex = tf
-      .join(broadcast(qTermFps.toDF("query_id", "_fp")), "_fp")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfRel = tf.groupBy(col("_fp")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(split(rtrim(col("text")), " "))).as("sdl"))
+    val q = qTermFps.toDF("query_id", "_fp")
+
+    val perDoc = tf
+      .join(broadcast(dfRel), "_fp")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "_fp")
+      .withColumn("_s",
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n")))))
+          .cast("decimal(28,12)"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("nmatch"), sum(col("tf")).as("tfsum"))
+      .agg(sum(col("_s")).cast("double").as("_bm"),
+        count(lit(1)).as("nmatch"), sum(col("tf")).as("tfsum"))
       // Composite key reproducing ORDER BY nmatch DESC, tfsum DESC in one
       // double: nmatch·2^31 + tfsum. Exact while tfsum < 2^31 (a doc would
       // need 2B+ matched-term occurrences to break it — guarded below) and
       // nmatch < 2^22 (nmatch ≤ |query terms|, always tiny), keeping the
       // sum inside the 2^53 exact-integer budget of a double.
-      .withColumn("_score",
+      .withColumn("_lex",
         when(col("tfsum") >= lit(1L << 31), raise_error(concat(
           lit("rrfTopK: tfsum overflows the composite rank key for doc_id="),
           col("doc_id"))))
           .otherwise((col("nmatch") * lit(1L << 31) + col("tfsum")).cast("double")))
-    val lexRanked = lex
+
+    // one row per QUERY (bounded by the query set, not the corpus) —
+    // materialized once so the bm/lex derivations below don't each
+    // recompute the corpus prefix: column pruning specializes the
+    // aggregate per consumer (one keeps _tb, the other _tl), so the
+    // two subtrees are NOT identical and exchange reuse cannot
+    // dedupe them; an eager localCheckpoint of the Q-row relation
+    // runs the heavy prefix exactly once.
+    val tops = perDoc
       .groupBy(col("query_id"))
-      .agg(GraftFunctions.topKAgg(col("_score"), col("doc_id"), kPool).as("_top"))
-      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .agg(GraftFunctions.topKAgg(col("_bm"), col("doc_id"), kPool).as("_tb"),
+        GraftFunctions.topKAgg(col("_lex"), col("doc_id"), kPool).as("_tl"))
+      .localCheckpoint()
+    val bm = tops
+      .select(col("query_id"), posexplode(col("_tb")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("_t.id").as("doc_id"), (col("_pos") + 1).as("_r1"))
+    val lexRanked = tops
+      .select(col("query_id"), posexplode(col("_tl")).as(Seq("_pos", "_t")))
       .select(col("query_id"), col("_t.id").as("doc_id"), (col("_pos") + 1).as("_r2"))
+
     val fused = bm.join(lexRanked, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("_r1")), lit(0.0)) +
