@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Audio, Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Sq8, TextAnalysis, Video}
+import graft.operators.{Audio, Bm25, Bpe, Contamination, Graph, Pca, Dedup, Drift, Dsir, Multimodal, Pq, QualityClassifier, Sampling, Opq, SemanticDedup, Similarity, Snapshot, Sq8, TextAnalysis, Video}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -520,6 +520,27 @@ object LlmOps {
     val isNew = Sampling.bucket(col("doc_id"), 100) >= 90
     Dedup.crossCorpusPairs(d.filter(!isNew), d.filter(isNew))
       .orderBy(col("corpus_doc"), col("new_doc"))
+  }
+
+  /** Incremental crawl reconciliation (Snapshot.delta): the documents
+    * table plays two snapshot roles — "old" drops doc_id % 17 == 3,
+    * "new" drops doc_id % 19 == 5 and revises the text of
+    * doc_id % 13 == 2 — and every doc is classified added /
+    * added_near_dup / removed / changed / unchanged, with added docs
+    * near-dup-probed against the retained corpus only (delta-cost
+    * ingest). Mirrored by a direct DuckDB oracle (exact all-pairs
+    * Jaccard ground truth for the near-dup arm, same convention as
+    * dedup_cross_corpus).
+    */
+  def corpus_delta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldSnap = d.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(pmod(col("doc_id"), lit(19)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 2, concat(col("text"), lit(" rev7")))
+          .otherwise(col("text")).as("text"))
+    Snapshot.delta(oldSnap, newSnap).orderBy(col("doc_id"))
   }
 
   /** Per-language distribution report of the curation metrics: exact
@@ -1118,6 +1139,7 @@ object LlmOps {
     "text_normalize" -> (text_normalize _),
     "dedup_keep_best" -> (dedup_keep_best _),
     "dedup_cross_corpus" -> (dedup_cross_corpus _),
+    "corpus_delta" -> (corpus_delta _),
     "data_pack" -> (data_pack _),
     "data_budget_select" -> (data_budget_select _),
     "quality_floor" -> (quality_floor _),
@@ -1882,6 +1904,48 @@ object LlmOps {
          |FROM inter JOIN sz sa ON sa.doc_id = corpus_doc JOIN sz sb ON sb.doc_id = new_doc
          |WHERE i::double / (sa.n + sb.n - i) >= 0.8
          |ORDER BY corpus_doc, new_doc""".stripMargin,
+    // snapshot diff: statuses from the modular old/new definitions;
+    // the added_near_dup arm's ground truth is exact all-pairs Jaccard
+    // between added and retained docs (same convention as
+    // dedup_cross_corpus — Spark compares md5 digests, the oracle
+    // compares texts; identical up to a 2^-128 collision)
+    "corpus_delta" ->
+      s"""WITH oldd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+         |newd AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 13 = 2 THEN text || ' rev7' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 19 <> 5),
+         |cls AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |         CASE WHEN o.doc_id IS NULL THEN 'added'
+         |              WHEN n.doc_id IS NULL THEN 'removed'
+         |              WHEN o.text <> n.text THEN 'changed'
+         |              ELSE 'unchanged' END AS status
+         |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id),
+         |sh AS (
+         |  SELECT doc_id, ${shingleListSql(3)} AS s
+         |  FROM (SELECT n.doc_id, n.text,
+         |               string_split(rtrim(n.text), ' ') AS w FROM newd n)),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS retained_doc, b.doc_id AS added_doc, count(*) AS i
+         |  FROM e a JOIN e b ON a.g = b.g
+         |  WHERE a.doc_id IN (SELECT doc_id FROM oldd) AND a.doc_id IN (SELECT doc_id FROM newd)
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM oldd) AND b.doc_id IN (SELECT doc_id FROM newd)
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT added_doc, min(retained_doc) AS near_dup_of
+         |  FROM inter JOIN sz sa ON sa.doc_id = retained_doc JOIN sz sb ON sb.doc_id = added_doc
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.8
+         |  GROUP BY added_doc)
+         |SELECT cls.doc_id,
+         |       CASE WHEN nd.near_dup_of IS NOT NULL THEN 'added_near_dup'
+         |            ELSE cls.status END AS status,
+         |       nd.near_dup_of
+         |FROM cls LEFT JOIN nd ON cls.doc_id = nd.added_doc
+         |ORDER BY cls.doc_id""".stripMargin,
     // exact linear-interpolation percentiles: Spark percentile() and
     // DuckDB quantile_cont share the p*(n-1) interpolation definition;
     // the interpolated score quantiles run over the ROUNDED 4-decimal

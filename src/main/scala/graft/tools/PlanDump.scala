@@ -30,7 +30,7 @@ object PlanDump {
     "contamination_check" -> "broadcast eval grams, corpus never shuffles",
     "dedup_semantic" -> "broadcast centroids, cell-keyed pair scan, cluster-confined components",
     "data_prune_prototypes" -> "broadcast-centroid assign, ONE cid-keyed exchange under both windows",
-    "dsir_importance" -> "constant-size broadcast LM histogram, per-doc agg is the only doc-keyed exchange",
+    "dsir_importance" -> "constant-size LM collected to a driver LUT, scoring fused INSIDE the scan (GramLutSum) — only exchanges are the <=4096-row histogram and the per-doc output",
     "contamination_bloom" -> "NO join at all: bloom probe inside the scan projection, bit_or build exchange <= m/64 rows",
     "dedup_containment" -> "asymmetric prefix x full-index fp join, fetch-join verify, pinned verify partitions",
     "quality_classifier" -> "scoring pass: trained weights as a broadcast literal, margin kernel inside the scan, NO exchange before the label agg",
@@ -52,7 +52,8 @@ object PlanDump {
     "opt_compaction" -> "ONE range exchange of the fragment set being compacted, sorted within partitions for id-clustered files",
     "q48_ignore_nulls" -> "one user-keyed exchange, partition-local IGNORE NULLS frames — scales with users, not time",
     "pipeline_rag_index" -> "chunk explode + hash-embed kernel + broadcast query relation + per-query heap, ALL inside the scan — zero corpus shuffle",
-    "search_rrf" -> "two matched-postings arms over one shared scan shape, heap ranks (no windows), fusion full-outer join of two tiny pooled relations",
+    "search_rrf" -> "ONE matched-postings pass feeds both arms: combined per-(query,doc) aggregate, BOTH heaps in one per-query aggregate (Q-row checkpoint), fusion full-outer join of two tiny pooled relations",
+    "corpus_delta" -> "md5-digest full-outer classification (16-byte rows, never text), id-only added/retained splits, cross-side-only LSH band probe for the delta dedup",
     "fmt_schema_evolution" -> "merged-footer scan: v1 files project lang as null, coalesce in the projection",
     "dedup_simhash" -> "64-bit sigs from the scan, Manku combination banding as constant-mask bitwiseAND band keys, distinct-signature collapse before the band join",
     "graph_pagerank" -> "per-superstep ONE O(edges) decimal-partial exchange; dangling mass folded into the update as a driver constant (no per-superstep aggregate)")

@@ -656,6 +656,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w(3L) > w(5L), s"target-LIKE doc ${w(3L)} vs off-domain ${w(5L)}")
   }
 
+  test("corpus_delta classifies every doc and near-dup-flags added docs") {
+    import spark.implicits._
+    val out = queries.LlmOps.corpus_delta(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val n = Tables(spark, sfDir, "documents").count()
+    // exactly the union of the two snapshots is classified
+    assert(out.length == (0L until n).count(i => i % 17 != 3 || i % 19 != 5))
+    out.foreach { case (id, status, nd) =>
+      val inOld = id % 17 != 3
+      val inNew = id % 19 != 5
+      status match {
+        case "removed" => assert(inOld && !inNew)
+        case "added" | "added_near_dup" => assert(!inOld && inNew)
+        case "changed" => assert(inOld && inNew && id % 13 == 2)
+        case "unchanged" => assert(inOld && inNew && id % 13 != 2)
+      }
+      // near_dup_of points at a RETAINED doc, only ever for added docs
+      nd.foreach { d =>
+        assert(status == "added_near_dup")
+        assert(d % 17 != 3 && d % 19 != 5, s"near_dup_of $d not retained")
+      }
+    }
+    // the synthetic near-dup families guarantee at least one added doc
+    // whose family head/variant survives in the retained corpus
+    assert(out.exists(_._2 == "added_near_dup"),
+      "corpus should contain an added near-dup of a retained doc")
+    assert(out.exists(_._2 == "removed") && out.exists(_._2 == "changed"))
+  }
+
   test("bloom decontamination has no false negatives vs exact overlap") {
     val d = Tables(spark, sfDir, "documents")
     val pred = operators.Sampling.bucket(col("doc_id"), 100) >= 98
