@@ -86,14 +86,15 @@ object Audio {
   /** Attach a REAL synthetic WAV media column: one deterministic clip
     * per document, PCM-rendered and WAV-encoded on the executors.
     */
-  def withSyntheticAudio(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, encodeWav(synthSamples(id)))))
-      .toDF("doc_id", "media")
-      .withColumn("media_type", lit("audio/wav"))
-  }
+  def withSyntheticAudio(docs: DataFrame): DataFrame =
+    Multimodal.cachedMedia("audio", docs) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, encodeWav(synthSamples(id)))))
+        .toDF("doc_id", "media")
+        .withColumn("media_type", lit("audio/wav"))
+    }
 
   /** Per-partition REAL header decode of audio blobs into typed
     * metadata (mapPartitions, not a per-row UDF, so reader lookup

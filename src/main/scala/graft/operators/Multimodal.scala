@@ -62,6 +62,25 @@ object Multimodal {
   // (executors only ever stream from byte arrays).
   ImageIO.setUseCache(false)
 
+  // Synthetic-media relations are FIXTURE inputs (the test corpus
+  // ships no blobs; production media comes from storage): without
+  // memoization every mm_* query re-renders and re-ENCODES the whole
+  // blob column before the decode operator under test even runs —
+  // at 10x that charged ~3 full GIF-encode passes to the three video
+  // queries alone. Materialize each (session, corpus, kind) relation
+  // once — the same session-scoped memo convention as Bpe's merge
+  // table — via an eager localCheckpoint (MEMORY_AND_DISK blocks), so
+  // a repeat query reads blocks instead of re-encoding.
+  private val synthCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, String), DataFrame]
+
+  private[graft] def cachedMedia(kind: String, docs: DataFrame)(
+      build: => DataFrame): DataFrame =
+    synthCache.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), kind),
+      build.localCheckpoint())
+
   private[graft] def synthDims(docId: Long): (Int, Int) =
     ((16 + (docId % 17)).toInt, (16 + (docId % 13)).toInt)
 
@@ -143,7 +162,7 @@ object Multimodal {
     * and PNG-encoded on the executors — the ingest shape where blobs
     * arrive beside the row.
     */
-  def withSyntheticImages(docs: DataFrame): DataFrame = {
+  def withSyntheticImages(docs: DataFrame): DataFrame = cachedMedia("image", docs) {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]

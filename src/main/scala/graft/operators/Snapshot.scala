@@ -37,14 +37,6 @@ object Snapshot {
     */
   def delta(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("_ho"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("_hn"))
-    val cls = o.join(n, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("_ho").isNull, lit("added"))
-          .when(col("_hn").isNull, lit("removed"))
-          .when(col("_ho") =!= col("_hn"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
     // delta-only dedup: the added docs probe the retained corpus's
     // band buckets; retained docs carry their NEW text (a changed doc
     // is still standing corpus — its current revision is what future
@@ -53,9 +45,34 @@ object Snapshot {
       Seq("doc_id"), "left_anti")
     val retained = newDocs.join(oldDocs.select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val nearDup = Dedup.crossCorpusPairs(retained, added, k, threshold = threshold)
-      .groupBy(col("new_doc")).agg(min(col("corpus_doc")).as("near_dup_of"))
-    cls.join(nearDup, cls("doc_id") === nearDup("new_doc"), "left")
+    val pairs = Dedup.crossCorpusPairs(retained, added, k, threshold = threshold)
+      .select(col("corpus_doc").as("retained_doc"), col("new_doc").as("added_doc"))
+    assemble(classify(oldDocs, newDocs), pairs)
+  }
+
+  /** The md5-digest full-outer classification alone: (doc_id, status)
+    * with status ∈ added / removed / changed / unchanged — shared by
+    * the batch op and the streaming twin's post-drain assembly.
+    */
+  private[graft] def classify(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("_ho"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("_hn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") =!= col("_hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Fold verified (retained_doc, added_doc) near-dup pairs into the
+    * classification: each added doc with a match becomes
+    * added_near_dup, pointing at its smallest matching retained doc.
+    */
+  private[graft] def assemble(cls: DataFrame, pairs: DataFrame): DataFrame = {
+    val nearDup = pairs
+      .groupBy(col("added_doc")).agg(min(col("retained_doc")).as("near_dup_of"))
+    cls.join(nearDup, cls("doc_id") === nearDup("added_doc"), "left")
       .select(col("doc_id"),
         when(col("near_dup_of").isNotNull, lit("added_near_dup"))
           .otherwise(col("status")).as("status"),

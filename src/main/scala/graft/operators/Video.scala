@@ -190,18 +190,19 @@ object Video {
     * deterministic multi-frame clip per document, rendered and
     * GIF-encoded on the executors.
     */
-  def withSyntheticVideos(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (w, h) = Multimodal.synthDims(id)
-        val frames = (0 until nFrames(id)).map(f => synthFrame(id, f))
-        (id, encodeGif(w, h, frames, delayCs(id)))
-      })
-      .toDF("doc_id", "media")
-      .withColumn("media_type", lit("video/gif"))
-  }
+  def withSyntheticVideos(docs: DataFrame): DataFrame =
+    Multimodal.cachedMedia("video", docs) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = Multimodal.synthDims(id)
+          val frames = (0 until nFrames(id)).map(f => synthFrame(id, f))
+          (id, encodeGif(w, h, frames, delayCs(id)))
+        })
+        .toDF("doc_id", "media")
+        .withColumn("media_type", lit("video/gif"))
+    }
 
   /** Per-partition REAL container decode into typed metadata: frame
     * count via `getNumImages(true)` (a genuine stream scan — GIF has

@@ -543,6 +543,25 @@ object LlmOps {
     Snapshot.delta(oldSnap, newSnap).orderBy(col("doc_id"))
   }
 
+  /** Ingest-time (streaming) crawl reconciliation: the same snapshot
+    * roles as [[corpus_delta]], but the NEW snapshot arrives as a
+    * 3-micro-batch stream — side-tagged cross-side band state emits
+    * added×retained candidates incrementally
+    * (StreamingDedup.runDelta); the drained result must equal batch
+    * corpus_delta (same hard oracle).
+    */
+  def corpus_delta_stream(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldSnap = d.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(pmod(col("doc_id"), lit(19)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 2, concat(col("text"), lit(" rev7")))
+          .otherwise(col("text")).as("text"))
+    graft.streaming.StreamingDedup.runDelta(spark, oldSnap, newSnap)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language distribution report of the curation metrics: exact
     * linear-interpolation percentiles of doc length and quality score
     * (the table a curation run eyeballs to pick filter thresholds).
@@ -1140,6 +1159,7 @@ object LlmOps {
     "dedup_keep_best" -> (dedup_keep_best _),
     "dedup_cross_corpus" -> (dedup_cross_corpus _),
     "corpus_delta" -> (corpus_delta _),
+    "corpus_delta_stream" -> (corpus_delta_stream _),
     "data_pack" -> (data_pack _),
     "data_budget_select" -> (data_budget_select _),
     "quality_floor" -> (quality_floor _),
@@ -1193,6 +1213,50 @@ object LlmOps {
     TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")
 
   /** Shared by the batch and streaming decontamination entries. */
+  /** Shared by corpus_delta and its streaming twin (same drained
+    * rows): statuses from the modular old/new snapshot definitions,
+    * added_near_dup from exact all-pairs Jaccard between added and
+    * retained docs (Spark compares md5 digests, the oracle compares
+    * texts — identical up to a 2^-128 collision).
+    */
+  private lazy val corpusDeltaOracle =
+    s"""WITH oldd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+       |newd AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 2 THEN text || ' rev7' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 19 <> 5),
+       |cls AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |         CASE WHEN o.doc_id IS NULL THEN 'added'
+       |              WHEN n.doc_id IS NULL THEN 'removed'
+       |              WHEN o.text <> n.text THEN 'changed'
+       |              ELSE 'unchanged' END AS status
+       |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id),
+       |sh AS (
+       |  SELECT doc_id, ${shingleListSql(3)} AS s
+       |  FROM (SELECT n.doc_id, n.text,
+       |               string_split(rtrim(n.text), ' ') AS w FROM newd n)),
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS retained_doc, b.doc_id AS added_doc, count(*) AS i
+       |  FROM e a JOIN e b ON a.g = b.g
+       |  WHERE a.doc_id IN (SELECT doc_id FROM oldd) AND a.doc_id IN (SELECT doc_id FROM newd)
+       |    AND b.doc_id NOT IN (SELECT doc_id FROM oldd) AND b.doc_id IN (SELECT doc_id FROM newd)
+       |  GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT added_doc, min(retained_doc) AS near_dup_of
+       |  FROM inter JOIN sz sa ON sa.doc_id = retained_doc JOIN sz sb ON sb.doc_id = added_doc
+       |  WHERE i::double / (sa.n + sb.n - i) >= 0.8
+       |  GROUP BY added_doc)
+       |SELECT cls.doc_id,
+       |       CASE WHEN nd.near_dup_of IS NOT NULL THEN 'added_near_dup'
+       |            ELSE cls.status END AS status,
+       |       nd.near_dup_of
+       |FROM cls LEFT JOIN nd ON cls.doc_id = nd.added_doc
+       |ORDER BY cls.doc_id""".stripMargin
+
   private lazy val contaminationOracle =
     s"""WITH g AS (
       |  SELECT doc_id,
@@ -1908,44 +1972,10 @@ object LlmOps {
     // the added_near_dup arm's ground truth is exact all-pairs Jaccard
     // between added and retained docs (same convention as
     // dedup_cross_corpus — Spark compares md5 digests, the oracle
-    // compares texts; identical up to a 2^-128 collision)
-    "corpus_delta" ->
-      s"""WITH oldd AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
-         |newd AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 13 = 2 THEN text || ' rev7' ELSE text END AS text
-         |  FROM documents WHERE doc_id % 19 <> 5),
-         |cls AS (
-         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-         |         CASE WHEN o.doc_id IS NULL THEN 'added'
-         |              WHEN n.doc_id IS NULL THEN 'removed'
-         |              WHEN o.text <> n.text THEN 'changed'
-         |              ELSE 'unchanged' END AS status
-         |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id),
-         |sh AS (
-         |  SELECT doc_id, ${shingleListSql(3)} AS s
-         |  FROM (SELECT n.doc_id, n.text,
-         |               string_split(rtrim(n.text), ' ') AS w FROM newd n)),
-         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS retained_doc, b.doc_id AS added_doc, count(*) AS i
-         |  FROM e a JOIN e b ON a.g = b.g
-         |  WHERE a.doc_id IN (SELECT doc_id FROM oldd) AND a.doc_id IN (SELECT doc_id FROM newd)
-         |    AND b.doc_id NOT IN (SELECT doc_id FROM oldd) AND b.doc_id IN (SELECT doc_id FROM newd)
-         |  GROUP BY 1, 2),
-         |nd AS (
-         |  SELECT added_doc, min(retained_doc) AS near_dup_of
-         |  FROM inter JOIN sz sa ON sa.doc_id = retained_doc JOIN sz sb ON sb.doc_id = added_doc
-         |  WHERE i::double / (sa.n + sb.n - i) >= 0.8
-         |  GROUP BY added_doc)
-         |SELECT cls.doc_id,
-         |       CASE WHEN nd.near_dup_of IS NOT NULL THEN 'added_near_dup'
-         |            ELSE cls.status END AS status,
-         |       nd.near_dup_of
-         |FROM cls LEFT JOIN nd ON cls.doc_id = nd.added_doc
-         |ORDER BY cls.doc_id""".stripMargin,
+    // compares texts; identical up to a 2^-128 collision). The
+    // streaming twin drains to the SAME rows — one oracle for both.
+    "corpus_delta" -> corpusDeltaOracle,
+    "corpus_delta_stream" -> corpusDeltaOracle,
     // exact linear-interpolation percentiles: Spark percentile() and
     // DuckDB quantile_cont share the p*(n-1) interpolation definition;
     // the interpolated score quantiles run over the ROUNDED 4-decimal

@@ -147,4 +147,100 @@ object StreamingDedup {
     spark.catalog.dropTempView(sinkName)
     drained
   }
+
+  /** Per-bucket SIDE-TAGGED member state for the cross-side pair
+    * emitter: a bucket remembers its added and retained arrivals
+    * separately and only ever pairs ACROSS sides.
+    */
+  case class SideState(added: List[Long], retained: List[Long])
+
+  /** Emit (retained_doc, added_doc) for every CROSS-side pair this
+    * batch's arrivals complete in the bucket — arrival order doesn't
+    * matter (an added doc pairs with retained members past AND
+    * present), retained×retained and added×added never pair. Row =
+    * (band, bucket, doc_id, is_added).
+    */
+  private[graft] def emitCrossPairs(
+      key: (Int, Long),
+      rows: Iterator[(Int, Long, Long, Boolean)],
+      state: GroupState[SideState]): Iterator[(Long, Long)] = {
+    val prev = state.getOption.getOrElse(SideState(Nil, Nil))
+    val fresh = rows.map(r => (r._3, r._4)).toList.distinct
+    val freshA = fresh.collect { case (id, true) => id }.filterNot(prev.added.contains)
+    val freshR = fresh.collect { case (id, false) => id }.filterNot(prev.retained.contains)
+    state.update(SideState(freshA ::: prev.added, freshR ::: prev.retained))
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    freshA.foreach(a => (freshR ::: prev.retained).foreach(r => out += ((r, a))))
+    freshR.foreach(r => prev.added.foreach(a => out += ((r, a))))
+    out.iterator
+  }
+
+  /** Streaming twin of [[graft.operators.Snapshot.delta]]'s near-dup
+    * arm: the NEW snapshot streams in micro-batches against the
+    * STATIC old snapshot, each arrival is side-tagged (added iff its
+    * id is absent from old — a stream-static left join), bucketed
+    * through the same MinHash bands, and cross-side candidate pairs
+    * are emitted the moment their second endpoint arrives; exact
+    * Jaccard verifies against the static new-snapshot store. The
+    * drained pair set feeds Snapshot.assemble/classify, so the full
+    * result equals the batch operator under the same DuckDB oracle —
+    * ingest-time delta reconciliation as an actual streaming pipeline.
+    *
+    * Scale notes: same state bounds as [[runIncremental]] (member ids
+    * per bucket, candidate set for dedup), same TTL option in
+    * production; the old-snapshot side enters only as id/digest
+    * relations (stream-static joins — the standing corpus is never
+    * re-streamed).
+    */
+  def runDelta(
+      spark: SparkSession,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-stream")
+    dir.toFile.deleteOnExit()
+    val staged = newDocs.select(col("doc_id"), col("text"))
+    staged.repartitionByRange(batches, col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val oldIds = oldDocs.select(col("doc_id"), lit(true).as("_in_old"))
+    val sigs = Dedup.bandBuckets(stream, k, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id"))
+      .join(oldIds, Seq("doc_id"), "left")
+      .select(col("band"), col("bucket"), col("doc_id"),
+        col("_in_old").isNull.as("is_added"))
+      .as[(Int, Long, Long, Boolean)]
+    val pairs = sigs
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(emitCrossPairs)
+      .dropDuplicates("_1", "_2")
+    val verified = Dedup.verifyJaccard(
+      pairs.toDF("doc_a", "doc_b"), newDocs, k)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("retained_doc"), col("doc_b").as("added_doc"))
+    val sinkName = s"graft_delta_stream_${System.nanoTime()}"
+    StreamingEvents.withStreamingPartitions(spark) {
+      val q = verified
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    val drainedPairs = spark.table(sinkName).localCheckpoint()
+    spark.catalog.dropTempView(sinkName)
+    // post-drain assembly over BOUNDED relations: statuses from the
+    // digest classification, added_near_dup from the drained pairs
+    graft.operators.Snapshot.assemble(
+      graft.operators.Snapshot.classify(oldDocs, newDocs), drainedPairs)
+  }
 }

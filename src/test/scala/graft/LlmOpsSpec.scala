@@ -686,6 +686,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.exists(_._2 == "removed") && out.exists(_._2 == "changed"))
   }
 
+  test("corpus_delta_stream drains to exactly the batch delta") {
+    val batch = queries.LlmOps.corpus_delta(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val streamed = queries.LlmOps.corpus_delta_stream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+  }
+
+  test("cross-side pair state pairs across batches in either arrival order") {
+    import spark.implicits._
+    // one retained/added near-dup pair split so the RETAINED doc
+    // arrives in a LATER batch than the added doc (range staging by id
+    // puts 5 before 100): the bucket state must complete the pair
+    // regardless of which side arrives first
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(1) :+ "tokX").mkString(" ")
+    val oldDocs = Seq((100L, a)).toDF("doc_id", "text")
+    val newDocs = Seq((100L, a), (5L, b)).toDF("doc_id", "text")
+    val out = graft.streaming.StreamingDedup.runDelta(spark, oldDocs, newDocs,
+      batches = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(5L) == "added_near_dup", s"added doc not linked: $out")
+    assert(out(100L) == "unchanged")
+  }
+
   test("bloom decontamination has no false negatives vs exact overlap") {
     val d = Tables(spark, sfDir, "documents")
     val pred = operators.Sampling.bucket(col("doc_id"), 100) >= 98
