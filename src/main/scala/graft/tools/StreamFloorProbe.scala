@@ -33,6 +33,9 @@ object StreamFloorProbe {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         val d = p.durationMs
+        val st = p.stateOperators.zipWithIndex.map { case (s, i) =>
+          f"state$i[${s.operatorName}]=${s.numRowsTotal}rows/${s.memoryUsedBytes / 1024}KB"
+        }.mkString(" ")
         batches.add(f"batch=${p.batchId} rows=${p.numInputRows} " +
           f"trigger=${d.getOrDefault("triggerExecution", -1L)}ms " +
           f"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
@@ -40,7 +43,7 @@ object StreamFloorProbe {
           f"latestOffset=${d.getOrDefault("latestOffset", -1L)}ms " +
           f"queryPlanning=${d.getOrDefault("queryPlanning", -1L)}ms " +
           f"walCommit=${d.getOrDefault("walCommit", -1L)}ms " +
-          f"commitOffsets=${d.getOrDefault("commitOffsets", -1L)}ms")
+          f"commitOffsets=${d.getOrDefault("commitOffsets", -1L)}ms " + st)
       }
     })
 
