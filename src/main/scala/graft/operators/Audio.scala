@@ -186,9 +186,10 @@ object Audio {
   def reencodedCopies(spark: SparkSession, docs: DataFrame,
       n: Long, idOffset: Long): DataFrame = {
     import spark.implicits._
+    // missing media can't be re-encoded — skip (decodeMeta's tolerance)
     docs.filter(col("doc_id") < n)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
         (id + idOffset, encodeWav(scaleGain(decodeSamples(bytes))))
       })
       .toDF("doc_id", "media")
@@ -204,8 +205,10 @@ object Audio {
     */
   def audioDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // missing media gets NO signature and never pairs (see
+    // Multimodal.phashDedup for why not a degenerate all-zero sig)
     val sigs = docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
         (id, Multimodal.aHash64(envelope64(decodeSamples(bytes))))
       })
       .toDF("doc_id", "_sig")

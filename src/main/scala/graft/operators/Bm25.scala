@@ -51,15 +51,19 @@ object Bm25 {
     */
   private def termFingerprints(
       queries: Seq[(Int, String)]): (Seq[(Int, Long)], Array[Long]) = {
-    val qTerms = queries.flatMap { case (qid, text) =>
-      text.split(" ").distinct.map(t => (qid, t))
+    def fp(t: String): Long = graft.functions.TextHashes.fnv1a64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    // fingerprint per (query, term) PAIR — never zip the per-pair qid
+    // list against a per-DISTINCT-term fp list: with a term shared by
+    // two queries the lists have different lengths and zip silently
+    // misaligns/truncates the relation
+    val qTermFps = queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, fp(t)))
     }
-    val termSet = qTerms.map(_._2).distinct
-    val fps = termSet.map(t => graft.functions.TextHashes.fnv1a64(
-      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
-    require(fps.distinct.length == termSet.length,
+    val termSet = queries.flatMap(_._2.split(" ")).distinct
+    require(termSet.map(fp).distinct.length == termSet.length,
       "Bm25: fnv1a64 collision inside the query term set")
-    (qTerms.map(_._1).zip(fps), fps.toArray.sorted)
+    (qTermFps, termSet.map(fp).toArray.sorted)
   }
 
   /** Top-k docs per keyword query: (query_id, rank, doc_id, score). */

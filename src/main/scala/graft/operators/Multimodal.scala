@@ -72,14 +72,23 @@ object Multimodal {
   // table — via an eager localCheckpoint (MEMORY_AND_DISK blocks), so
   // a repeat query reads blocks instead of re-encoding.
   private val synthCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
 
   private[graft] def cachedMedia(kind: String, docs: DataFrame)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // keyed by applicationId (stable for the context's lifetime, never
+    // reused within a JVM — unlike an identity hash, which GC can
+    // recycle onto a NEW session and serve it a DataFrame whose
+    // checkpoint blocks died with the old context) + the analyzed
+    // plan's semantic hash (the corpus) + kind; entries of stopped
+    // contexts are purged on access so cycling sessions can't pin dead
+    // checkpoint blocks for the JVM's lifetime
+    synthCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     synthCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession),
+      (docs.sparkSession.sparkContext.applicationId,
         docs.queryExecution.analyzed.semanticHash(), kind),
       build.localCheckpoint())
+  }
 
   private[graft] def synthDims(docId: Long): (Int, Int) =
     ((16 + (docId % 17)).toInt, (16 + (docId % 13)).toInt)
@@ -314,9 +323,11 @@ object Multimodal {
   def reencodedCopies(spark: SparkSession, docs: DataFrame,
       n: Long, idOffset: Long): DataFrame = {
     import spark.implicits._
+    // missing media can't be re-encoded — skip it (the same tolerance
+    // decodeMeta shows missing blobs, applied to this path's decode)
     docs.filter(col("doc_id") < n)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
         val (w, h, px) = decodePixels(bytes)
         (id + idOffset, encodeImage(w, h, perturbPixels(w, h, px)))
       })
@@ -334,9 +345,13 @@ object Multimodal {
     */
   def phashDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // a missing blob has no perceptual content to compare — it gets NO
+    // signature and never pairs (decodeMeta's missing-media tolerance,
+    // applied to dedup; a degenerate all-zero sig would instead cluster
+    // every null-media doc into one giant false family)
     val sigs = docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
           val (w, h, px) = decodePixels(bytes)
           (id, aHash64(gray64(w, h, px)))
         }

@@ -96,7 +96,7 @@ object Similarity {
     * [[Pq.trainCodebooks]]) keep the trained centroids independent of
     * partial-aggregation order.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val Fp = 1048576.0 // 2^20 fixed-point scale for order-free means
     var cents: Array[(Long, Array[Float])] = corpus.filter(col("vec_id") < k)
@@ -104,6 +104,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty, "kmeansCentroids: no seed vectors with vec_id < k")
+    // dim <= 0 derives the width from the seed vectors (VecMomentsFp
+    // requires the exact width, and hardcoding 64 would break any
+    // non-64-dim embedding corpus the pre-moments form handled)
+    val d = if (dim > 0) dim else cents.head._2.length
     var i = 0
     while (i < iters) {
       // argmax cell id as an inline expression: struct(score, cid)
@@ -117,7 +122,7 @@ object Similarity {
       cents = corpus
         .groupBy(best.as("cid"))
         .agg(graft.functions.GraftFunctions
-          .vecMomentsFp(col("embedding"), Fp, dim, outer = false).as("_m"))
+          .vecMomentsFp(col("embedding"), Fp, d, outer = false).as("_m"))
         .select(col("cid"), col("_m.n").as("n"), col("_m.s1").as("s1"))
         .collect()
         .map { r =>

@@ -290,9 +290,10 @@ object Video {
   def reencodedCopies(spark: SparkSession, docs: DataFrame,
       n: Long, idOffset: Long): DataFrame = {
     import spark.implicits._
+    // missing media can't be re-encoded — skip (decodeMeta's tolerance)
     docs.filter(col("doc_id") < n)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
         val (r, iis) = openReader(bytes)
         val (w, h, frames) = try {
           val nf = r.getNumImages(true)
@@ -316,8 +317,10 @@ object Video {
     */
   def videoDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // missing media gets NO signature and never pairs (see
+    // Multimodal.phashDedup for why not a degenerate all-zero sig)
     val sigs = docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
         (id, Multimodal.aHash64(temporalGray64(bytes)))
       })
       .toDF("doc_id", "_sig")

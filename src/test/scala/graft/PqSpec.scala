@@ -9,6 +9,20 @@ class PqSpec extends AnyFunSuite {
 
   private def emb = Tables(spark, sfDir, "embeddings")
 
+  test("kmeans centroids derive the vector width from the corpus") {
+    import spark.implicits._
+    // regression: the VecMomentsFp rewrite hardcoded dim = 64 — a
+    // 3-dim corpus threw 'expected 64 elements' mid-Lloyd-iteration
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(cents.length == 2)
+    assert(cents.forall(_._2.length == 3), "centroid width follows the corpus")
+  }
+
   test("encode: codebook members quantize to themselves, codes in range") {
     val books = Pq.codebooks(emb, m = 8, ksub = 16, dim = 64)
     val index = Pq.encode(emb, books, m = 8, dim = 64)

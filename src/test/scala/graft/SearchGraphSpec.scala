@@ -28,6 +28,25 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(r((2, 1)) == 4L, "highest tf wins for 'common'")
   }
 
+  test("bm25: queries SHARING a term each keep their full term set") {
+    import spark.implicits._
+    // regression: the (query_id, term-fp) relation was once built by
+    // zipping a per-(query,term) qid list against a per-DISTINCT-term
+    // fp list — with 'data' shared below, query 2 silently lost it
+    val docs = Seq(
+      (1L, "data data data data"),
+      (2L, "quality alpha beta gamma"),
+      (3L, "dedup alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val qs = Seq(1 -> "data quality", 2 -> "data dedup")
+    val r = Bm25.topK(docs, qs, 3).collect()
+      .map(x => (x.getInt(0), x.getLong(2))).toSet
+    // BOTH queries must retrieve doc 1 through their shared 'data'
+    // term AND their private-term doc
+    assert(r.contains((1, 1L)) && r.contains((1, 2L)), s"query 1 hits: $r")
+    assert(r.contains((2, 1L)) && r.contains((2, 3L)), s"query 2 hits: $r")
+  }
+
   test("bm25: scores are identical across partitionings") {
     import spark.implicits._
     val docs = (1L to 40L)

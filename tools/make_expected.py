@@ -1021,6 +1021,67 @@ def gen_emb_pca(emb, dim=64, r=8, sweeps=30):
     })
 
 
+def _mm_perturb(w, h, px):
+    """The image family's +2 lattice perturbation (Multimodal
+    .perturbPixels): +2 clamped to 255 wherever (x+y)%5 == 0 —
+    ONE definition shared by the image and video dedup mirrors."""
+    out = list(px)
+    for y in range(h):
+        for x in range(w):
+            if (x + y) % 5 == 0:
+                i = y * w + x
+                out[i] = min(255, out[i] + 2)
+    return out
+
+
+def _mm_gray64(w, h, px):
+    """8x8 area-average downsample (Multimodal.gray64), integer floor —
+    ONE definition shared by the image and video dedup mirrors."""
+    out = [0] * 64
+    for by in range(8):
+        y0, y1 = by * h // 8, (by + 1) * h // 8
+        for bx in range(8):
+            x0, x1 = bx * w // 8, (bx + 1) * w // 8
+            if x1 > x0 and y1 > y0:
+                s = sum(px[y * w + x]
+                        for y in range(y0, y1) for x in range(x0, x1))
+                out[by * 8 + bx] = s // ((x1 - x0) * (y1 - y0))
+    return out
+
+
+def _mm_ahash64(profile):
+    """Average-hash of any 64-cell integer profile (Multimodal
+    .aHash64): bit i set iff 64*p[i] > sum(p)."""
+    total = sum(profile)
+    sig = 0
+    for i in range(64):
+        if profile[i] * 64 > total:
+            sig |= 1 << i
+    return sig
+
+
+def _mm_hamming_pairs(sigs, max_hamming):
+    """All-pairs hamming <= max_hamming over (doc_id, sig64) — the
+    combination-banding candidate set is pigeonhole-complete at this
+    threshold, so all-pairs IS the operator's semantics. Returns the
+    (doc_a, doc_b, hamming) table every mm_*_dedup mirror emits."""
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ida, sa), (idb, sb) = sigs[i], sigs[j]
+            if ida > idb:
+                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
+            h = ((sa ^ sb) & M64).bit_count()
+            if h <= max_hamming:
+                rows.append((ida, idb, h))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
 def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
     """Mirror of LlmOps.mm_phash_dedup over REAL synthetic images: the
     Spark side renders one deterministic grayscale-gradient PNG per doc
@@ -1043,55 +1104,11 @@ def gen_mm_phash_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
               for y in range(h) for x in range(w)]
         return w, h, px
 
-    def perturb(w, h, px):
-        out = list(px)
-        for y in range(h):
-            for x in range(w):
-                if (x + y) % 5 == 0:
-                    i = y * w + x
-                    out[i] = min(255, out[i] + 2)
-        return out
-
-    def gray64(w, h, px):
-        out = [0] * 64
-        for by in range(8):
-            y0, y1 = by * h // 8, (by + 1) * h // 8
-            for bx in range(8):
-                x0, x1 = bx * w // 8, (bx + 1) * w // 8
-                if x1 > x0 and y1 > y0:
-                    s = sum(px[y * w + x]
-                            for y in range(y0, y1) for x in range(x0, x1))
-                    out[by * 8 + bx] = s // ((x1 - x0) * (y1 - y0))
-        return out
-
-    def ahash(w, h, px):
-        g = gray64(w, h, px)
-        total = sum(g)
-        sig = 0
-        for i in range(64):
-            if g[i] * 64 > total:
-                sig |= 1 << i
-        return sig
-
     imgs = [(d["doc_id"],) + synth(d["doc_id"]) for d in docs]
-    imgs += [(did + id_offset, w, h, perturb(w, h, px))
+    imgs += [(did + id_offset, w, h, _mm_perturb(w, h, px))
              for did, w, h, px in imgs if did < n_re]
-    sigs = [(did, ahash(w, h, px)) for did, w, h, px in imgs]
-    rows = []
-    for i in range(len(sigs)):
-        for j in range(i + 1, len(sigs)):
-            (ida, sa), (idb, sb) = sigs[i], sigs[j]
-            if ida > idb:
-                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
-            h = ((sa ^ sb) & M64).bit_count()
-            if h <= max_hamming:
-                rows.append((ida, idb, h))
-    rows.sort()
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "hamming": pa.array([r[2] for r in rows], pa.int32()),
-    })
+    sigs = [(did, _mm_ahash64(_mm_gray64(w, h, px))) for did, w, h, px in imgs]
+    return _mm_hamming_pairs(sigs, max_hamming)
 
 
 def gen_mm_audio_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
@@ -1129,34 +1146,11 @@ def gen_mm_audio_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
                 out[w] = sum(abs(pcm[i] - 128) for i in range(i0, i1)) // (i1 - i0)
         return out
 
-    def ahash(pcm):
-        e = envelope64(pcm)
-        total = sum(e)
-        sig = 0
-        for w in range(64):
-            if e[w] * 64 > total:
-                sig |= 1 << w
-        return sig
-
     clips = [(d["doc_id"], synth(d["doc_id"])) for d in docs]
     clips += [(did + id_offset, scale_gain(pcm))
               for did, pcm in clips if did < n_re]
-    sigs = [(did, ahash(pcm)) for did, pcm in clips]
-    rows = []
-    for i in range(len(sigs)):
-        for j in range(i + 1, len(sigs)):
-            (ida, sa), (idb, sb) = sigs[i], sigs[j]
-            if ida > idb:
-                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
-            h = ((sa ^ sb) & M64).bit_count()
-            if h <= max_hamming:
-                rows.append((ida, idb, h))
-    rows.sort()
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "hamming": pa.array([r[2] for r in rows], pa.int32()),
-    })
+    sigs = [(did, _mm_ahash64(envelope64(pcm))) for did, pcm in clips]
+    return _mm_hamming_pairs(sigs, max_hamming)
 
 
 def _video_synth_frame(doc_id, f):
@@ -1205,64 +1199,24 @@ def gen_mm_video_dedup(docs, max_hamming=3, n_re=32, id_offset=10_000_000):
     Re-encodes of the first n_re clips (ids + id_offset) perturb
     EVERY frame's pixels (+2 on the (x+y)%5==0 lattice, clamped)
     before a fresh GIF encode. Integer arithmetic end to end."""
-    def perturb(w, h, px):
-        out = list(px)
-        for y in range(h):
-            for x in range(w):
-                if (x + y) % 5 == 0:
-                    i = y * w + x
-                    out[i] = min(255, out[i] + 2)
-        return out
-
-    def gray64(w, h, px):
-        out = [0] * 64
-        for by in range(8):
-            y0, y1 = by * h // 8, (by + 1) * h // 8
-            for bx in range(8):
-                x0, x1 = bx * w // 8, (bx + 1) * w // 8
-                if x1 > x0 and y1 > y0:
-                    s = sum(px[y * w + x]
-                            for y in range(y0, y1) for x in range(x0, x1))
-                    out[by * 8 + bx] = s // ((x1 - x0) * (y1 - y0))
-        return out
-
     def temporal_ahash(frames):
         acc = [0] * 64
         for w, h, px in frames:
-            g = gray64(w, h, px)
+            g = _mm_gray64(w, h, px)
             for c in range(64):
                 acc[c] += g[c]
-        t = [acc[c] // len(frames) for c in range(64)]
-        total = sum(t)
-        sig = 0
-        for c in range(64):
-            if t[c] * 64 > total:
-                sig |= 1 << c
-        return sig
+        return _mm_ahash64([acc[c] // len(frames) for c in range(64)])
 
     clips = []
     for d in docs:
         did = d["doc_id"]
         frames = [_video_synth_frame(did, f) for f in range(2 + did % 4)]
         clips.append((did, frames))
-    clips += [(did + id_offset, [(w, h, perturb(w, h, px)) for w, h, px in frames])
+    clips += [(did + id_offset,
+               [(w, h, _mm_perturb(w, h, px)) for w, h, px in frames])
               for did, frames in clips if did < n_re]
     sigs = [(did, temporal_ahash(frames)) for did, frames in clips]
-    rows = []
-    for i in range(len(sigs)):
-        for j in range(i + 1, len(sigs)):
-            (ida, sa), (idb, sb) = sigs[i], sigs[j]
-            if ida > idb:
-                (ida, sa), (idb, sb) = (idb, sb), (ida, sa)
-            h = ((sa ^ sb) & M64).bit_count()
-            if h <= max_hamming:
-                rows.append((ida, idb, h))
-    rows.sort()
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "hamming": pa.array([r[2] for r in rows], pa.int32()),
-    })
+    return _mm_hamming_pairs(sigs, max_hamming)
 
 
 def variance_perm(rows, m, dim):
