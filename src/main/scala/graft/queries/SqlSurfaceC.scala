@@ -253,12 +253,19 @@ object SqlSurfaceC {
     val (sx, sy) = (col("_sx").cast("double"), col("_sy").cast("double"))
     val (sxx, sxy, syy) =
       (col("_sxx").cast("double"), col("_sxy").cast("double"), col("_syy").cast("double"))
+    // round(…, 6) on BOTH sides: the moments are exact decimals, but
+    // their cast to double is engine-rounded — Spark goes through
+    // BigDecimal.doubleValue, DuckDB through its own int128·10^-s
+    // path — and a >2^53 moment can land one ulp apart (observed at
+    // sf0.001: stddev_price …431945 vs …431952), flipping the strict
+    // hash compare on data luck. Six decimals keeps the statistics
+    // and absorbs the ulp.
     g.select(col("l_returnflag"), col("n"),
-      ((kd * sxy - sx * sy) /
-        (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy))).as("corr_qty_price"),
-      ((kd * sxy - sx * sy) / (kd * kd)).as("covar_pop"),
-      (sqrt(kd * sxx - sx * sx) / kd).as("stddev_qty"),
-      (sqrt(kd * syy - sy * sy) / kd).as("stddev_price"))
+      round((kd * sxy - sx * sy) /
+        (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy)), 6).as("corr_qty_price"),
+      round((kd * sxy - sx * sy) / (kd * kd), 6).as("covar_pop"),
+      round(sqrt(kd * sxx - sx * sx) / kd, 6).as("stddev_qty"),
+      round(sqrt(kd * syy - sy * sy) / kd, 6).as("stddev_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -541,11 +548,11 @@ object SqlSurfaceC {
         |    cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  (cast(n as double) * sxy - sx * sy)
-        |    / (sqrt(cast(n as double) * sxx - sx * sx) * sqrt(cast(n as double) * syy - sy * sy)) AS corr_qty_price,
-        |  (cast(n as double) * sxy - sx * sy) / (cast(n as double) * cast(n as double)) AS covar_pop,
-        |  sqrt(cast(n as double) * sxx - sx * sx) / cast(n as double) AS stddev_qty,
-        |  sqrt(cast(n as double) * syy - sy * sy) / cast(n as double) AS stddev_price
+        |  round((cast(n as double) * sxy - sx * sy)
+        |    / (sqrt(cast(n as double) * sxx - sx * sx) * sqrt(cast(n as double) * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round((cast(n as double) * sxy - sx * sy) / (cast(n as double) * cast(n as double)), 6) AS covar_pop,
+        |  round(sqrt(cast(n as double) * sxx - sx * sx) / cast(n as double), 6) AS stddev_qty,
+        |  round(sqrt(cast(n as double) * syy - sy * sy) / cast(n as double), 6) AS stddev_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "q39_set_ops_all" ->
       """WITH c AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0),
