@@ -867,24 +867,38 @@ object TextHashes {
     * long sum is EXACT and reproduces the former decimal-sum path
     * bit-for-bit (each term is the same BigDecimal.valueOf(double)
     * .setScale(12, HALF_UP) value the decimal cast produced; exact
-    * decimal addition is order-independent). addExact fails loudly if
-    * a pathological doc (≳2×10⁵ grams at extreme log-ratios) would
-    * overflow instead of wrapping. The final weight repeats the old
-    * plan's epilogue exactly: decimal→double (correctly rounded by
-    * BigDecimal.doubleValue) then round(·, 4) HALF_UP.
+    * decimal addition is order-independent). The accumulator is a
+    * 128-bit two-long pair (wrapped low word + signed overflow carry),
+    * so a book-length doc (~10⁵-10⁶ grams) at extreme log-ratios keeps
+    * the decimal sum's unlimited headroom instead of aborting the job
+    * the way a bare addExact would; the no-carry fast path is the same
+    * single long sum as before, bit-identical. The final weight repeats
+    * the old plan's epilogue exactly: decimal→double (correctly rounded
+    * by BigDecimal.doubleValue) then round(·, 4) HALF_UP.
     */
   def gramLutSum(s: UTF8String, lut: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
     val fps = gramFps(s)
     val n = fps.numElements()
     val m = lut.length.toLong
     var acc = 0L
+    var carry = 0L // sum = carry·2⁶⁴ + acc (two's-complement low word)
     var i = 0
     while (i < n) {
       val fp = fps.getLong(i)
-      acc = Math.addExact(acc, lut((((fp % m) + m) % m).toInt))
+      val t = lut((((fp % m) + m) % m).toInt)
+      val r = acc + t
+      // signed-overflow test (Math.addExact's condition): on wrap, the
+      // true sum moved ±2⁶⁴ relative to the wrapped low word
+      if (((acc ^ r) & (t ^ r)) < 0L) carry += (if (t > 0L) 1L else -1L)
+      acc = r
       i += 1
     }
-    val w = java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    val unscaled =
+      if (carry == 0L) java.math.BigDecimal.valueOf(acc, 12)
+      else new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(carry).shiftLeft(64)
+          .add(java.math.BigInteger.valueOf(acc)), 12)
+    val w = unscaled.doubleValue()
     val w4 = java.math.BigDecimal.valueOf(w)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

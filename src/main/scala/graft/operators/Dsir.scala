@@ -79,7 +79,12 @@ object Dsir {
         .setScale(12, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
     }
-    docs.select(id.as("doc_id"), GraftFunctions.gramLutSum(text, lut).as("_a"))
+    // null-text docs are dropped, matching the old explode-scoring
+    // path (a null text produced zero gram rows, hence no output row);
+    // without the filter, nullSafeEval's null result would surface as
+    // a (doc_id, null, null) row — a silent output-shape divergence
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), GraftFunctions.gramLutSum(text, lut).as("_a"))
       .select(col("doc_id"), col("_a.n_grams").as("n_grams"),
         col("_a.dsir_weight").as("dsir_weight"))
   }

@@ -82,7 +82,14 @@ object Multimodal {
     // checkpoint blocks died with the old context) + the analyzed
     // plan's semantic hash (the corpus) + kind; entries of stopped
     // contexts are purged on access so cycling sessions can't pin dead
-    // checkpoint blocks for the JVM's lifetime
+    // checkpoint blocks for the JVM's lifetime.
+    // IMMUTABILITY ASSUMPTION: the semantic hash keys the PLAN, not the
+    // files behind it — if the parquet under an identical docs path is
+    // rewritten mid-application (fixture regeneration in-session), the
+    // memo would serve blobs checkpointed from the OLD files. Fine for
+    // the immutable sf* fixtures this serves; a corpus that can be
+    // rewritten in-session would need a file-listing fingerprint
+    // (paths+sizes+mtimes) folded into the key.
     synthCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     synthCache.getOrElseUpdate(
       (docs.sparkSession.sparkContext.applicationId,

@@ -35,15 +35,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  case class BucketState(ids: List[Long])
+  /** Stage `docs` as `batches` parquet files under a fresh temp dir,
+    * run `body` over it, and recursively delete the staging dir after
+    * the drain — deleteOnExit cannot remove non-empty directories, so
+    * repeated invocations in one JVM would otherwise leak every staged
+    * snapshot on disk.
+    */
+  private def withStagedBatches[T](docs: DataFrame, batches: Int, prefix: String)(
+      body: (org.apache.spark.sql.types.StructType, String) => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val staged = docs.select(col("doc_id"), col("text"))
+    staged.repartitionByRange(batches, col("doc_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+    try body(staged.schema, dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  case class BucketState(ids: List[Long], saturated: Boolean = false)
 
   /** Emit (doc_a, doc_b) for every pair completed in this bucket by
     * this batch's arrivals; remember the members. With `ttl` set, the
     * bucket's member state expires `ttl` after its last arrival — the
     * production bound (near-dups arrive within a time horizon); the
     * test path leaves it unset so the drained stream equals batch.
+    *
+    * Membership checks run against a HASHED set built once per
+    * invocation — per-batch work is O(|prev| + |fresh| + pairs
+    * emitted), never the O(|fresh|·|prev|) of a per-arrival list scan,
+    * so a boilerplate-heavy bucket (thousands of docs sharing a band
+    * signature) costs what its output costs, not members² before the
+    * first pair. `maxBucket` is the batch path's degenerate-bucket
+    * guard carried to the stream: once a bucket's membership would
+    * exceed the cap it SATURATES — member state collapses to a flag
+    * (bounded even against an adversarial hot bucket) and the bucket
+    * emits nothing further. Pairs emitted before saturation stand
+    * (a stream cannot retract); batch's cap drops the whole bucket,
+    * so capped stream ⊆ capped batch ∪ pre-saturation pairs — the
+    * gated equivalence configs leave the cap unset.
     */
-  private[graft] def emitPairs(ttl: Option[String])(
+  private[graft] def emitPairs(ttl: Option[String], maxBucket: Option[Int] = None)(
       key: (Int, Long),
       rows: Iterator[(Int, Long, Long)],
       state: GroupState[BucketState]): Iterator[(Long, Long)] = {
@@ -51,8 +85,20 @@ object StreamingDedup {
       state.remove()
       return Iterator.empty
     }
-    val prev = state.getOption.map(_.ids).getOrElse(Nil)
-    val fresh = rows.map(_._3).toList.distinct.filterNot(prev.contains)
+    val st = state.getOption.getOrElse(BucketState(Nil))
+    if (st.saturated) {
+      ttl.foreach(state.setTimeoutDuration)
+      return Iterator.empty
+    }
+    val prev = st.ids
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    seen ++= prev
+    val fresh = rows.map(_._3).toList.filter(seen.add)
+    if (maxBucket.exists(cap => prev.size + fresh.size > cap)) {
+      state.update(BucketState(Nil, saturated = true))
+      ttl.foreach(state.setTimeoutDuration)
+      return Iterator.empty
+    }
     state.update(BucketState(fresh ::: prev))
     ttl.foreach(state.setTimeoutDuration)
     // new×old plus new×new (each unordered pair once, smaller id first)
@@ -79,7 +125,8 @@ object StreamingDedup {
       k: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      stateTtl: Option[String] = None): Dataset[(Long, Long)] = {
+      stateTtl: Option[String] = None,
+      maxBucket: Option[Int] = None): Dataset[(Long, Long)] = {
     import spark.implicits._
     val sigs = Dedup.bandBuckets(docs, k, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id"))
@@ -89,7 +136,7 @@ object StreamingDedup {
       else GroupStateTimeout.NoTimeout()
     sigs
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append(), timeout)(emitPairs(stateTtl))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(emitPairs(stateTtl, maxBucket))
       .dropDuplicates("_1", "_2")
   }
 
@@ -118,56 +165,65 @@ object StreamingDedup {
       docs: DataFrame,
       batches: Int = 3,
       threshold: Double = 0.8,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None): DataFrame =
     // stage the corpus as `batches` files and stream them one file per
     // trigger — genuine distributed micro-batches, no driver collect
-    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
-    dir.toFile.deleteOnExit()
-    val staged = docs.select(col("doc_id"), col("text"))
-    staged.repartitionByRange(batches, col("doc_id"))
-      .write.mode("overwrite").parquet(dir.toString)
-    val stream = spark.readStream
-      .schema(staged.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-    val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
-    StreamingEvents.withStreamingPartitions(spark) {
-      val q = verifiedPairs(spark,
-        candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally if (q.isActive) q.stop()
+    withStagedBatches(docs, batches, "graft-dedup-stream") { (schema, dir) =>
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
+      StreamingEvents.withStreamingPartitions(spark) {
+        val q = verifiedPairs(spark,
+          candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally if (q.isActive) q.stop()
+      }
+      // decouple the result from the memory sink and drop the temp view:
+      // repeated invocations in one session must not accumulate
+      // fully-materialized sink tables in driver memory
+      val drained = spark.table(sinkName).localCheckpoint()
+      spark.catalog.dropTempView(sinkName)
+      drained
     }
-    // decouple the result from the memory sink and drop the temp view:
-    // repeated invocations in one session must not accumulate
-    // fully-materialized sink tables in driver memory
-    val drained = spark.table(sinkName).localCheckpoint()
-    spark.catalog.dropTempView(sinkName)
-    drained
-  }
 
   /** Per-bucket SIDE-TAGGED member state for the cross-side pair
     * emitter: a bucket remembers its added and retained arrivals
     * separately and only ever pairs ACROSS sides.
     */
-  case class SideState(added: List[Long], retained: List[Long])
+  case class SideState(added: List[Long], retained: List[Long],
+      saturated: Boolean = false)
 
   /** Emit (retained_doc, added_doc) for every CROSS-side pair this
     * batch's arrivals complete in the bucket — arrival order doesn't
     * matter (an added doc pairs with retained members past AND
     * present), retained×retained and added×added never pair. Row =
-    * (band, bucket, doc_id, is_added).
+    * (band, bucket, doc_id, is_added). Same hashed-set membership and
+    * saturation cap as [[emitPairs]]: per-batch work is linear in
+    * arrivals plus pairs emitted, and a capped bucket collapses its
+    * member state to a flag.
     */
-  private[graft] def emitCrossPairs(
+  private[graft] def emitCrossPairs(maxBucket: Option[Int] = None)(
       key: (Int, Long),
       rows: Iterator[(Int, Long, Long, Boolean)],
       state: GroupState[SideState]): Iterator[(Long, Long)] = {
     val prev = state.getOption.getOrElse(SideState(Nil, Nil))
+    if (prev.saturated) return Iterator.empty
+    val seenA = scala.collection.mutable.HashSet.empty[Long]
+    seenA ++= prev.added
+    val seenR = scala.collection.mutable.HashSet.empty[Long]
+    seenR ++= prev.retained
     val fresh = rows.map(r => (r._3, r._4)).toList.distinct
-    val freshA = fresh.collect { case (id, true) => id }.filterNot(prev.added.contains)
-    val freshR = fresh.collect { case (id, false) => id }.filterNot(prev.retained.contains)
+    val freshA = fresh.collect { case (id, true) => id }.filter(seenA.add)
+    val freshR = fresh.collect { case (id, false) => id }.filter(seenR.add)
+    if (maxBucket.exists(cap => seenA.size + seenR.size > cap)) {
+      state.update(SideState(Nil, Nil, saturated = true))
+      return Iterator.empty
+    }
     state.update(SideState(freshA ::: prev.added, freshR ::: prev.retained))
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     freshA.foreach(a => (freshR ::: prev.retained).foreach(r => out += ((r, a))))
@@ -200,47 +256,45 @@ object StreamingDedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
-      batches: Int = 3): DataFrame = {
+      batches: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-delta-stream")
-    dir.toFile.deleteOnExit()
-    val staged = newDocs.select(col("doc_id"), col("text"))
-    staged.repartitionByRange(batches, col("doc_id"))
-      .write.mode("overwrite").parquet(dir.toString)
-    val stream = spark.readStream
-      .schema(staged.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-    val oldIds = oldDocs.select(col("doc_id"), lit(true).as("_in_old"))
-    val sigs = Dedup.bandBuckets(stream, k, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col("doc_id"))
-      .join(oldIds, Seq("doc_id"), "left")
-      .select(col("band"), col("bucket"), col("doc_id"),
-        col("_in_old").isNull.as("is_added"))
-      .as[(Int, Long, Long, Boolean)]
-    val pairs = sigs
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(emitCrossPairs)
-      .dropDuplicates("_1", "_2")
-    val verified = Dedup.verifyJaccard(
-      pairs.toDF("doc_a", "doc_b"), newDocs, k)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a").as("retained_doc"), col("doc_b").as("added_doc"))
-    val sinkName = s"graft_delta_stream_${System.nanoTime()}"
-    StreamingEvents.withStreamingPartitions(spark) {
-      val q = verified
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally if (q.isActive) q.stop()
+    withStagedBatches(newDocs, batches, "graft-delta-stream") { (schema, dir) =>
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val oldIds = oldDocs.select(col("doc_id"), lit(true).as("_in_old"))
+      val sigs = Dedup.bandBuckets(stream, k, bands, rowsPerBand)
+        .select(col("band"), col("bucket"), col("doc_id"))
+        .join(oldIds, Seq("doc_id"), "left")
+        .select(col("band"), col("bucket"), col("doc_id"),
+          col("_in_old").isNull.as("is_added"))
+        .as[(Int, Long, Long, Boolean)]
+      val pairs = sigs
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(emitCrossPairs(maxBucket))
+        .dropDuplicates("_1", "_2")
+      val verified = Dedup.verifyJaccard(
+        pairs.toDF("doc_a", "doc_b"), newDocs, k)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("retained_doc"), col("doc_b").as("added_doc"))
+      val sinkName = s"graft_delta_stream_${System.nanoTime()}"
+      StreamingEvents.withStreamingPartitions(spark) {
+        val q = verified
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally if (q.isActive) q.stop()
+      }
+      val drainedPairs = spark.table(sinkName).localCheckpoint()
+      spark.catalog.dropTempView(sinkName)
+      // post-drain assembly over BOUNDED relations: statuses from the
+      // digest classification, added_near_dup from the drained pairs
+      graft.operators.Snapshot.assemble(
+        graft.operators.Snapshot.classify(oldDocs, newDocs), drainedPairs)
     }
-    val drainedPairs = spark.table(sinkName).localCheckpoint()
-    spark.catalog.dropTempView(sinkName)
-    // post-drain assembly over BOUNDED relations: statuses from the
-    // digest classification, added_near_dup from the drained pairs
-    graft.operators.Snapshot.assemble(
-      graft.operators.Snapshot.classify(oldDocs, newDocs), drainedPairs)
   }
 }

@@ -4,8 +4,8 @@ import graft.{GraftSession, SparkEntry}
 
 /** Minimal smoke driver: runs the flagship entry query and prints its
   * result — handy for quick sanity checks (`sbt "runMain
-  * graft.tools.ProbeMain [sfDir]"`). The verify recipe in
-  * .claude/skills/verify drives the full surface.
+  * graft.tools.ProbeMain [sfDir]"`). The full surface runs through
+  * graft.Verify.
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
