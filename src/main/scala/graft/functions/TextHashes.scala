@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, GramFps, GramLutSum, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MatchedTermFps, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
+import org.apache.spark.sql.graftglue.{BloomCountHits, BloomPositions, BpeApply, BpeEncodeIds, BpeInitSyms, BpeTokenCount, Bridge, CharEntropy, CharWindows, CommonSortedFp, Fnv1a64, FreqOrderAll, FreqOrderedPrefix, FreqOrderedPrefixDyn, GramFps, GramLutSum, HashEmbed, HyperplaneSig, JaccardSortedFp, MatVecF, MatchedTermFps, MinHashSig, MinHashSigFp, ShingleFps, Shingles, ShinglesPos, SimHash64, Sq8Adc, Sq8Encode, Sq8ReconNorm, StripSpans, SumBucketWeights, VecDot, VecNorm, WinnowMinMax}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Called from
@@ -611,6 +611,21 @@ object TextHashes {
       freqSorted(fps, keys, vals).take(take))
   }
 
+  /** [[prefixByFreq]] with the histogram arriving RELATIONALLY as an
+    * array<struct<fp,cnt>> value (in practice a scalar subquery over
+    * the document-frequency aggregate) — the pure-SQL-reachable form.
+    * `cache` memoizes the primitive-array conversion by instance
+    * identity: a scalar subquery evaluates to the SAME ArrayData on
+    * every row, so the histogram converts and sorts once per task.
+    */
+  def prefixByFreqDyn(fps: org.apache.spark.sql.catalyst.util.ArrayData,
+      hist: org.apache.spark.sql.catalyst.util.ArrayData,
+      threshold: Double, cache: FpHistCache):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (k, v) = cache.arrays(hist)
+    prefixByFreq(fps, k, v, threshold)
+  }
+
   /** The FULL (count, fp)-ordered fingerprint array — [[prefixByFreq]]
     * without the prefix cut. Both sides of a positional prefix filter
     * (PPJoin) must expose each element's index in the SAME global
@@ -940,6 +955,42 @@ object TextHashes {
   }
 }
 
+/** Per-expression-instance histogram conversion memo for the dynamic
+  * freq_ordered_prefix: turns an array<struct<fp,cnt>> ArrayData into
+  * key-sorted primitive long arrays (the binary-search contract holds
+  * regardless of the SQL author's ordering) exactly once per task —
+  * the memo key is the ArrayData INSTANCE, which a scalar subquery
+  * reuses across every row it feeds. Tasks deserialize their own copy
+  * (the transient slot starts empty per task); the single-reference
+  * volatile write keeps a racing re-conversion benign.
+  */
+final class FpHistCache extends Serializable {
+  @transient @volatile
+  private var memo: (AnyRef, Array[Long], Array[Long]) = _
+
+  def arrays(hist: org.apache.spark.sql.catalyst.util.ArrayData): (Array[Long], Array[Long]) = {
+    val m = memo
+    if (m != null && (m._1 eq hist)) (m._2, m._3)
+    else {
+      val n = hist.numElements()
+      val ks = new Array[Long](n)
+      val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = hist.getStruct(i, 2)
+        ks(i) = s.getLong(0)
+        vs(i) = s.getLong(1)
+        i += 1
+      }
+      val order = Array.range(0, n).sortBy(ks)
+      val sk = order.map(ks)
+      val sv = order.map(vs)
+      memo = (hist, sk, sv)
+      (sk, sv)
+    }
+  }
+}
+
 /** Column API + per-session SQL registration for the graft functions
   * (expressions themselves live in org.apache.spark.sql.graftglue).
   */
@@ -1064,6 +1115,20 @@ object GraftFunctions {
           "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           Map("functionName" -> name, "expectedNum" -> n.toString,
             "actualNum" -> es.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+    def fracLit(fn: String, param: String)(e: Expression): Double = e match {
+      // SQL `0.5` parses as a DECIMAL literal; accept the numeric
+      // literal forms a threshold argument realistically takes
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> fn, "paramName" -> param,
+            "paramType" -> "numeric literal"))
+    }
     def intLit(fn: String, param: String, min: Int)(e: Expression): Int = e match {
       case Literal(v: Int, _) if v >= min => v
       case Literal(v, _) =>
@@ -1110,6 +1175,11 @@ object GraftFunctions {
       ("jaccard_sorted_fp",
         "jaccard_sorted_fp(a, b) - Jaccard of two sorted long-fingerprint sets",
         es => { arity("jaccard_sorted_fp", 2)(es); JaccardSortedFp(es.head, es(1)) }),
+      ("freq_ordered_prefix",
+        "freq_ordered_prefix(fps, hist, threshold) - the n - ceil(threshold*n) + 1 rarest fps by (count, fp); counts from the array<struct<fp,cnt>> histogram (typically a scalar subquery), unseen fps count 0",
+        es => { arity("freq_ordered_prefix", 3)(es)
+          FreqOrderedPrefixDyn(es.head, es(1),
+            fracLit("freq_ordered_prefix", "threshold")(es(2))) }),
       ("common_sorted_fp",
         "common_sorted_fp(a, b) - intersection size of two sorted long-fingerprint sets",
         es => { arity("common_sorted_fp", 2)(es); CommonSortedFp(es.head, es(1)) }),

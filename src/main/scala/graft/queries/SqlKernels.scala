@@ -67,39 +67,45 @@ object SqlKernels {
     * family-shared fp was a block holding the whole family — 220 s
     * where this form takes the Scala arm's candidate shape.)
     *
-    * Plan shape (the round-7 rewrite of the round-5 window form):
-    * the frequency relation keeps only fps seen ≥ 2 times — a
-    * frequency-1 fp orders identically whether its count comes from
-    * `df` or from the LEFT-join `coalesce(c, 1)` tie, so the prefix
-    * set is bit-identical — which shrinks `df` from O(distinct fps)
-    * to O(repeated fps) and lets AQE broadcast it instead of
-    * shuffling the full exploded relation by fp; and the per-doc set
-    * size rides along from `size(fps)` instead of a second
-    * `count(*) OVER (PARTITION BY doc_id)` window, so ONE WindowExec
-    * (the row_number prefix cut) remains. Same device as the Scala
-    * arm's driver-side cnt≥2 histogram (operators/Dedup.scala:598),
-    * expressed in the optimizer's own terms.
+    * Plan shape (the round-8 rewrite of the round-7 window form): the
+    * frequency relation keeps only fps seen ≥ 2 times — a frequency-1
+    * fp orders identically whether its count comes from the histogram
+    * or from the unseen-fp default, so the prefix set is bit-identical
+    * — which bounds it at O(repeated fps); that bounded relation
+    * collects into ONE scalar-subquery histogram and the per-doc
+    * prefix cut runs ARRAY-LOCALLY inside the scan through the same
+    * codegen freq_ordered_prefix kernel the Scala production arm uses
+    * (operators/Dedup.scala). The round-7 form computed the identical
+    * prefix via a row_number window + left join over the ~30 M-row
+    * exploded gram relation — correct, but its allocation churn drew a
+    * 20-102 s GC band at 10×; with the kernel SQL-registered the
+    * window, the join, and the exploded-relation shuffle all vanish
+    * (the only remaining exchanges are the histogram aggregate and the
+    * candidate machinery). Same device as the Scala arm's driver-side
+    * cnt≥2 histogram, expressed relationally.
     */
   def sql_shingle_jaccard(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir,
       """WITH f AS (
         |  SELECT doc_id, shingle_fps(text, 3) AS fps
         |  FROM documents),
-        |ex AS (SELECT doc_id, size(fps) AS n, explode(fps) AS g FROM f),
-        |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g HAVING count(*) >= 2),
+        |df AS (SELECT g, count(*) AS c
+        |       FROM (SELECT explode(fps) AS g FROM f)
+        |       GROUP BY g HAVING count(*) >= 2),
         |pref AS (
-        |  SELECT doc_id, g FROM (
-        |    SELECT ex.doc_id, ex.g, ex.n,
-        |           row_number() OVER (PARTITION BY ex.doc_id
-        |                              ORDER BY coalesce(df.c, 1L), ex.g) AS pos
-        |    FROM ex LEFT JOIN df ON ex.g = df.g)
-        |  WHERE pos <= n - ceil(0.5 * n) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(jaccard_sorted_fp(fa.fps, fb.fps), 4) AS jaccard
-        |FROM cand JOIN f fa ON fa.doc_id = cand.doc_a
-        |          JOIN f fb ON fb.doc_id = cand.doc_b
-        |WHERE jaccard_sorted_fp(fa.fps, fb.fps) >= 0.5
+        |  SELECT /*+ REPARTITION(g) */ doc_id, n, explode(freq_ordered_prefix(fps,
+        |    (SELECT array_sort(collect_list(struct(g, c))) FROM df), 0.5)) AS g
+        |  FROM (SELECT doc_id, size(fps) AS n, fps FROM f)),
+        |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          AND a.n <= 2 * b.n AND b.n <= 2 * a.n),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(fa, fb) */ doc_a, doc_b,
+        |         jaccard_sorted_fp(fa.fps, fb.fps) AS j
+        |  FROM hits JOIN f fa ON fa.doc_id = hits.doc_a
+        |            JOIN f fb ON fb.doc_id = hits.doc_b)
+        |SELECT DISTINCT doc_a, doc_b, round(j, 4) AS jaccard
+        |FROM scored WHERE j >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)
 
   val queries: Map[String, Q] = Map(

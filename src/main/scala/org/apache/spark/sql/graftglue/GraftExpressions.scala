@@ -414,6 +414,52 @@ case class FreqOrderedPrefix(child: Expression, keys: Array[Long],
     copy(child = newChild)
 }
 
+/** [[FreqOrderedPrefix]] with the document-frequency histogram
+  * supplied RELATIONALLY — an array<struct<fp,cnt>> child, in practice
+  * an uncorrelated scalar subquery over the frequency aggregate —
+  * instead of driver-side reference arrays: the form reachable from
+  * pure /fetch SQL text, where no driver histogram exists. The
+  * histogram converts to key-sorted primitive arrays ONCE per task
+  * through an identity-keyed memo (both interpreted eval and codegen
+  * of a scalar subquery hand back the same ArrayData instance on every
+  * row); a genuinely per-row array child would still be correct, just
+  * re-converted each row.
+  */
+case class FreqOrderedPrefixDyn(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "freq_ordered_prefix"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(StructType(fs), _))
+          if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "freq_ordered_prefix expects (array<bigint>, array<struct<bigint,bigint>>), " +
+            s"got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  @transient private lazy val cache = new graft.functions.FpHistCache
+
+  override protected def nullSafeEval(fps: Any, hist: Any): Any =
+    TextHashes.prefixByFreqDyn(fps.asInstanceOf[ArrayData],
+      hist.asInstanceOf[ArrayData], threshold, cache)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cacheRef = ctx.addReferenceObj("fpHistCache", cache,
+      "graft.functions.FpHistCache")
+    defineCodeGen(ctx, ev, (f, h) =>
+      s"graft.functions.TextHashes$$.MODULE$$.prefixByFreqDyn($f, $h, $threshold, $cacheRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqOrderedPrefixDyn =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd FULL frequency order — [[FreqOrderedPrefix]] without the
   * prefix cut, for the index side of a POSITIONAL prefix filter
   * (PPJoin, Xiao et al. 2008): the filter needs each element's index

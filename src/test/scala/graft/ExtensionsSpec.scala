@@ -65,6 +65,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(k.getDouble(4) == 5.0)
       assert(math.abs(k.getDouble(5) - 0.5) < 1e-15)
       assert(k.getInt(6) == 2 || k.getLong(6) == 2L)
+      // freq_ordered_prefix from SQL text with a RELATIONAL histogram
+      // (the scalar-subquery form sql_shingle_jaccard uses); the hist
+      // arrives unsorted to prove the conversion memo key-sorts it.
+      // counts: 10->5, 20->9, 30/40 unseen->0; (cnt, fp) order =
+      // 30,40,10,20; take = 4 - ceil(0.5*4) + 1 = 3
+      val fop = s.sql(
+        """SELECT freq_ordered_prefix(array(10L, 20L, 30L, 40L),
+          |  (SELECT collect_list(struct(g, c))
+          |   FROM VALUES (20L, 9L), (10L, 5L) AS h(g, c)), 0.5) AS p""".stripMargin).head()
+      assert(fop.getSeq[Long](0) == Seq(30L, 40L, 10L))
       // the two aggregates from SQL text
       val agg = s.sql(
         """SELECT topk_agg(CAST(v AS DOUBLE), id, 2) AS top,

@@ -172,6 +172,26 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       got == expected
     }
 
+  property("prefixByFreqDyn: relational hist ≡ driver arrays, any hist order") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-100L, 100L)),
+      Gen.chooseNum(0.1, 0.9)) { (fps0, t) =>
+      val fps = fps0.distinct
+      val hist = fps.filter(_ % 3 == 0).map(g => (g, math.abs(g) % 7 + 2L))
+      val keys = hist.map(_._1).sorted.toArray
+      val vals = hist.sortBy(_._1).map(_._2).toArray
+      val fpsAd = new GenericArrayData(fps.toArray[Any])
+      val expect = TextHashes.prefixByFreq(fpsAd, keys, vals, t).toLongArray.toSeq
+      // both hist orders (sorted and reversed) through fresh memos
+      Seq(hist, hist.reverse).forall { h =>
+        val histAd = new GenericArrayData(h.map { case (g, c) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](g, c))
+        }.toArray[Any])
+        TextHashes.prefixByFreqDyn(fpsAd, histAd, t,
+          new graft.functions.FpHistCache).toLongArray.toSeq == expect
+      }
+    }
+
   property("charEntropy: 0 for constant strings, ln(k) for uniform, order-free") =
     Prop.forAll(text, Gen.chooseNum(1, 20)) { (s, k) =>
       val e = (t: String) => TextHashes.charEntropy(UTF8String.fromString(t))
