@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SqlSurfaceA.queries ++ SqlSurfaceB.queries ++ SqlSurfaceC.queries ++
       EngineOps.queries ++ LlmOps.queries ++ EventsOps.queries ++ RagOps.queries ++
-      SqlKernels.queries
+      SqlKernels.queries ++ IndexOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +22,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     SqlSurfaceA.oracles ++ SqlSurfaceB.oracles ++ SqlSurfaceC.oracles ++
       EngineOps.oracles ++ LlmOps.oracles ++ EventsOps.oracles ++ RagOps.oracles ++
-      SqlKernels.oracles
+      SqlKernels.oracles ++ IndexOps.oracles
 }

@@ -367,6 +367,32 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[crossCorpusPairs]] with the corpus side's band signatures
+    * arriving from a PREBUILT standing index relation (band, bucket,
+    * doc_id) — exactly [[bandBuckets]] rows, persisted once — instead
+    * of being re-banded per ingest. This is the 100 TB ingest shape:
+    * per-snapshot cost is O(new-side signatures + matches); the
+    * standing corpus is touched only by the bucket equi-join (which
+    * prunes to colliding buckets) and by the id-keyed verify fetch of
+    * candidate texts. `corpusDocs` is the text store the corpus-side
+    * candidates verify against; its ids must cover the index's and be
+    * disjoint from `newDocs`'.
+    */
+  def crossCorpusPairsOnIndex(corpusIndex: DataFrame, corpusDocs: DataFrame,
+      newDocs: DataFrame, k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val cb = corpusIndex.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val nb = bandBuckets(newDocs, k, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cands = cb.join(nb, Seq("band", "bucket"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, corpusDocs.unionByName(newDocs), k)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("corpus_doc"), col("doc_b").as("new_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates from
     * combination banding, verified with bit_count(xor). Recall is
     * pigeonhole-EXACT for the requested `maxHamming` (see

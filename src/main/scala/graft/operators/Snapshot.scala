@@ -50,6 +50,61 @@ object Snapshot {
     assemble(classify(oldDocs, newDocs), pairs)
   }
 
+  /** The standing band-signature index relation of a corpus — exactly
+    * [[Dedup.bandBuckets]]'s (doc_id, band, bucket) rows, the artifact
+    * a deployment persists so monthly ingests never re-band the
+    * retained corpus (SCALE.md's precomputed-standing-index note,
+    * implemented by [[deltaOnIndex]]).
+    */
+  def bandIndex(docs: DataFrame, k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    Dedup.bandBuckets(docs, k, bands, rowsPerBand)
+
+  /** O(delta) maintenance of a standing band index across a snapshot
+    * boundary: drop removed and changed docs' rows, re-band ONLY the
+    * changed docs' new text. Banding is a pure per-doc map, so the
+    * result is row-identical to `bandIndex(retained docs @ new text)`
+    * while the standing corpus's signatures are REUSED, never
+    * recomputed — the update's banding cost is O(changed docs).
+    * (Added docs enter the index after their near-dup probe admits
+    * them — the caller's policy, as in any ingest pipeline.)
+    */
+  def updatedBandIndex(prevIndex: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cls = classify(oldDocs, newDocs)
+    val drop = cls.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val changed = newDocs.join(
+      cls.filter(col("status") === "changed").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    prevIndex.join(drop, Seq("doc_id"), "left_anti")
+      .unionByName(Dedup.bandBuckets(changed, k, bands, rowsPerBand))
+  }
+
+  /** [[delta]] served from a standing band index of the OLD corpus:
+    * the index is maintained through [[updatedBandIndex]] (O(changed)
+    * banding) and the added docs probe it via
+    * [[Dedup.crossCorpusPairsOnIndex]] (O(added) banding) — so a
+    * snapshot's ingest bands only its delta, never the retained
+    * corpus. Output rows are identical to [[delta]]'s (same oracle):
+    * the maintained index equals the retained corpus's band relation
+    * row-for-row.
+    */
+  def deltaOnIndex(oldDocs: DataFrame, newDocs: DataFrame,
+      oldIndex: DataFrame, k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val added = newDocs.join(oldDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val retained = newDocs.join(oldDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val retainedIndex = updatedBandIndex(oldIndex, oldDocs, newDocs, k, bands, rowsPerBand)
+    val pairs = Dedup.crossCorpusPairsOnIndex(retainedIndex, retained, added,
+      k, bands, rowsPerBand, threshold)
+      .select(col("corpus_doc").as("retained_doc"), col("new_doc").as("added_doc"))
+    assemble(classify(oldDocs, newDocs), pairs)
+  }
+
   /** The md5-digest full-outer classification alone: (doc_id, status)
     * with status ∈ added / removed / changed / unchanged — shared by
     * the batch op and the streaming twin's post-drain assembly.

@@ -1219,7 +1219,7 @@ object LlmOps {
     * retained docs (Spark compares md5 digests, the oracle compares
     * texts — identical up to a 2^-128 collision).
     */
-  private lazy val corpusDeltaOracle =
+  private[queries] lazy val corpusDeltaOracle =
     s"""WITH oldd AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
        |newd AS (

@@ -113,10 +113,25 @@ class HttpApi(engine: Engine, port: Int = 8080) {
   })
 
   server.createContext("/catalog", ex => handle(ex, "/catalog", "GET") {
-    val tables = engine.catalog.listTables.map(e => Map(
-      "id" -> e.id, "table_ref" -> e.tableRef, "table_path" -> e.tablePath,
-      "table_schema" -> e.schema.map(f => Map(
-        "field" -> f.field, "field_type" -> f.fieldType, "comment" -> f.comment.orNull))))
+    // the reference lists (id, ref, path, schema) only; this engine's
+    // catalog also holds bucketed DDL specs, CTAS outputs and standing
+    // indexes, so each row carries its entry KIND plus the physical
+    // layout when one is declared — the server surface stays honest as
+    // the catalog grows (clients that only read the reference's fields
+    // are unaffected)
+    val tables = engine.catalog.listTables.map { e =>
+      val base = Map[String, Any](
+        "id" -> e.id, "table_ref" -> e.tableRef, "table_path" -> e.tablePath,
+        "entry_type" -> e.entryType,
+        "table_schema" -> e.schema.map(f => Map(
+          "field" -> f.field, "field_type" -> f.fieldType, "comment" -> f.comment.orNull)))
+      e.numBuckets match {
+        case Some(n) => base + ("layout" -> Map(
+          "bucket_by" -> e.bucketBy.orNull, "sort_by" -> e.sortBy.orNull,
+          "num_buckets" -> n))
+        case None => base
+      }
+    }
     respond(ex, 200, envelope(tables))
   })
 

@@ -11,10 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class HttpApiSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private lazy val api = new HttpApi(
-    new Engine(spark, dataDir = sfDir,
-      catalogDir = Files.createTempDirectory("graft-http-cat").toString),
-    port = 0).start()
+  private lazy val engine = new Engine(spark, dataDir = sfDir,
+    catalogDir = Files.createTempDirectory("graft-http-cat").toString)
+  private lazy val api = new HttpApi(engine, port = 0).start()
   private lazy val base = s"http://127.0.0.1:${api.boundPort}"
   private val client = HttpClient.newHttpClient()
 
@@ -62,6 +61,28 @@ class HttpApiSpec extends AnyFunSuite {
     val cat = get("/catalog")
     assert(cat.body().contains("\"table_ref\":\"api_nation\""))
     assert(cat.body().contains("\"field\":\"n_nationkey\""))
+  }
+
+  test("/catalog carries entry kind and declared layout") {
+    // a pointer table, a bucketed DDL table, and a standing-index
+    // registration must each surface their kind; the bucketed entry
+    // additionally exposes its physical layout
+    post("/fetch", """{"sql": "create table api_kind_plain () location 'region.parquet'"}""")
+    spark.sql("drop table if exists api_kind_bucketed")
+    post("/fetch",
+      """{"sql": "create table api_kind_bucketed () clustered by (s_suppkey) into 2 buckets location 'supplier.parquet'"}""")
+    engine.catalog.register("idx_api_probe", "/tmp/idx_api_probe.parquet",
+      Nil, Some("standing index artifact"), entryType = "INDEX")
+    val body = get("/catalog").body()
+    assert(body.contains("\"table_ref\":\"api_kind_plain\"") &&
+      body.contains("\"entry_type\":\"MANAGED\""))
+    assert(body.contains("\"table_ref\":\"api_kind_bucketed\"") &&
+      body.contains("\"entry_type\":\"BUCKETED\""))
+    assert(body.contains("\"bucket_by\":\"s_suppkey\"") &&
+      body.contains("\"num_buckets\":2"))
+    assert(body.contains("\"table_ref\":\"idx_api_probe\"") &&
+      body.contains("\"entry_type\":\"INDEX\""))
+    spark.sql("drop table if exists api_kind_bucketed")
   }
 
   test("routing: prefix paths 404, wrong methods 405, bad JSON 400") {

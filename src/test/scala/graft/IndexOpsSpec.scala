@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Snapshot
+import graft.queries.IndexOps
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("standing ANN index: built once, then served with zero training jobs") {
+    // first touch may build (or find a previous session's artifacts);
+    // the second MUST find everything standing
+    IndexOps.ensurePqIndex(spark, sfDir)
+    IndexOps.ensureIvfPqIndex(spark, sfDir)
+    assert(!IndexOps.ensurePqIndex(spark, sfDir), "PQ index must not rebuild")
+    assert(!IndexOps.ensureIvfPqIndex(spark, sfDir), "IVF-PQ index must not rebuild")
+
+    // the served plan reads the persisted artifacts — codes come from
+    // parquet (no encode aggregate), codebooks/centroids from parquet
+    // (no VecMomentsFp training aggregate anywhere in the plan)
+    val served = IndexOps.sim_topk_ivfpq_indexed(spark, sfDir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("ann_ivfpq_coded"), "plan must scan the standing index")
+    assert(!plan.contains("vec_moments_fp") && !plan.contains("VecMomentsFp"),
+      "a served search must not plan training aggregates")
+
+    // and it runs strictly fewer jobs than the training twin — the
+    // twin pays trainCodebooks (persist + count + 2 Lloyd rounds) and
+    // the encode aggregate on top of the same search
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are async; a short drain keeps the count honest
+        Thread.sleep(500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val servedJobs = countJobs(served.collect())
+    val trainedJobs = countJobs(
+      graft.queries.LlmOps.queries("sim_topk_ivfpq")(spark, sfDir).collect())
+    assert(servedJobs < trainedJobs,
+      s"served search ran $servedJobs jobs vs training twin's $trainedJobs — training leaked in?")
+  }
+
+  test("served ANN results equal the training twins'") {
+    assert(rows(IndexOps.sim_topk_pq_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_pq")(spark, sfDir)))
+    assert(rows(IndexOps.sim_topk_ivfpq_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_ivfpq")(spark, sfDir)))
+  }
+
+  test("updatedBandIndex O(delta) maintenance == full re-band of retained docs") {
+    val d = Tables(spark, sfDir, "documents")
+    val oldSnap = d.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(pmod(col("doc_id"), lit(19)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 2, concat(col("text"), lit(" rev7")))
+          .otherwise(col("text")).as("text"))
+    val retained = newSnap.join(oldSnap.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val maintained = Snapshot.updatedBandIndex(
+      Snapshot.bandIndex(oldSnap), oldSnap, newSnap)
+    assert(rows(maintained) == rows(Snapshot.bandIndex(retained)),
+      "maintained index must equal the retained corpus's band relation")
+  }
+
+  test("deltaOnIndex equals delta (same pairs, same statuses)") {
+    val d = Tables(spark, sfDir, "documents")
+    val oldSnap = d.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(pmod(col("doc_id"), lit(19)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 2, concat(col("text"), lit(" rev7")))
+          .otherwise(col("text")).as("text"))
+    val direct = rows(Snapshot.delta(oldSnap, newSnap))
+    val onIndex = rows(Snapshot.deltaOnIndex(oldSnap, newSnap,
+      Snapshot.bandIndex(oldSnap)))
+    assert(onIndex == direct,
+      s"only-indexed=${onIndex -- direct}, only-direct=${direct -- onIndex}")
+  }
+
+  test("standing indexes are listed in the engine catalog as INDEX entries") {
+    IndexOps.ensurePqIndex(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = new graft.catalog.Catalog(
+      s"${sys.props("java.io.tmpdir")}/graft-scratch/$key/catalog")
+    val idx = cat.listTables.filter(_.entryType == "INDEX").map(_.tableRef)
+    assert(idx.contains("idx_ann_pq_books") && idx.contains("idx_ann_pq_coded"),
+      s"catalog INDEX entries: $idx")
+  }
+}
