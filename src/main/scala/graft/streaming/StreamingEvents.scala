@@ -469,7 +469,6 @@ object StreamingEvents {
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
     val dir = java.nio.file.Files.createTempDirectory("graft-attr-stream")
-    dir.toFile.deleteOnExit()
     prepared.repartitionByRange(batches, col("ts"))
       .write.mode("overwrite").parquet(dir.toString)
     // The file source triggers in MODIFICATION-TIME order, and the
@@ -500,17 +499,36 @@ object StreamingEvents {
           col("v_ts") >= col("c_ts") - expr(s"INTERVAL $window"))
       .select(col("user_id"), col("click_id"), col("view_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
-    val sinkName = s"graft_attr_stream_${System.nanoTime()}"
-    withStreamingPartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally if (q.isActive) q.stop()
+    // FILE sink, not memory: a stream-stream join's output is
+    // unbounded (a hot user's clicks×views is quadratic in their
+    // events — at the 25× skew stress the drained relation passed
+    // 1.2 GB and blew spark.driver.maxResultSize through the memory
+    // sink's driver collect). The parquet sink keeps the drain
+    // distributed — which is also the production landing shape — and
+    // the returned relation reads it lazily.
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-attr-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ckpt")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val drained = spark.table(sinkName).localCheckpoint()
-    spark.catalog.dropTempView(sinkName)
-    drained
+    try {
+      withStreamingPartitions(spark) {
+        val q = joined.writeStream.format("parquet")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally if (q.isActive) q.stop()
+      }
+    } finally {
+      // staging + checkpoint are drained state; the sink dir backs the
+      // returned lazy relation and is reclaimed with the JVM's tmpdir
+      rmTree(dir); rmTree(ckpt)
+    }
+    spark.read.schema(joined.schema).parquet(sinkDir.toString)
   }
 
   /** Drive the incremental funnel over the events table in `batches`

@@ -56,7 +56,10 @@ object PlanDump {
     "corpus_delta" -> "md5-digest full-outer classification (16-byte rows, never text), id-only added/retained splits, cross-side-only LSH band probe for the delta dedup",
     "fmt_schema_evolution" -> "merged-footer scan: v1 files project lang as null, coalesce in the projection",
     "dedup_simhash" -> "64-bit sigs from the scan, Manku combination banding as constant-mask bitwiseAND band keys, distinct-signature collapse before the band join",
-    "graph_pagerank" -> "per-superstep ONE O(edges) decimal-partial exchange; dangling mass folded into the update as a driver constant (no per-superstep aggregate)")
+    "graph_pagerank" -> "per-superstep ONE O(edges) decimal-partial exchange; dangling mass folded into the update as a driver constant (no per-superstep aggregate)",
+    "sim_topk_ivfpq_indexed" -> "SERVED search: the coded+celled corpus and codebooks SCAN from the standing index parquet (no training aggregate anywhere), broadcast probe/LUT joins, id-only re-rank fetch",
+    "corpus_delta_indexed" -> "standing band index scanned, O(changed) re-band union, added-side-only banding kernel, cross-side bucket probe — the retained corpus is never re-banded",
+    "sql_shingle_jaccard" -> "array-local kernel prefix (scalar-subquery histogram), gram-keyed repartition for parallel pair emit, length filter in the join, Jaccard verify FUSED on raw matches against broadcast fp sets, dedup only on survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
