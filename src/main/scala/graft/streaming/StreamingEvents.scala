@@ -461,10 +461,21 @@ object StreamingEvents {
     * so within-run disorder is bounded by one micro-batch and the
     * `delay` margin keeps every joinable row alive until its partner's
     * batch has arrived — the same oracle gates both entries.
+    *
+    * `saltBuckets` > 1 is the streaming SKEW-JOIN knob (Spark has no
+    * AQE/salted path for stream-stream joins, so a hot key — the
+    * planted 20%-of-traffic user at the 25× stress — serializes its
+    * clicks × buffered-views probe onto ONE state partition): each
+    * click takes exactly one salt (hash of its id), the view side
+    * replicates across all salts, and (user, salt) joins — every pair
+    * still matches exactly once, in the click's salt bucket, so the
+    * drained output is IDENTICAL (spec-asserted vs unsalted and vs
+    * batch), while the hot key's probe work fans out N ways at N×
+    * view-state cost. The oracle-gated config stays unsalted.
     */
   def runAttribution(spark: SparkSession, events: DataFrame,
       window: String = "4 hours", delay: String = "8 hours",
-      batches: Int = 3): DataFrame = {
+      batches: Int = 3, saltBuckets: Int = 1): DataFrame = {
     val prepared = events
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
@@ -487,14 +498,17 @@ object StreamingEvents {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
     val clicks = side().filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"),
+        pmod(xxhash64(col("event_id")), lit(saltBuckets.toLong)).as("_salt"))
       .withWatermark("c_ts", delay)
     val views = side().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("v_ts"))
+        col("ts").as("v_ts"),
+        explode(lit((0L until saltBuckets.toLong).toArray)).as("_v_salt"))
       .withWatermark("v_ts", delay)
     val joined = clicks.join(views,
         col("user_id") === col("v_user") &&
+          col("_salt") === col("_v_salt") &&
           col("v_ts") <= col("c_ts") &&
           col("v_ts") >= col("c_ts") - expr(s"INTERVAL $window"))
       .select(col("user_id"), col("click_id"), col("view_id"),

@@ -168,6 +168,33 @@ class StreamingSpec extends AnyFunSuite {
       s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
   }
 
+  test("salted attribution drain: hot key fans out, pairs identical") {
+    import spark.implicits._
+    // one hot user (the planted-crawler shape): 40 clicks and 40 views
+    // interleaved within the window, plus a normal user — the salted
+    // drain must emit EXACTLY the unsalted/batch pair set (each pair
+    // matches once, in its click's salt bucket)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = (0 until 40).flatMap { i =>
+      Seq((4242L, 1000L + i, "click", ts(2 * i + 1)),
+        (4242L, 2000L + i, "view", ts(2 * i)))
+    } ++ Seq((7L, 3000L, "view", ts(0)), (7L, 3001L, "click", ts(5)))
+    val events = rows.toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("click_id")), r.getLong(r.fieldIndex("view_id")))
+    val batch = Events.attribution(events).collect().map(key).toSet
+    val plain = graft.streaming.StreamingEvents
+      .runAttribution(spark, events, batches = 2).collect().map(key).toSet
+    val salted = graft.streaming.StreamingEvents
+      .runAttribution(spark, events, batches = 2, saltBuckets = 8)
+      .collect().map(key).toSet
+    assert(plain == batch, s"unsalted drift: ${plain -- batch} / ${batch -- plain}")
+    assert(salted == batch,
+      s"salted drift: spurious ${salted -- batch}, missing ${batch -- salted}")
+  }
+
   test("streaming sessionize: drained changelog equals batch; late event merges sessions") {
     val events = Tables(spark, sfDir, "events")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
