@@ -38,16 +38,39 @@ object IndexOps {
   // them so concurrent Verify threads can't double-build an artifact
   private val buildLock = new Object
 
-  /** Materialize `build` at the standing location for (`dir`, `name`)
-    * exactly once — cross-thread via [[buildLock]], cross-process via
-    * a file lock + the Hadoop `_SUCCESS` marker (same convention as
-    * Engine.materializeBucketed) — registering the artifact in the
-    * engine catalog (entryType INDEX) on first build. Returns true iff
-    * this call built it.
+  /** Fingerprint of the SOURCE corpus behind an artifact: a hash over
+    * the sorted (relative path, size, mtime) listing of the table's
+    * parquet file(s). Folded into the artifact dir name, so a corpus
+    * rewrite under the same path makes every dependent artifact
+    * automatically STALE — the next `ensure` rebuilds into a fresh
+    * versioned dir instead of silently serving the old generation
+    * (the freshness contract; the catalog's latest INDEX registration
+    * always names the serving generation).
     */
-  private[queries] def ensure(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): Boolean = buildLock.synchronized {
-    val path = scratch(dir, s"index/$name.parquet")
+  private[graft] def sourceVersion(dir: String, table: String): String = {
+    val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+    import scala.jdk.CollectionConverters._
+    val listing =
+      if (!java.nio.file.Files.exists(root)) "absent"
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString("\n")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(listing) & 0x7fffffff)
+  }
+
+  /** Materialize `build` at the standing location for (`dir`, `name`,
+    * source fingerprint) exactly once — cross-thread via [[buildLock]],
+    * cross-process via a file lock + the Hadoop `_SUCCESS` marker
+    * (same convention as Engine.materializeBucketed) — registering the
+    * artifact in the engine catalog (entryType INDEX) on first build.
+    * Returns true iff this call built it.
+    */
+  private[queries] def ensure(spark: SparkSession, dir: String, name: String,
+      sourceTable: String)(build: => DataFrame): Boolean = buildLock.synchronized {
+    val path = versionedPath(dir, name, sourceTable)
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p.resolve("_SUCCESS"))) return false
     java.nio.file.Files.createDirectories(p.getParent)
@@ -71,8 +94,12 @@ object IndexOps {
     } finally ch.close()
   }
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(scratch(dir, s"index/$name.parquet"))
+  private def versionedPath(dir: String, name: String, sourceTable: String): String =
+    scratch(dir, s"index/$name-${sourceVersion(dir, sourceTable)}.parquet")
+
+  private def load(spark: SparkSession, dir: String, name: String,
+      sourceTable: String): DataFrame =
+    spark.read.parquet(versionedPath(dir, name, sourceTable))
 
   /** Build-if-absent the PQ standing index for `dir`'s embeddings:
     * the seed codebooks and the coded corpus (vec_id, codes[m], vnorm,
@@ -80,10 +107,10 @@ object IndexOps {
     */
   def ensurePqIndex(spark: SparkSession, dir: String): Boolean = {
     val emb = Tables(spark, dir, "embeddings")
-    val b1 = ensure(spark, dir, "ann_pq_books")(
+    val b1 = ensure(spark, dir, "ann_pq_books", "embeddings")(
       Pq.codebooks(emb, m = 8, ksub = 16, dim = 64))
-    val b2 = ensure(spark, dir, "ann_pq_coded")(
-      Pq.encode(emb, load(spark, dir, "ann_pq_books"), m = 8, dim = 64))
+    val b2 = ensure(spark, dir, "ann_pq_coded", "embeddings")(
+      Pq.encode(emb, load(spark, dir, "ann_pq_books", "embeddings"), m = 8, dim = 64))
     b1 || b2
   }
 
@@ -94,13 +121,13 @@ object IndexOps {
     */
   def ensureIvfPqIndex(spark: SparkSession, dir: String): Boolean = {
     val emb = Tables(spark, dir, "embeddings")
-    val b1 = ensure(spark, dir, "ann_centroids")(
+    val b1 = ensure(spark, dir, "ann_centroids", "embeddings")(
       Similarity.centroidsFor(emb, 16, kmeansIters = 0))
-    val b2 = ensure(spark, dir, "ann_ivfpq_books")(
+    val b2 = ensure(spark, dir, "ann_ivfpq_books", "embeddings")(
       Pq.trainCodebooks(emb, m = 8, ksub = 16, dim = 64, iters = 2))
-    val b3 = ensure(spark, dir, "ann_ivfpq_coded")(
-      Pq.ivfPqIndex(emb, load(spark, dir, "ann_centroids"),
-        load(spark, dir, "ann_ivfpq_books"), m = 8, dim = 64))
+    val b3 = ensure(spark, dir, "ann_ivfpq_coded", "embeddings")(
+      Pq.ivfPqIndex(emb, load(spark, dir, "ann_centroids", "embeddings"),
+        load(spark, dir, "ann_ivfpq_books", "embeddings"), m = 8, dim = 64))
     b1 || b2 || b3
   }
 
@@ -113,9 +140,9 @@ object IndexOps {
   def sim_topk_pq_indexed(spark: SparkSession, dir: String): DataFrame = {
     ensurePqIndex(spark, dir)
     val emb = Tables(spark, dir, "embeddings")
-    Pq.topKPqOnIndex(load(spark, dir, "ann_pq_coded"), emb,
+    Pq.topKPqOnIndex(load(spark, dir, "ann_pq_coded", "embeddings"), emb,
       emb.filter(col("vec_id") < 64), k = 5,
-      load(spark, dir, "ann_pq_books"), m = 8, dim = 64, rerankMult = 8)
+      load(spark, dir, "ann_pq_books", "embeddings"), m = 8, dim = 64, rerankMult = 8)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -127,9 +154,9 @@ object IndexOps {
   def sim_topk_ivfpq_indexed(spark: SparkSession, dir: String): DataFrame = {
     ensureIvfPqIndex(spark, dir)
     val emb = Tables(spark, dir, "embeddings")
-    Pq.topKIvfPqOnIndex(load(spark, dir, "ann_ivfpq_coded"), emb,
+    Pq.topKIvfPqOnIndex(load(spark, dir, "ann_ivfpq_coded", "embeddings"), emb,
       emb.filter(col("vec_id") < 64), k = 5,
-      load(spark, dir, "ann_centroids"), load(spark, dir, "ann_ivfpq_books"),
+      load(spark, dir, "ann_centroids", "embeddings"), load(spark, dir, "ann_ivfpq_books", "embeddings"),
       nProbe = 4, m = 8, dim = 64, rerankMult = 8, normCorrect = true)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -148,8 +175,8 @@ object IndexOps {
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(13)) === 2, concat(col("text"), lit(" rev7")))
           .otherwise(col("text")).as("text"))
-    ensure(spark, dir, "band_old")(Snapshot.bandIndex(oldSnap))
-    Snapshot.deltaOnIndex(oldSnap, newSnap, load(spark, dir, "band_old"))
+    ensure(spark, dir, "band_old", "documents")(Snapshot.bandIndex(oldSnap))
+    Snapshot.deltaOnIndex(oldSnap, newSnap, load(spark, dir, "band_old", "documents"))
       .orderBy(col("doc_id"))
   }
 

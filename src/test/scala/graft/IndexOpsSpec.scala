@@ -89,6 +89,35 @@ class IndexOpsSpec extends AnyFunSuite {
       s"only-indexed=${onIndex -- direct}, only-direct=${direct -- onIndex}")
   }
 
+  test("standing index versions by source fingerprint: a corpus rewrite rebuilds") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft-idx-fresh")
+    try {
+      // corpus v1 = sf0.001's embeddings; v2 = sf0.01's under the SAME
+      // path — the staleness scenario the versioned dirs exist for
+      Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      assert(IndexOps.ensurePqIndex(spark, dir.toString), "v1 must build")
+      assert(!IndexOps.ensurePqIndex(spark, dir.toString), "v1 steady state")
+      val v1 = IndexOps.sourceVersion(dir.toString, "embeddings")
+      Files.copy(Paths.get("/root/testdata/sf0.01/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val v2 = IndexOps.sourceVersion(dir.toString, "embeddings")
+      assert(v1 != v2, "fingerprint must move with the bytes")
+      assert(IndexOps.ensurePqIndex(spark, dir.toString),
+        "a rewritten corpus must trigger a rebuild, never serve stale artifacts")
+      assert(!IndexOps.ensurePqIndex(spark, dir.toString), "v2 steady state")
+      // served results come from the NEW corpus generation
+      val served = rows(IndexOps.sim_topk_pq_indexed(spark, dir.toString))
+      assert(served == rows(graft.queries.LlmOps.queries("sim_topk_pq")(
+        spark, dir.toString)), "served generation must match the live corpus")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("standing indexes are listed in the engine catalog as INDEX entries") {
     IndexOps.ensurePqIndex(spark, sfDir)
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
