@@ -55,6 +55,37 @@ object StreamingDedup {
     }
   }
 
+  /** Drain an APPEND-mode stream through a parquet FILE sink and hand
+    * back the landed relation — distributed end-to-end. The memory
+    * sink is a driver collect capped by spark.driver.maxResultSize,
+    * which a dup-saturated corpus's pair set can exceed (the 25×
+    * hot-key attribution stress measured exactly that failure); the
+    * file sink is also the production landing shape. The checkpoint
+    * dir is deleted after the drain; the sink dir backs the returned
+    * lazy relation and is reclaimed with the JVM's tmpdir.
+    */
+  private def drainToParquet(spark: SparkSession,
+      out: DataFrame, prefix: String): DataFrame = {
+    val sinkDir = java.nio.file.Files.createTempDirectory(s"$prefix-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"$prefix-ckpt")
+    try {
+      StreamingEvents.withStreamingPartitions(spark) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally if (q.isActive) q.stop()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.read.schema(out.schema).parquet(sinkDir.toString)
+  }
+
   case class BucketState(ids: List[Long], saturated: Boolean = false)
 
   /** Emit (doc_a, doc_b) for every pair completed in this bucket by
@@ -173,22 +204,10 @@ object StreamingDedup {
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-      val sinkName = s"graft_dedup_stream_${System.nanoTime()}"
-      StreamingEvents.withStreamingPartitions(spark) {
-        val q = verifiedPairs(spark,
-          candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold)
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally if (q.isActive) q.stop()
-      }
-      // decouple the result from the memory sink and drop the temp view:
-      // repeated invocations in one session must not accumulate
-      // fully-materialized sink tables in driver memory
-      val drained = spark.table(sinkName).localCheckpoint()
-      spark.catalog.dropTempView(sinkName)
-      drained
+      drainToParquet(spark,
+        verifiedPairs(spark,
+          candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold),
+        "graft-dedup")
     }
 
   /** Per-bucket SIDE-TAGGED member state for the cross-side pair
@@ -280,17 +299,7 @@ object StreamingDedup {
         pairs.toDF("doc_a", "doc_b"), newDocs, k)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a").as("retained_doc"), col("doc_b").as("added_doc"))
-      val sinkName = s"graft_delta_stream_${System.nanoTime()}"
-      StreamingEvents.withStreamingPartitions(spark) {
-        val q = verified
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally if (q.isActive) q.stop()
-      }
-      val drainedPairs = spark.table(sinkName).localCheckpoint()
-      spark.catalog.dropTempView(sinkName)
+      val drainedPairs = drainToParquet(spark, verified, "graft-delta")
       // post-drain assembly over BOUNDED relations: statuses from the
       // digest classification, added_near_dup from the drained pairs
       graft.operators.Snapshot.assemble(
