@@ -45,6 +45,30 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // Constant-work noise probe (graft.tools.NoiseProbe's workload):
+    // identical plan + bytes every run, so its median wall IS the
+    // machine's load factor for THIS bench session. Written into the
+    // detail JSON; check_bench_regress.py divides current by baseline
+    // noise to scale its thresholds — a loaded machine then stops
+    // producing dozens of false per-query flags (round-8 measured a
+    // 2.2× headwind inflating 20-38 untouched queries).
+    val noiseMedian = try {
+      import org.apache.spark.sql.functions._
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        Tables(spark, sfDir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sq"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sd"),
+            count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeOnce() // probe's own warmup (the q01 warmup shares the shape)
+      Seq.fill(3)(probeOnce()).sorted.apply(1)
+    } catch { case _: Throwable => -1.0 }
+
     // Optional comma-separated subset for targeted perf work; the driver
     // leaves this unset and benches the full suite.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -61,7 +85,7 @@ object Bench {
       s""""$k":{"read":${m.read},"write":${m.write},"spill":${m.spill},"njobs":${m.jobs},"gc_ms":${m.gcMs}}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"noise_median_sec":$noiseMedian,"sf":"$sfDir"}"""
     println(full)
     // The full line above runs ~10 KB at 115+ queries, but the driver
     // keeps only a 2 KB tail of this process's output — so it has never

@@ -30,7 +30,11 @@ case class CatalogEntry(
     entryType: String = "MANAGED",
     bucketBy: Option[String] = None,
     sortBy: Option[String] = None,
-    numBuckets: Option[Int] = None)
+    numBuckets: Option[Int] = None,
+    // INDEX entries: the source-corpus fingerprint this artifact was
+    // built from (the generation GET /catalog reports — a client can
+    // tell whether the serving index matches the live corpus)
+    generation: Option[String] = None)
 
 /** One executed-query record (reference: sqlite.rs `query_history`). */
 case class HistoryEntry(sql: String, status: String, createdAt: String)
@@ -84,9 +88,10 @@ class Catalog(dir: String) {
       entryType: String = "MANAGED",
       bucketBy: Option[String] = None,
       sortBy: Option[String] = None,
-      numBuckets: Option[Int] = None): CatalogEntry = synchronized {
+      numBuckets: Option[Int] = None,
+      generation: Option[String] = None): CatalogEntry = synchronized {
     val e = CatalogEntry(entries.size + 1L, tableRef, tablePath, schema, comment, entryType,
-      bucketBy, sortBy, numBuckets)
+      bucketBy, sortBy, numBuckets, generation)
     appendLine(catalogFile, mapper.writeValueAsString(e))
     e
   }

@@ -963,14 +963,35 @@ object TextHashes {
   * reuses across every row it feeds. Tasks deserialize their own copy
   * (the transient slot starts empty per task); the single-reference
   * volatile write keeps a racing re-conversion benign.
+  *
+  * freq_ordered_prefix is registered as a GENERAL SQL function, so the
+  * histogram argument is not guaranteed to be a scalar subquery: a
+  * producer that reuses one ArrayData instance with MUTATED contents
+  * across rows (unsafe-row buffer reuse) would alias the stale memo.
+  * The hit check therefore also verifies cheap content witnesses —
+  * element count plus the first/last struct's (fp, cnt) — which any
+  * in-place mutation of a sorted histogram disturbs; a witness miss
+  * just falls through to a fresh conversion (correct, merely uncached).
   */
 final class FpHistCache extends Serializable {
   @transient @volatile
-  private var memo: (AnyRef, Array[Long], Array[Long]) = _
+  private var memo: (AnyRef, Array[Long], Array[Long], Long, Long) = _
+
+  private def witness(hist: org.apache.spark.sql.catalyst.util.ArrayData): (Long, Long) = {
+    val n = hist.numElements()
+    if (n == 0) (0L, 0L)
+    else {
+      val f = hist.getStruct(0, 2)
+      val l = hist.getStruct(n - 1, 2)
+      (f.getLong(0) * 31 + f.getLong(1), l.getLong(0) * 31 + l.getLong(1))
+    }
+  }
 
   def arrays(hist: org.apache.spark.sql.catalyst.util.ArrayData): (Array[Long], Array[Long]) = {
     val m = memo
-    if (m != null && (m._1 eq hist)) (m._2, m._3)
+    if (m != null && (m._1 eq hist) && m._2.length == hist.numElements() && {
+      val w = witness(hist); w._1 == m._4 && w._2 == m._5
+    }) (m._2, m._3)
     else {
       val n = hist.numElements()
       val ks = new Array[Long](n)
@@ -985,7 +1006,8 @@ final class FpHistCache extends Serializable {
       val order = Array.range(0, n).sortBy(ks)
       val sk = order.map(ks)
       val sv = order.map(vs)
-      memo = (hist, sk, sv)
+      val w = witness(hist)
+      memo = (hist, sk, sv, w._1, w._2)
       (sk, sv)
     }
   }

@@ -51,4 +51,52 @@ object Opq {
       Pq.topKPqWith(pc, pq, k, books, m, dim, rerankMult, normCorrect = true)
     } finally rc.unpersist()
   }
+
+  /** The OPQ transform as a 1-row RELATION — (rot: flat row-major d×d
+    * rotation, perm: the block permutation) — the persisted form of the
+    * training-time geometry ([[transformFrom]] rehydrates it; doubles
+    * roundtrip parquet exactly).
+    */
+  def transformRelation(corpus: DataFrame, m: Int, dim: Int): DataFrame = {
+    val flat = rotationBasis(corpus, dim)
+    def rotate(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      GraftFunctions.matVecF(col("embedding"), flat, dim).as("embedding"))
+    val rc = rotate(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val perm = try Pq.varianceBalancedPerm(rc, m, dim) finally rc.unpersist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((flat.toSeq, perm.map(_.toLong))).toDF("rot", "perm")
+  }
+
+  /** (rotation, permutation) from a [[transformRelation]] — a 1-row
+    * bounded collect.
+    */
+  private[graft] def transformFrom(rel: DataFrame): (Array[Double], Seq[Int]) = {
+    val r = rel.select(col("rot"), col("perm")).head()
+    (r.getSeq[Double](0).toArray, r.getSeq[Long](1).map(_.toInt))
+  }
+
+  /** The permuted-rotated view of a raw-embedding relation under a
+    * known transform — a pure projection (no aggregate), so applying it
+    * to the re-rank fetch-join costs d² multiply-adds ONLY for the
+    * candidate rows the join keeps.
+    */
+  def applyTransform(df: DataFrame, flat: Array[Double], perm: Seq[Int],
+      dim: Int): DataFrame =
+    Pq.permuteEmbedding(df.select(col("vec_id"),
+      GraftFunctions.matVecF(col("embedding"), flat, dim).as("embedding")), perm)
+
+  /** OPQ search over PREBUILT (typically persisted) artifacts — the
+    * transform relation, trained codebooks, and the coded
+    * permuted-rotated corpus: zero training/encode jobs at query time.
+    * `coded` must be `Pq.encode(applyTransform(corpus,…), books,…)`.
+    */
+  def topKOpqOnIndex(transform: DataFrame, books: DataFrame, coded: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, dim: Int = 64, rerankMult: Int = 8): DataFrame = {
+    val (flat, perm) = transformFrom(transform)
+    Pq.topKPqOnIndex(coded, applyTransform(corpus, flat, perm, dim),
+      applyTransform(queries, flat, perm, dim), k, books, m, dim, rerankMult,
+      normCorrect = true)
+  }
 }

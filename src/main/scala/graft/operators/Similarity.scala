@@ -183,15 +183,27 @@ object Similarity {
     * of recomputing (and re-persisting) it per call.
     */
   def topKIvfWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: DataFrame, nProbe: Int): DataFrame = {
-    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame =
-      assignCells(df, centroids, id, emb, keep)
+      centroids: DataFrame, nProbe: Int): DataFrame =
+    topKIvfOnIndex(ivfIndex(corpus, centroids), queries, k, centroids, nProbe)
 
-    val corpusCells = assign(corpus, "vec_id", "embedding", 1)
+  /** The persisted IVF serving relation: each corpus vector with its
+    * cell, embedding and norm — built once (one assignment aggregate
+    * over the corpus), then searched repeatedly by [[topKIvfOnIndex]]
+    * with zero corpus-side jobs at query time.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroids, "vec_id", "embedding", 1)
       .join(corpus, "vec_id")
       .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("_ce"),
         l2norm(col("embedding")).as("_cn"))
-    val queryCells = assign(queries, "vec_id", "embedding", nProbe)
+
+  /** IVF search over a PREBUILT (typically persisted) [[ivfIndex]]
+    * relation: only the (tiny) query batch is assigned to cells at
+    * query time; the corpus enters as the standing celled relation.
+    */
+  def topKIvfOnIndex(index: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val queryCells = assignCells(queries, centroids, "vec_id", "embedding", nProbe)
       .join(queries, "vec_id")
       .select(col("cid"), col("vec_id").as("query_id"), col("embedding").as("_qe"),
         l2norm(col("embedding")).as("_qn"))
@@ -200,7 +212,7 @@ object Similarity {
     // a query probes distinct cells, so (query, neighbor) pairs are
     // unique by construction — a dedup here would shuffle every scored
     // candidate for nothing
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cid"))
+    val scored = index.join(broadcast(queryCells), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")))
     heapTopK(scored, k)
@@ -223,14 +235,34 @@ object Similarity {
     * pattern as [[Dedup]]'s candidatePairs.
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-      tables: Int = 8): DataFrame = {
-    def sigs(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), signature(col("embedding"), bits, t).as("sig"))): _*)).as("ts"))
-        .select(col(idCol), col("ts.t"), col("ts.sig"))
-    val pairs = sigs(corpus, "neighbor_id")
-      .join(broadcast(sigs(queries, "query_id")), Seq("t", "sig"))
+      tables: Int = 8): DataFrame =
+    topKLshOnIndex(lshSigs(corpus, "neighbor_id", bits, tables), corpus, queries,
+      k, bits, tables)
+
+  /** Per-vector multi-table hyperplane signatures — (id, t, sig), the
+    * persisted LSH serving relation ([[topKLshOnIndex]]).
+    */
+  private[graft] def lshSigs(df: DataFrame, idCol: String, bits: Int,
+      tables: Int): DataFrame =
+    df.select(col("vec_id").as(idCol),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signature(col("embedding"), bits, t).as("sig"))): _*)).as("ts"))
+      .select(col(idCol), col("ts.t"), col("ts.sig"))
+
+  /** The persisted LSH index: corpus-side signatures only (queries
+    * hash at query time — nq·tables rows, trivially cheap).
+    */
+  def lshIndex(corpus: DataFrame, bits: Int = 8, tables: Int = 8): DataFrame =
+    lshSigs(corpus, "neighbor_id", bits, tables)
+
+  /** LSH search over a PREBUILT (typically persisted) [[lshIndex]]
+    * relation: the corpus is never re-hashed; true vectors enter only
+    * through the candidate fetch-join.
+    */
+  def topKLshOnIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val pairs = index
+      .join(broadcast(lshSigs(queries, "query_id", bits, tables)), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

@@ -29,16 +29,24 @@ import graft.functions.GraftFunctions
   */
 object Sq8 {
 
-  /** Per-dimension (min, scale) grid from one exact corpus aggregate. */
-  private[graft] def grid(corpus: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
-    val rows = corpus
+  /** The grid as a RELATION — (j, mn, mx), `dim` rows — the persisted
+    * form of the SQ8 parameters ([[gridFrom]] rehydrates the arrays;
+    * doubles roundtrip parquet exactly, so a persisted grid serves
+    * bit-identical searches).
+    */
+  def gridRelation(corpus: DataFrame): DataFrame =
+    corpus
       .select(posexplode(col("embedding")).as(Seq("j", "v")))
       .groupBy(col("j"))
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
-      .collect()
+
+  /** (mins, scales) arrays from a [[gridRelation]] (live or persisted) —
+    * a `dim`-row bounded collect.
+    */
+  private[graft] def gridFrom(rel: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
     val mins = new Array[Double](dim)
     val scales = new Array[Double](dim)
-    rows.foreach { r =>
+    rel.select(col("j"), col("mn"), col("mx")).collect().foreach { r =>
       val j = r.getInt(0)
       mins(j) = r.getDouble(1)
       scales(j) = (r.getDouble(2) - r.getDouble(1)) / 255.0
@@ -46,13 +54,32 @@ object Sq8 {
     (mins, scales)
   }
 
+  /** Per-dimension (min, scale) grid from one exact corpus aggregate. */
+  private[graft] def grid(corpus: DataFrame, dim: Int): (Array[Double], Array[Double]) =
+    gridFrom(gridRelation(corpus), dim)
+
+  /** The persisted SQ8 serving relation: 1-byte/dim codes + the
+    * reconstruction norm per vector.
+    */
+  def codedIndex(corpus: DataFrame, mins: Array[Double], scales: Array[Double]): DataFrame =
+    corpus.select(col("vec_id").as("neighbor_id"),
+        GraftFunctions.sq8Encode(col("embedding"), mins, scales).as("codes"))
+      .withColumn("_vn", GraftFunctions.sq8ReconNorm(col("codes"), mins, scales))
+
   def topKSq8(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, rerankMult: Int = 8): DataFrame = {
     val (mins, scales) = grid(corpus, dim)
-    val index = corpus.select(col("vec_id").as("neighbor_id"),
-        GraftFunctions.sq8Encode(col("embedding"), mins, scales).as("codes"))
-      .withColumn("_vn", GraftFunctions.sq8ReconNorm(col("codes"), mins, scales))
+    val index = codedIndex(corpus, mins, scales)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    topKSq8OnIndex(index, corpus, queries, k, mins, scales, rerankMult)
+  }
+
+  /** SQ8 search over a PREBUILT (typically persisted) [[codedIndex]]
+    * relation under a known grid — zero corpus aggregates at query
+    * time; exact vectors enter only through the re-rank fetch-join.
+    */
+  def topKSq8OnIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      mins: Array[Double], scales: Array[Double], rerankMult: Int = 8): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qe"),
       GraftFunctions.vecNorm(col("embedding")).as("_qn"))
     val adc = index.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

@@ -55,10 +55,24 @@ object EventsOps {
 
   /** The SAME pairs produced by a watermarked stream-stream interval
     * join (state evicted past watermark − window); same oracle as
-    * batch [[evt_attribution]].
+    * batch [[evt_attribution]]. The default is skew-safe AUTO salting:
+    * a SpaceSaving pass over the staged events salts only the keys
+    * whose share exceeds the hot bound (none at the gated SFs, so this
+    * plan stays the classic unsalted join there).
     */
   def evt_attribution_stream(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingEvents.runAttribution(spark, Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+
+  /** The salted-join mitigation itself under the oracle: every key
+    * forced across 4 salt buckets (clicks hash to one, views replicate
+    * to all), so the fan-out/match-once machinery — not just the
+    * unsalted fast path — is hash-checked against batch every driver
+    * run.
+    */
+  def evt_attribution_stream_salted(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingEvents.runAttribution(spark, Tables(spark, dir, "events"),
+        saltBuckets = 4)
       .orderBy(col("user_id"), col("click_id"), col("view_id"))
 
   /** Top-20 per-user event-type trigram paths (navigation patterns). */
@@ -122,6 +136,7 @@ object EventsOps {
     "evt_sliding_stream" -> (evt_sliding_stream _),
     "evt_attribution" -> (evt_attribution _),
     "evt_attribution_stream" -> (evt_attribution_stream _),
+    "evt_attribution_stream_salted" -> (evt_attribution_stream_salted _),
     "evt_paths" -> (evt_paths _),
     "evt_paths_stream" -> (evt_paths_stream _),
     "evt_sessionize_stream" -> (evt_sessionize_stream _),
@@ -144,9 +159,11 @@ object EventsOps {
       |ORDER BY c.user_id, click_id, view_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // drained stream-stream join ≡ batch join: one oracle, two entries
+    // drained stream-stream join ≡ batch join: one oracle, three
+    // entries (plain, auto-salted default, forced-salted mitigation)
     "evt_attribution" -> attributionSql,
     "evt_attribution_stream" -> attributionSql,
+    "evt_attribution_stream_salted" -> attributionSql,
     "evt_paths" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -736,8 +736,19 @@ object LlmOps {
   /** Self-reporting ANN quality: recall@5 of the LSH and IVF variants
     * against exact brute force, per method (rows-only — documents the
     * approximation quality in every verify run).
+    *
+    * Every arm is SERVED from its standing artifacts
+    * ([[IndexOps.ensureRecallExtras]] builds them once per corpus
+    * generation; steady state is a no-op): zero training / encoding /
+    * signature jobs run at report time — the only live compute is the
+    * brute-force ground truth (the report's raison d'être) and the
+    * 64-query-side projections. The per-arm configurations are
+    * unchanged from the training form (seed books for the pq/ivfpq
+    * arms, 3-iter Lloyd for ivf_kmeans, 6-bit/8-table LSH), so the
+    * recall values are bit-identical to the pre-index report.
     */
   def sim_recall_report(spark: SparkSession, dir: String): DataFrame = {
+    IndexOps.ensureRecallExtras(spark, dir)
     // shared across the eight variants: one corpus cache, one exact
     // ground-truth materialization — computed and PINNED before the
     // arms fork so none of them re-derives the brute-force relation
@@ -756,41 +767,32 @@ object LlmOps {
       (name, BigDecimal(hits / total)
         .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    // Shared index artifacts, trained ONCE: the ivf / ivfpq / ivfpq_nc
-    // arms read the same seed-centroid relation; pq / ivfpq / ivfpq_nc
-    // ride ONE persisted coded corpus (encode runs once, not three
-    // times), and the IVF-PQ cell join builds off that same cache.
-    // Materialized sequentially BEFORE the arms fork so no two arms
-    // race to compute the same cached partitions.
-    val seedCentroids = Similarity.centroidsFor(emb, 16, kmeansIters = 0)
-    val seedBooks = Pq.codebooks(emb, m = 8, ksub = 16, dim = 64)
-    val pqIndex = Pq.encode(emb, seedBooks, m = 8, dim = 64)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pqIndex.count()
-    val ivfpqIndex = pqIndex.join(
-      Similarity.assignCells(emb, seedCentroids, "vec_id", "embedding", keep = 1)
-        .withColumnRenamed("cid", "_cell"), "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ivfpqIndex.count()
-    // Heavy trainers (opq's PCA+Lloyd, ivf_kmeans' Lloyd, sq8's grid)
-    // lead the submission order so they overlap the cheap index readers.
+    def art(name: String): DataFrame = IndexOps.load(spark, dir, name)
+    val seedCentroids = art("ann_centroids")
+    val seedBooks = art("ann_pq_books")
+    val (sqMins, sqScales) = Sq8.gridFrom(art("ann_sq8_grid"), 64)
     val arms: Seq[(String, () => DataFrame)] = Seq(
-      ("opq", () => Opq.topKOpq(emb, queries, k = 5)),
-      ("ivf_kmeans", () => Similarity.topKIvf(emb, queries, k = 5, kmeansIters = 3)),
-      ("sq8", () => Sq8.topKSq8(emb, queries, k = 5)),
-      ("lsh", () => Similarity.topKLsh(emb, queries, k = 5, bits = 6)),
-      ("ivf", () => Similarity.topKIvfWith(emb, queries, k = 5, seedCentroids, nProbe = 4)),
-      ("pq", () => Pq.topKPqOnIndex(pqIndex, emb, queries, k = 5,
+      ("opq", () => Opq.topKOpqOnIndex(art("ann_opq_transform"), art("ann_opq_books"),
+        art("ann_opq_coded"), emb, queries, k = 5)),
+      ("ivf_kmeans", () => Similarity.topKIvfOnIndex(art("ann_ivf_k3_cells"), queries,
+        k = 5, art("ann_centroids_k3"), nProbe = 4)),
+      ("sq8", () => Sq8.topKSq8OnIndex(art("ann_sq8_coded"), emb, queries, k = 5,
+        sqMins, sqScales)),
+      ("lsh", () => Similarity.topKLshOnIndex(art("ann_lsh_sigs"), emb, queries,
+        k = 5, bits = 6, tables = 8)),
+      ("ivf", () => Similarity.topKIvfOnIndex(art("ann_ivf_cells"), queries,
+        k = 5, seedCentroids, nProbe = 4)),
+      ("pq", () => Pq.topKPqOnIndex(art("ann_pq_coded"), emb, queries, k = 5,
         seedBooks, m = 8, dim = 64, rerankMult = 8)),
-      ("ivfpq", () => Pq.topKIvfPqOnIndex(ivfpqIndex, emb, queries, k = 5,
+      ("ivfpq", () => Pq.topKIvfPqOnIndex(art("ann_pq_celled"), emb, queries, k = 5,
         seedCentroids, seedBooks, nProbe = 4, m = 8, dim = 64, rerankMult = 8)),
-      ("ivfpq_nc", () => Pq.topKIvfPqOnIndex(ivfpqIndex, emb, queries, k = 5,
+      ("ivfpq_nc", () => Pq.topKIvfPqOnIndex(art("ann_pq_celled"), emb, queries, k = 5,
         seedCentroids, seedBooks, nProbe = 4, m = 8, dim = 64, rerankMult = 8,
         normCorrect = true)))
     // Bounded concurrency: 3 arms in flight, not 8 — overlapping a few
-    // training-collect-scan pipelines hides scheduler latency without
-    // the unbounded-global-pool GC storm (90 s GC in the round-6 loaded
-    // bench) of launching all eight at once.
+    // scan pipelines hides scheduler latency without the unbounded-
+    // global-pool GC storm (90 s GC in the round-6 loaded bench) of
+    // launching all eight at once.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
@@ -802,8 +804,6 @@ object LlmOps {
         }), Duration.Inf)
       finally {
         pool.shutdown()
-        ivfpqIndex.unpersist()
-        pqIndex.unpersist()
         bf.unpersist()
         emb.unpersist()
       }

@@ -71,8 +71,17 @@ object SqlKernels {
     * frequency relation keeps only fps seen ≥ 2 times — a frequency-1
     * fp orders identically whether its count comes from the histogram
     * or from the unseen-fp default, so the prefix set is bit-identical
-    * — which bounds it at O(repeated fps); that bounded relation
-    * collects into ONE scalar-subquery histogram and the per-doc
+    * — which bounds it at O(repeated fps) — and is additionally
+    * capped at the 1 M HOTTEST repeated fps (`ORDER BY c DESC, g
+    * LIMIT`), mirroring the Scala arm's `histLimit` TakeOrdered bound
+    * (operators/Dedup.scala): on a web-scale corpus nearly every
+    * 3-gram repeats, so cnt≥2 alone is vocabulary-sized. Truncation is
+    * recall-preserving by the same argument — a dropped fp falls back
+    * to the unseen default count, i.e. it re-ties with the other
+    * coldest fps, and ANY total order keeps the prefix theorem's
+    * recall at exactly 1 (the order only tunes pruning efficiency).
+    * The capped relation collects into ONE scalar-subquery histogram
+    * (bounded at histLimit structs, never the vocabulary) and the per-doc
     * prefix cut runs ARRAY-LOCALLY inside the scan through the same
     * codegen freq_ordered_prefix kernel the Scala production arm uses
     * (operators/Dedup.scala). The round-7 form computed the identical
@@ -91,7 +100,8 @@ object SqlKernels {
         |  FROM documents),
         |df AS (SELECT g, count(*) AS c
         |       FROM (SELECT explode(fps) AS g FROM f)
-        |       GROUP BY g HAVING count(*) >= 2),
+        |       GROUP BY g HAVING count(*) >= 2
+        |       ORDER BY c DESC, g LIMIT 1048576),
         |pref AS (
         |  SELECT /*+ REPARTITION(g) */ doc_id, n, explode(freq_ordered_prefix(fps,
         |    (SELECT array_sort(collect_list(struct(g, c))) FROM df), 0.5)) AS g

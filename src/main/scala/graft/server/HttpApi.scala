@@ -125,14 +125,43 @@ class HttpApi(engine: Engine, port: Int = 8080) {
         "entry_type" -> e.entryType,
         "table_schema" -> e.schema.map(f => Map(
           "field" -> f.field, "field_type" -> f.fieldType, "comment" -> f.comment.orNull)))
+      val withGen = e.generation match {
+        // INDEX entries carry the source-corpus generation they were
+        // built from — a client can check the serving index is fresh
+        case Some(g) => base + ("generation" -> g)
+        case None => base
+      }
       e.numBuckets match {
-        case Some(n) => base + ("layout" -> Map(
+        case Some(n) => withGen + ("layout" -> Map(
           "bucket_by" -> e.bucketBy.orNull, "sort_by" -> e.sortBy.orNull,
           "num_buckets" -> n))
-        case None => base
+        case None => withGen
       }
     }
     respond(ex, 200, envelope(tables))
+  })
+
+  server.createContext("/index/refresh", ex => handle(ex, "/index/refresh", "POST") {
+    // rebuild-if-stale for every standing ANN index family over the
+    // given corpus dir — idempotent by construction (IndexOps.ensure*
+    // no-ops when the artifact for the CURRENT source generation
+    // exists), so a deployment can POST this after any corpus change
+    // (this engine's extension; the reference re-reads files per query
+    // and has no index lifecycle at all)
+    val dir = readBody(ex).getOrElse("dir",
+      throw new IllegalArgumentException("missing field: dir"))
+    val t0 = System.currentTimeMillis()
+    val built = graft.queries.IndexOps.refresh(engine.spark, dir)
+    // mirror the refreshed INDEX registrations into the engine catalog
+    // so GET /catalog names the serving artifacts + their generation
+    // (the engine catalog keeps latest-per-ref, so re-posting refresh
+    // just re-points the entries)
+    val entries = graft.queries.IndexOps.indexEntries(engine.spark, dir)
+    entries.foreach(e => engine.catalog.register(e.tableRef, e.tablePath, e.schema,
+      e.comment, e.entryType, generation = e.generation))
+    respond(ex, 200, envelope(Map(
+      "rebuilt" -> built, "indexes" -> entries.map(_.tableRef),
+      "query_time" -> fmtDuration(System.currentTimeMillis() - t0))))
   })
 
   server.createContext("/query/export", ex => handle(ex, "/query/export", "POST") {

@@ -48,11 +48,7 @@ object StreamingDedup {
     staged.repartitionByRange(batches, col("doc_id"))
       .write.mode("overwrite").parquet(dir.toString)
     try body(staged.schema, dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    finally StreamingEvents.rmTree(dir)
   }
 
   /** Drain an APPEND-mode stream through a parquet FILE sink and hand
@@ -62,11 +58,13 @@ object StreamingDedup {
     * hot-key attribution stress measured exactly that failure); the
     * file sink is also the production landing shape. The checkpoint
     * dir is deleted after the drain; the sink dir backs the returned
-    * lazy relation and is reclaimed with the JVM's tmpdir.
+    * lazy relation, so [[StreamingEvents.SinkJanitor]]'s shutdown hook
+    * removes it at JVM exit (tmp dirs are NOT otherwise reclaimed).
     */
   private def drainToParquet(spark: SparkSession,
       out: DataFrame, prefix: String): DataFrame = {
-    val sinkDir = java.nio.file.Files.createTempDirectory(s"$prefix-sink")
+    val sinkDir = StreamingEvents.SinkJanitor.register(
+      java.nio.file.Files.createTempDirectory(s"$prefix-sink"))
     val ckpt = java.nio.file.Files.createTempDirectory(s"$prefix-ckpt")
     try {
       StreamingEvents.withStreamingPartitions(spark) {
@@ -78,11 +76,7 @@ object StreamingDedup {
         try q.awaitTermination()
         finally if (q.isActive) q.stop()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally StreamingEvents.rmTree(ckpt)
     spark.read.schema(out.schema).parquet(sinkDir.toString)
   }
 

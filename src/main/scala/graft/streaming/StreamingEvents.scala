@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -35,6 +35,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * five via TestGroupState.
   */
 object StreamingEvents {
+
+  /** Temp dirs that back LAZY relations returned to callers (file-sink
+    * output a drain hands back unread). They cannot be deleted eagerly —
+    * the caller's plan still points at them — and
+    * `Files.createTempDirectory` dirs are NOT reclaimed by the OS on
+    * JVM exit (deleteOnExit can't remove non-empty trees), so each is
+    * registered here and a single shutdown hook removes the lot; a
+    * 25×-stress drain can land >1 GB per sink, which repeated
+    * bench/verify JVMs would otherwise permanently leak into tmp.
+    */
+  private[streaming] object SinkJanitor {
+    private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    sys.addShutdownHook(dirs.forEach(rmTree(_)))
+    def register(p: java.nio.file.Path): java.nio.file.Path = { dirs.add(p); p }
+  }
+
+  /** Recursively delete a temp tree (children before parents). */
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   /** [[StreamingDedup]]'s timeout selection, shared by the five
     * changelog runners: a set TTL needs the processing-time clock.
@@ -359,8 +382,10 @@ object StreamingEvents {
       rangeCol: String, sinkPrefix: String, arrivalSalt: Option[Long] = None,
       selfTerminating: Boolean = true)(
       pipeline: DataFrame => DataFrame): DataFrame = {
+    // removed eagerly below — the drained relation is localCheckpointed
+    // before return, so nothing references the staged files after that
+    // (deleteOnExit cannot remove a non-empty tree)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$sinkPrefix")
-    dir.toFile.deleteOnExit()
     val batchKey = arrivalSalt
       .map(s => pmod(xxhash64(col(rangeCol).cast("string"), lit(s)), lit(batches * 4)))
       .getOrElse(col(rangeCol))
@@ -422,6 +447,7 @@ object StreamingEvents {
     }
     val drained = spark.table(sinkName).localCheckpoint()
     spark.catalog.dropTempView(sinkName)
+    rmTree(dir)
     drained
   }
 
@@ -462,26 +488,60 @@ object StreamingEvents {
     * `delay` margin keeps every joinable row alive until its partner's
     * batch has arrived — the same oracle gates both entries.
     *
-    * `saltBuckets` > 1 is the streaming SKEW-JOIN knob (Spark has no
-    * AQE/salted path for stream-stream joins, so a hot key — the
+    * Skew safety is the DEFAULT (`saltBuckets = 0`, AUTO): Spark has
+    * no AQE/salted path for stream-stream joins, so a hot key — the
     * planted 20%-of-traffic user at the 25× stress — serializes its
-    * clicks × buffered-views probe onto ONE state partition): each
-    * click takes exactly one salt (hash of its id), the view side
-    * replicates across all salts, and (user, salt) joins — every pair
-    * still matches exactly once, in the click's salt bucket, so the
-    * drained output is IDENTICAL (spec-asserted vs unsalted and vs
-    * batch), while the hot key's probe work fans out N ways at N×
-    * view-state cost. The oracle-gated config stays unsalted.
+    * clicks × buffered-views probe onto ONE state partition (the r8
+    * unsalted drain never finished where batch took 222.8 s). Auto
+    * mode measures the per-key share with ONE SpaceSaving sketch pass
+    * over the staged events (no key shuffle — the sketch partial-
+    * aggregates; overestimates only, so detection errs toward salting)
+    * and salts ONLY the keys above `hotShareBound`: each hot click
+    * takes one of N salts (hash of its id), hot views replicate across
+    * all N, cold keys keep salt 0 — every pair still matches exactly
+    * once, in the click's salt bucket, so the drained output is
+    * IDENTICAL (spec-asserted vs unsalted and vs batch), while the hot
+    * key's probe fans out N ways. Targeting is what keeps the salted
+    * plan cheap: view state grows by N× only for the HOT keys' views
+    * (the r8 salt-everything arm paid N× total view state — its ~12×
+    * drain tax), and N is sized so each salted sub-key carries ≤2.5%
+    * of events. `saltBuckets = 1` forces the unsalted plan;
+    * `saltBuckets > 1` forces N salts for EVERY key (the parity probe
+    * arm). `rocksDbState` switches the drain's state store to RocksDB
+    * — the deployment backend for state past executor heap.
     */
   def runAttribution(spark: SparkSession, events: DataFrame,
       window: String = "4 hours", delay: String = "8 hours",
-      batches: Int = 3, saltBuckets: Int = 1): DataFrame = {
+      batches: Int = 3, saltBuckets: Int = 0, hotShareBound: Double = 0.05,
+      rocksDbState: Boolean = false): DataFrame = {
     val prepared = events
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
     val dir = java.nio.file.Files.createTempDirectory("graft-attr-stream")
     prepared.repartitionByRange(batches, col("ts"))
       .write.mode("overwrite").parquet(dir.toString)
+    // AUTO skew plan: one sketch pass over the STAGED events (already
+    // local parquet) — top shares decide which keys salt and how wide.
+    // N sizes each salted sub-key to ≤2.5% of events, capped at 32.
+    val (nSalts: Int, hotKeys: Seq[Long]) =
+      if (saltBuckets >= 1) (saltBuckets, Nil) // forced: all keys salt
+      else {
+        val staged = spark.read.schema(prepared.schema).parquet(dir.toString)
+        val r = staged.agg(
+          graft.functions.GraftFunctions.spaceSavingTopK(
+            col("user_id").cast("string"), 16, 4096).as("top"),
+          count(lit(1)).as("n")).head()
+        val total = math.max(1L, r.getLong(1)).toDouble
+        val top = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(t => (t.getString(0).toLong, t.getLong(1) / total))
+        val hot = top.filter(_._2 > hotShareBound)
+        if (hot.isEmpty) (1, Nil)
+        else {
+          val n = math.min(32, math.max(2,
+            math.ceil(hot.map(_._2).max / 0.025).toInt))
+          (n, hot.map(_._1))
+        }
+      }
     // The file source triggers in MODIFICATION-TIME order, and the
     // write's tasks finish in arbitrary order — stamp ascending mtimes
     // in part-file order (part-i = i-th ts range) so the staged stream
@@ -497,14 +557,25 @@ object StreamingEvents {
       .schema(prepared.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
+    // hot-key predicate: forced salt-all mode salts every key; auto
+    // mode salts only the sketch-detected hot set (bounded ≤ 16 keys —
+    // an isin literal, no extra join)
+    val saltAll = nSalts > 1 && hotKeys.isEmpty
+    def isHot(c: Column): Column =
+      if (saltAll) lit(true)
+      else if (hotKeys.isEmpty) lit(false)
+      else c.isin(hotKeys: _*)
     val clicks = side().filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"),
-        pmod(xxhash64(col("event_id")), lit(saltBuckets.toLong)).as("_salt"))
+        when(isHot(col("user_id")),
+          pmod(xxhash64(col("event_id")), lit(nSalts.toLong)))
+          .otherwise(lit(0L)).as("_salt"))
       .withWatermark("c_ts", delay)
     val views = side().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"),
-        explode(lit((0L until saltBuckets.toLong).toArray)).as("_v_salt"))
+        explode(when(isHot(col("user_id")), lit((0L until nSalts.toLong).toArray))
+          .otherwise(array(lit(0L)))).as("_v_salt"))
       .withWatermark("v_ts", delay)
     val joined = clicks.join(views,
         col("user_id") === col("v_user") &&
@@ -520,13 +591,17 @@ object StreamingEvents {
     // sink's driver collect). The parquet sink keeps the drain
     // distributed — which is also the production landing shape — and
     // the returned relation reads it lazily.
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft-attr-sink")
+    val sinkDir = SinkJanitor.register(
+      java.nio.file.Files.createTempDirectory("graft-attr-sink"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ckpt")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    // state-store provider is read at query START — set/restore around
+    // the drain only (RocksDB keeps buffered join state off-heap and
+    // incrementally checkpointed: the measured winner once state
+    // outgrows the HDFS provider's per-batch in-memory version map)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    if (rocksDbState) spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       withStreamingPartitions(spark) {
         val q = joined.writeStream.format("parquet")
@@ -538,8 +613,13 @@ object StreamingEvents {
         finally if (q.isActive) q.stop()
       }
     } finally {
-      // staging + checkpoint are drained state; the sink dir backs the
-      // returned lazy relation and is reclaimed with the JVM's tmpdir
+      if (rocksDbState) prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      // staging + checkpoint are drained state, deleted now; the sink
+      // dir backs the returned lazy relation, so the SinkJanitor
+      // shutdown hook removes it at JVM exit instead
       rmTree(dir); rmTree(ckpt)
     }
     spark.read.schema(joined.schema).parquet(sinkDir.toString)

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * checksums against the BATCH interval join — the distributed
   * equality check for outputs too large to collect.
   *
-  * Usage: runMain graft.tools.SaltedAttrProbe <sfDir> [saltBuckets]
+  * Usage: runMain graft.tools.SaltedAttrProbe <sfDir> [arm ...]
+  * where each arm is `auto`, `auto-rocks`, `batch`, or an integer
+  * (forced salt-all count). Default: batch + auto.
   */
 object SaltedAttrProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val salts = if (args.length > 1) args(1).toInt else 8
+    val arms = if (args.length > 1) args.drop(1).toSeq else Seq("batch", "auto")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,9 +36,15 @@ object SaltedAttrProbe {
         f"key_sum=${r.get(2)} wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
-    sig("batch")(graft.streaming.Events.attribution(events))
-    sig(s"stream salt=$salts")(graft.streaming.StreamingEvents
-      .runAttribution(spark, events, saltBuckets = salts))
+    arms.foreach {
+      case "batch" => sig("batch")(graft.streaming.Events.attribution(events))
+      case "auto" => sig("stream auto")(graft.streaming.StreamingEvents
+        .runAttribution(spark, events))
+      case "auto-rocks" => sig("stream auto+rocksdb")(graft.streaming.StreamingEvents
+        .runAttribution(spark, events, rocksDbState = true))
+      case n => sig(s"stream salt=$n")(graft.streaming.StreamingEvents
+        .runAttribution(spark, events, saltBuckets = n.toInt))
+    }
     spark.stop()
   }
 }

@@ -85,6 +85,42 @@ class HttpApiSpec extends AnyFunSuite {
     spark.sql("drop table if exists api_kind_bucketed")
   }
 
+  test("/index/refresh rebuilds stale standing indexes and surfaces generations") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val dir = JFiles.createTempDirectory("graft-http-idx")
+    try {
+      // corpus v1 → refresh builds; a second refresh is a no-op; then
+      // the corpus is REWRITTEN in place and refresh must rebuild so
+      // served results match the live corpus (the full index lifecycle
+      // over the HTTP surface)
+      JFiles.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      val r1 = post("/index/refresh", s"""{"dir": "${dir.toString}"}""")
+      assert(r1.statusCode() == 200 && r1.body().contains("\"pq\":true"), r1.body())
+      val r2 = post("/index/refresh", s"""{"dir": "${dir.toString}"}""")
+      assert(r2.body().contains("\"pq\":false"), s"steady state must not rebuild: ${r2.body()}")
+      // refreshed INDEX entries (with generation) are mirrored into the
+      // engine catalog GET /catalog serves
+      val cat = get("/catalog").body()
+      assert(cat.contains("\"table_ref\":\"idx_ann_pq_coded\"") &&
+        cat.contains("\"generation\":\""), cat.take(500))
+      JFiles.copy(Paths.get("/root/testdata/sf0.01/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val r3 = post("/index/refresh", s"""{"dir": "${dir.toString}"}""")
+      assert(r3.body().contains("\"pq\":true"), s"rewrite must rebuild: ${r3.body()}")
+      // served results now come from the new generation
+      val served = graft.queries.IndexOps.sim_topk_pq_indexed(spark, dir.toString)
+        .collect().map(_.toString).toSet
+      val twin = graft.queries.LlmOps.queries("sim_topk_pq")(spark, dir.toString)
+        .collect().map(_.toString).toSet
+      assert(served == twin, "post-refresh serving must match the live corpus")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(JFiles.deleteIfExists(_))
+    }
+  }
+
   test("routing: prefix paths 404, wrong methods 405, bad JSON 400") {
     assert(post("/fetchanything", "{}").statusCode() == 404)
     assert(get("/fetch").statusCode() == 405)

@@ -57,6 +57,32 @@ class IndexOpsSpec extends AnyFunSuite {
       rows(graft.queries.LlmOps.queries("sim_topk_pq")(spark, sfDir)))
     assert(rows(IndexOps.sim_topk_ivfpq_indexed(spark, sfDir)) ==
       rows(graft.queries.LlmOps.queries("sim_topk_ivfpq")(spark, sfDir)))
+    // the round-9 arms: ivf / lsh / sq8 / opq served from standing
+    // artifacts must match their per-query training twins bit-for-bit
+    assert(rows(IndexOps.sim_topk_ivf_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_ivf")(spark, sfDir)))
+    assert(rows(IndexOps.sim_topk_lsh_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_lsh")(spark, sfDir)))
+    assert(rows(IndexOps.sim_topk_sq8_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_sq8")(spark, sfDir)))
+    assert(rows(IndexOps.sim_topk_opq_indexed(spark, sfDir)) ==
+      rows(graft.queries.LlmOps.queries("sim_topk_opq")(spark, sfDir)))
+  }
+
+  test("recall report serves from standing artifacts with zero training jobs") {
+    IndexOps.ensureRecallExtras(spark, sfDir)
+    assert(!IndexOps.ensureRecallExtras(spark, sfDir), "steady state must not rebuild")
+    // no VecMomentsFp (OPQ rotation / perm training) and no sq8 grid
+    // aggregate may appear in any arm's plan once artifacts stand —
+    // probe the heaviest arm's plan via the full report run's jobs:
+    // the report must run, and a second run must not build anything
+    val report = graft.queries.LlmOps.queries("sim_recall_report")(spark, sfDir)
+    val recalls = report.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // same spec-pinned floors as LlmOpsSpec — serving from artifacts
+    // must not change the measured recalls
+    assert(recalls("ivfpq_nc") >= recalls("ivfpq"),
+      s"norm correction must not hurt recall: $recalls")
+    assert(recalls.size == 8, s"eight arms expected: ${recalls.keySet}")
   }
 
   test("updatedBandIndex O(delta) maintenance == full re-band of retained docs") {
@@ -99,10 +125,12 @@ class IndexOpsSpec extends AnyFunSuite {
         dir.resolve("embeddings.parquet"))
       assert(IndexOps.ensurePqIndex(spark, dir.toString), "v1 must build")
       assert(!IndexOps.ensurePqIndex(spark, dir.toString), "v1 steady state")
-      val v1 = IndexOps.sourceVersion(dir.toString, "embeddings")
+      // the fingerprint now lists through Hadoop's FileSystem (the
+      // s3a/hdfs-portable path) — this whole test exercises it
+      val v1 = IndexOps.sourceVersion(spark, dir.toString, "embeddings")
       Files.copy(Paths.get("/root/testdata/sf0.01/embeddings.parquet"),
         dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val v2 = IndexOps.sourceVersion(dir.toString, "embeddings")
+      val v2 = IndexOps.sourceVersion(spark, dir.toString, "embeddings")
       assert(v1 != v2, "fingerprint must move with the bytes")
       assert(IndexOps.ensurePqIndex(spark, dir.toString),
         "a rewritten corpus must trigger a rebuild, never serve stale artifacts")
@@ -111,6 +139,20 @@ class IndexOpsSpec extends AnyFunSuite {
       val served = rows(IndexOps.sim_topk_pq_indexed(spark, dir.toString))
       assert(served == rows(graft.queries.LlmOps.queries("sim_topk_pq")(
         spark, dir.toString)), "served generation must match the live corpus")
+      // superseded v1 artifacts are PRUNED on the v2 build (a monthly
+      // corpus rewrite must not accumulate a full index copy per
+      // generation) and the catalog's latest entry names v2
+      val key = dir.toString.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-scratch/$key/index")
+      import scala.jdk.CollectionConverters._
+      val gens = Files.list(idxDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("ann_pq_coded-")).toSeq
+      assert(gens == Seq(s"ann_pq_coded-$v2.parquet"),
+        s"stale generations must be pruned: $gens")
+      val latest = IndexOps.indexEntries(spark, dir.toString)
+        .find(_.tableRef == "idx_ann_pq_coded")
+      assert(latest.exists(_.generation.contains(v2)),
+        s"catalog generation must name the serving fingerprint: $latest")
     } finally {
       import scala.jdk.CollectionConverters._
       Files.walk(dir).iterator().asScala.toSeq

@@ -186,13 +186,27 @@ class StreamingSpec extends AnyFunSuite {
       (r.getLong(r.fieldIndex("click_id")), r.getLong(r.fieldIndex("view_id")))
     val batch = Events.attribution(events).collect().map(key).toSet
     val plain = graft.streaming.StreamingEvents
-      .runAttribution(spark, events, batches = 2).collect().map(key).toSet
+      .runAttribution(spark, events, batches = 2, saltBuckets = 1)
+      .collect().map(key).toSet
     val salted = graft.streaming.StreamingEvents
       .runAttribution(spark, events, batches = 2, saltBuckets = 8)
+      .collect().map(key).toSet
+    // AUTO (the default): the sketch pass must DETECT the planted hot
+    // user (80 of 82 events), salt only that key, and still drain the
+    // exact batch pair set — the skew-safe default end to end
+    val auto = graft.streaming.StreamingEvents
+      .runAttribution(spark, events, batches = 2).collect().map(key).toSet
+    // and RocksDB state store serves the same drain bit-identically
+    val rocks = graft.streaming.StreamingEvents
+      .runAttribution(spark, events, batches = 2, rocksDbState = true)
       .collect().map(key).toSet
     assert(plain == batch, s"unsalted drift: ${plain -- batch} / ${batch -- plain}")
     assert(salted == batch,
       s"salted drift: spurious ${salted -- batch}, missing ${batch -- salted}")
+    assert(auto == batch,
+      s"auto-salted drift: spurious ${auto -- batch}, missing ${batch -- auto}")
+    assert(rocks == batch,
+      s"rocksdb drift: spurious ${rocks -- batch}, missing ${batch -- rocks}")
   }
 
   test("streaming sessionize: drained changelog equals batch; late event merges sessions") {

@@ -19,6 +19,14 @@ The arithmetic mirrors graft.functions.TextHashes bit-for-bit:
     Spark's round (scala BigDecimal(Double.toString(d))).
 
 Usage: python3 tools/make_expected.py [sf ...]   (default: all three)
+       python3 tools/make_expected.py /path/to/derivedDir [name ...]
+
+An absolute path runs the generators against THAT corpus dir (e.g. a
+tools/make_sf_derived.py output like /tmp/sf2hd) and writes fixtures to
+expected/<basename>/ — which tools/check_oracle_25x.py picks up to turn
+its fixture-SKIP class into hard compares at density. Optional trailing
+names restrict which generators run (the heavy media ones can be
+skipped independently).
 """
 import math
 import sys
@@ -1445,8 +1453,8 @@ GENERATORS = {
 }
 
 
-def load(sf, table):
-    t = pq.read_table(f"{TESTDATA}/sf{sf}/{table}.parquet")
+def load_dir(srcdir, table):
+    t = pq.read_table(f"{srcdir}/{table}.parquet")
     rows = t.to_pylist()
     if table == "embeddings":
         for r in rows:
@@ -1456,18 +1464,36 @@ def load(sf, table):
     return rows
 
 
+def load(sf, table):
+    return load_dir(f"{TESTDATA}/sf{sf}", table)
+
+
+def run_generators(srcdir, outdir, only=None):
+    os.makedirs(outdir, exist_ok=True)
+    cache = {}
+    for name, (table, gen) in GENERATORS.items():
+        if only and name not in only:
+            continue
+        if table not in cache:
+            cache[table] = load_dir(srcdir, table)
+        import time
+        t0 = time.time()
+        t = gen(cache[table])
+        pq.write_table(t, os.path.join(outdir, f"{name}.parquet"))
+        print(f"{os.path.basename(srcdir) or srcdir} {name}: {t.num_rows} rows "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+
 def main():
-    sfs = sys.argv[1:] or ["0.001", "0.01", "0.1"]
+    args = sys.argv[1:]
+    if args and os.path.isabs(args[0]):
+        srcdir = args[0].rstrip("/")
+        only = set(args[1:]) or None
+        run_generators(srcdir, os.path.join(OUT, os.path.basename(srcdir)), only)
+        return
+    sfs = args or ["0.001", "0.01", "0.1"]
     for sf in sfs:
-        outdir = os.path.join(OUT, f"sf{sf}")
-        os.makedirs(outdir, exist_ok=True)
-        cache = {}
-        for name, (table, gen) in GENERATORS.items():
-            if table not in cache:
-                cache[table] = load(sf, table)
-            t = gen(cache[table])
-            pq.write_table(t, os.path.join(outdir, f"{name}.parquet"))
-            print(f"sf{sf} {name}: {t.num_rows} rows")
+        run_generators(f"{TESTDATA}/sf{sf}", os.path.join(OUT, f"sf{sf}"))
 
 
 if __name__ == "__main__":
