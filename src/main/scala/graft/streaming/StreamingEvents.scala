@@ -368,6 +368,21 @@ object StreamingEvents {
     }
   }
 
+  /** Exact-set variant for drains that need MORE partitions than the
+    * session default (a salted skew drain's fan-out is pointless if
+    * every salted sub-key hashes back onto the same few partitions).
+    */
+  private[streaming] def withExactStreamingPartitions[T](spark: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (prev.toInt == n) body
+    else {
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
     *
@@ -602,8 +617,16 @@ object StreamingEvents {
     val prevProvider = spark.conf.getOption(providerKey)
     if (rocksDbState) spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // partition width follows the skew plan: an unsalted drain keeps
+    // the tiny-state default (4 — state-store commit overhead dominates
+    // at gate SFs), but a SALTED drain exists precisely because one
+    // key's probe work saturates a partition — the fan-out only helps
+    // if the salted sub-keys actually land on DIFFERENT partitions, so
+    // give them 4× headroom over the salt count (hash collisions leave
+    // ~37% of equal-count partitions empty)
+    val drainParts = if (nSalts > 1) math.min(32, 4 * nSalts) else 4
     try {
-      withStreamingPartitions(spark) {
+      withExactStreamingPartitions(spark, drainParts) {
         val q = joined.writeStream.format("parquet")
           .option("path", sinkDir.toString)
           .option("checkpointLocation", ckpt.toString)
