@@ -58,6 +58,11 @@ object PlanDump {
     "dedup_simhash" -> "64-bit sigs from the scan, Manku combination banding as constant-mask bitwiseAND band keys, distinct-signature collapse before the band join",
     "graph_pagerank" -> "per-superstep ONE O(edges) decimal-partial exchange; dangling mass folded into the update as a driver constant (no per-superstep aggregate)",
     "sim_topk_ivfpq_indexed" -> "SERVED search: the coded+celled corpus and codebooks SCAN from the standing index parquet (no training aggregate anywhere), broadcast probe/LUT joins, id-only re-rank fetch",
+    "sim_topk_ivf_indexed" -> "SERVED IVF: celled corpus scans from the standing index (no k-means anywhere in the plan); only the nq-row query-cell assignment computes live",
+    "sim_topk_lsh_indexed" -> "SERVED LSH: the persisted multi-table signature relation is the probe side — the corpus is never re-hashed; query signatures are an nq x tables relation",
+    "sim_topk_sq8_indexed" -> "SERVED SQ8: grid + 1-byte/dim coded corpus scan from the standing index — no min/max aggregate, no encode pass; fused ADC kernel, id-only re-rank fetch",
+    "sim_topk_opq_indexed" -> "SERVED OPQ: rotation/permutation + books + coded transformed corpus all scan from the standing index — no PCA/Jacobi, no Lloyd, no encode; re-rank rotates only candidate rows",
+    "evt_attribution_stream_salted" -> "salted stream-stream interval join DRAINED relation: the plan is the sink scan; the salt fan-out/match-once machinery is upstream in the drain (SCALE.md round 9) — forced salt-all=4 here so the driver oracle hash-checks the mitigation every round",
     "corpus_delta_indexed" -> "standing band index scanned, O(changed) re-band union, added-side-only banding kernel, cross-side bucket probe — the retained corpus is never re-banded",
     "sql_shingle_jaccard" -> "array-local kernel prefix (scalar-subquery histogram), gram-keyed repartition for parallel pair emit, length filter in the join, Jaccard verify FUSED on raw matches against broadcast fp sets, dedup only on survivors")
 

@@ -1422,7 +1422,175 @@ def gen_pipeline_rag_index(docs, dim=16, k=5, w=50, s=30):
     })
 
 
+def _shingles3(text):
+    """DISTINCT word 3-grams, the shared shingle definition of the
+    corpus_delta / graph_pagerank oracles: words = DuckDB
+    string_split(rtrim(text), ' ') (rtrim strips trailing SPACES only;
+    split keeps empties), docs of <= 3 words collapse to one whole-text
+    gram. Returned as a list (first-occurrence order, matching
+    list_distinct) — callers mostly need the set/size."""
+    w = text.rstrip(" ").split(" ")
+    if len(w) <= 3:
+        return [" ".join(w)]
+    seen = set()
+    out = []
+    for j in range(len(w) - 2):
+        g = " ".join(w[j:j + 3])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def gen_corpus_delta(docs):
+    """Snapshot reconciliation mirror (corpus_delta and its _indexed /
+    _stream twins — the driver gate pins all three to ONE oracle).
+    old = doc_id%17<>3, new = doc_id%19<>5 with ' rev7' appended when
+    doc_id%13=2; status from the id/text full-outer classification; an
+    ADDED doc whose 3-gram Jaccard vs some RETAINED doc (both shingled
+    on the NEW text) reaches 0.8 becomes added_near_dup with the MIN
+    such retained id. Inverted-index probe: postings are retained docs
+    per gram, each added doc counts intersections only against docs it
+    actually shares a gram with — never all pairs."""
+    base_text = {d["doc_id"]: d["text"] for d in docs}
+    old_ids = {i for i in base_text if i % 17 != 3}
+    new = {i: (t + " rev7" if i % 13 == 2 else t)
+           for i, t in base_text.items() if i % 19 != 5}
+
+    rows = {}
+    for i in old_ids:
+        if i not in new:
+            rows[i] = ("removed", None)
+    for i, t in new.items():
+        if i not in old_ids:
+            rows[i] = ("added", None)
+        else:
+            rows[i] = ("changed" if t != base_text[i] else "unchanged", None)
+
+    sh = {i: _shingles3(t) for i, t in new.items()}
+    post = {}
+    for i in new:
+        if i in old_ids:
+            for g in sh[i]:
+                post.setdefault(g, []).append(i)
+    for i in new:
+        if i in old_ids:
+            continue
+        cnt = {}
+        for g in sh[i]:
+            for r in post.get(g, ()):
+                cnt[r] = cnt.get(r, 0) + 1
+        na = len(sh[i])
+        best = None
+        for r, c in cnt.items():
+            if c / (len(sh[r]) + na - c) >= 0.8 and (best is None or r < best):
+                best = r
+        if best is not None:
+            rows[i] = ("added_near_dup", best)
+
+    ids = sorted(rows)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "status": pa.array([rows[i][0] for i in ids], pa.string()),
+        "near_dup_of": pa.array([rows[i][1] for i in ids], pa.int64()),
+    })
+
+
+def _dq20(x):
+    """DuckDB cast(double AS decimal(38,20)) as an integer count of
+    1e-20 units: the engine multiplies by 1e20 IN DOUBLE first, then
+    rounds half-away-from-zero (probed: cast(2.5::double as
+    decimal(18,0)) = 3) — so replicate the lossy double multiply, then
+    round the EXACT value of that double."""
+    import decimal
+    return int(decimal.Decimal(x * 1e20)
+               .to_integral_value(rounding=decimal.ROUND_HALF_UP))
+
+
+def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
+    """Near-dup-graph pagerank mirror. Edges = 3-gram Jaccard >= 0.8
+    pairs (both directions), deg = neighbor count, 10 power-iteration
+    steps with the oracle's exact arithmetic: per-dst contributions and
+    the dangling mass are summed as decimal(38,20) (exact integer sums
+    of half-away-quantized doubles — order-independent, which is WHY
+    the oracle uses decimal), everything else IEEE double in the same
+    operation order, final pr rounded half-away to 8 dp.
+
+    Pair generation is AllPairs prefix filtering under a global
+    (doc-frequency asc, gram) order: J >= t implies the overlap is
+    >= ceil(t*max(|A|,|B|)), so the (n - ceil(t*n) + 1)-prefixes of
+    BOTH docs intersect — index and probe prefixes only, verify the
+    exact Jaccard on the survivors. No all-pairs product ever forms."""
+    import math as _m
+    sh = {d["doc_id"]: _shingles3(d["text"]) for d in docs}
+    n_docs = len(docs)
+
+    df = {}
+    for grams in sh.values():
+        for g in grams:
+            df[g] = df.get(g, 0) + 1
+    order = {g: k for k, g in enumerate(sorted(df, key=lambda g: (df[g], g)))}
+
+    pref_post = {}
+    for i, grams in sh.items():
+        gs = sorted(grams, key=order.__getitem__)
+        p = len(gs) - _m.ceil(t * len(gs)) + 1
+        for g in gs[:p]:
+            pref_post.setdefault(g, []).append(i)
+
+    shset = {i: set(g) for i, g in sh.items()}
+    adj = {d["doc_id"]: [] for d in docs}
+    seen = set()
+    for g, ids in pref_post.items():
+        if len(ids) < 2:
+            continue
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if a > b:
+                    a, b = b, a
+                key = a * 4_000_000_000 + b
+                if key in seen:
+                    continue
+                seen.add(key)
+                A, B = shset[a], shset[b]
+                inter = len(A & B)
+                if inter / (len(A) + len(B) - inter) >= t:
+                    adj[a].append(b)
+                    adj[b].append(a)
+
+    deg = {i: len(v) for i, v in adj.items()}
+    pr = {i: 1.0 / n_docs for i in adj}
+    for _ in range(iters):
+        contrib = {i: 0 for i in adj}  # exact 1e-20-unit integer sums
+        dangling = 0
+        for i, p in pr.items():
+            d = deg[i]
+            if d == 0:
+                dangling += _dq20(p)
+            else:
+                q = _dq20(p / d)
+                for j in adj[i]:
+                    contrib[j] += q
+        dm = float(dangling) / 1e20
+        pr = {i: 0.15 / n_docs + damp * (float(contrib[i]) / 1e20 + dm / n_docs)
+              for i in adj}
+
+    import decimal
+    ids = sorted(adj)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "deg": pa.array([deg[i] for i in ids], pa.int64()),
+        "pr": pa.array(
+            [float(decimal.Decimal(pr[i] * 1e8).to_integral_value(
+                rounding=decimal.ROUND_HALF_UP)) / 1e8 for i in ids],
+            pa.float64()),
+    })
+
+
 GENERATORS = {
+    "corpus_delta": ("documents", gen_corpus_delta),
+    "graph_pagerank": ("documents", gen_graph_pagerank),
     "pipeline_rag_index": ("documents", gen_pipeline_rag_index),
     "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
     "dedup_simhash": ("documents", gen_dedup_simhash),
