@@ -1507,23 +1507,25 @@ def _dq20(x):
                .to_integral_value(rounding=decimal.ROUND_HALF_UP))
 
 
-def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
-    """Near-dup-graph pagerank mirror. Edges = 3-gram Jaccard >= 0.8
-    pairs (both directions), deg = neighbor count, 10 power-iteration
-    steps with the oracle's exact arithmetic: per-dst contributions and
-    the dangling mass are summed as decimal(38,20) (exact integer sums
-    of half-away-quantized doubles — order-independent, which is WHY
-    the oracle uses decimal), everything else IEEE double in the same
-    operation order, final pr rounded half-away to 8 dp.
+_PAIRS_MEMO = {}
 
-    Pair generation is AllPairs prefix filtering under a global
-    (doc-frequency asc, gram) order: J >= t implies the overlap is
-    >= ceil(t*max(|A|,|B|)), so the (n - ceil(t*n) + 1)-prefixes of
-    BOTH docs intersect — index and probe prefixes only, verify the
-    exact Jaccard on the survivors. No all-pairs product ever forms."""
+
+def _jaccard_pairs(docs, t=0.8):
+    """All (doc_a < doc_b, jaccard) pairs with 3-gram Jaccard >= t —
+    the shared pair set of the dedup_minhash_lsh / resolve / families
+    / keep_best / weights / graph_pagerank oracles.
+
+    AllPairs prefix filtering under a global (doc-frequency asc, gram)
+    order: J >= t implies overlap >= ceil(t*max(|A|,|B|)), so the
+    (n - ceil(t*n) + 1)-prefixes of BOTH docs intersect — index and
+    probe prefixes only, verify the exact Jaccard on the survivors.
+    No all-pairs product ever forms. Memoized on the (cached) docs
+    list so the six generators shingle and pair ONCE per corpus."""
     import math as _m
+    memo_key = (id(docs), t)
+    if memo_key in _PAIRS_MEMO:
+        return _PAIRS_MEMO[memo_key]
     sh = {d["doc_id"]: _shingles3(d["text"]) for d in docs}
-    n_docs = len(docs)
 
     df = {}
     for grams in sh.values():
@@ -1539,7 +1541,7 @@ def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
             pref_post.setdefault(g, []).append(i)
 
     shset = {i: set(g) for i, g in sh.items()}
-    adj = {d["doc_id"]: [] for d in docs}
+    pairs = []
     seen = set()
     for g, ids in pref_post.items():
         if len(ids) < 2:
@@ -1556,8 +1558,150 @@ def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
                 A, B = shset[a], shset[b]
                 inter = len(A & B)
                 if inter / (len(A) + len(B) - inter) >= t:
-                    adj[a].append(b)
-                    adj[b].append(a)
+                    pairs.append((a, b, inter / (len(A) + len(B) - inter)))
+    pairs.sort()
+    _PAIRS_MEMO[memo_key] = pairs
+    return pairs
+
+
+def _families(docs, t=0.8):
+    """(family_id = min doc_id of the connected component) for every
+    doc that has at least one J >= t edge — union-find over the
+    shared pair set (the oracles' min-label transitive closure)."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _ in _jaccard_pairs(docs, t):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {v: find(v) for v in parent}
+
+
+def _rhalf(x, digits):
+    """DuckDB round(double, d): scale in double, round half away from
+    zero on the exact scaled value, unscale in double."""
+    import decimal
+    p = 10.0 ** digits
+    return float(decimal.Decimal(x * p).to_integral_value(
+        rounding=decimal.ROUND_HALF_UP)) / p
+
+
+def gen_dedup_minhash_lsh(docs):
+    """Pair table (doc_a < doc_b, round(jaccard, 4)) — the oracle of
+    dedup_minhash_lsh AND dedup_stream_minhash (the engine's LSH
+    banding is recall-exact at t=0.8 on this corpus, so the oracle is
+    the EXACT pair set)."""
+    rows = _jaccard_pairs(docs)
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([_rhalf(r[2], 4) for r in rows], pa.float64()),
+    })
+
+
+def gen_dedup_resolve(docs):
+    """Survivor ids: every doc that is the MIN of its near-dup
+    component (singletons survive trivially)."""
+    fam = _families(docs)
+    ids = sorted(d["doc_id"] for d in docs
+                 if fam.get(d["doc_id"], d["doc_id"]) == d["doc_id"])
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def gen_dedup_families(docs):
+    """(doc_id, family_id) for docs WITH at least one edge (the
+    oracle's reach CTE never sees singletons)."""
+    fam = _families(docs)
+    ids = sorted(fam)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "family_id": pa.array([fam[i] for i in ids], pa.int64()),
+    })
+
+
+def _keep_best_quality(text):
+    """The keep-best heuristic score: distinct-word ratio * 0.5 +
+    0.3 length bonus + 0.2 stopword bonus, capped at 1, rounded
+    half-away to 4 dp. NOTE: the oracle splits WITHOUT rtrim here."""
+    w = text.split(" ")
+    nw = len(w)
+    dr = len(set(w)) / nw
+    stop = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+    sw = sum(1 for x in w if x in stop)
+    q = dr * 0.5
+    q = q + (0.3 if 20 <= nw <= 1000 else 0.0)
+    q = q + (0.2 if sw / nw > 0.02 else 0.0)
+    return _rhalf(min(1.0, q), 4)
+
+
+def gen_dedup_keep_best(docs):
+    """Per FAMILY (edge components only): member count and the
+    highest-quality member (ties to the lower doc_id)."""
+    fam = _families(docs)
+    qs = {d["doc_id"]: _keep_best_quality(d["text"]) for d in docs
+          if d["doc_id"] in fam}
+    best = {}
+    cnt = {}
+    for i, f in fam.items():
+        cnt[f] = cnt.get(f, 0) + 1
+        cur = best.get(f)
+        if cur is None or (-qs[i], i) < (-qs[cur], cur):
+            best[f] = i
+    fams = sorted(best)
+    return pa.table({
+        "family_id": pa.array(fams, pa.int64()),
+        "n_members": pa.array([cnt[f] for f in fams], pa.int64()),
+        "kept_doc": pa.array([best[f] for f in fams], pa.int64()),
+        "best_quality": pa.array([qs[best[f]] for f in fams], pa.float64()),
+    })
+
+
+def gen_dedup_weights(docs):
+    """Every doc: family id (self when singleton), family size, and
+    train_weight = 1/size (double)."""
+    fam = _families(docs)
+    sizes = {}
+    for f in fam.values():
+        sizes[f] = sizes.get(f, 0) + 1
+    ids = sorted(d["doc_id"] for d in docs)
+    fids = [fam.get(i, i) for i in ids]
+    fss = [sizes.get(fam[i], 1) if i in fam else 1 for i in ids]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "family_id": pa.array(fids, pa.int64()),
+        "family_size": pa.array(fss, pa.int64()),
+        "train_weight": pa.array([1.0 / f for f in fss], pa.float64()),
+    })
+
+
+def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
+    """Near-dup-graph pagerank mirror. Edges = 3-gram Jaccard >= 0.8
+    pairs (both directions), deg = neighbor count, 10 power-iteration
+    steps with the oracle's exact arithmetic: per-dst contributions and
+    the dangling mass are summed as decimal(38,20) (exact integer sums
+    of half-away-quantized doubles — order-independent, which is WHY
+    the oracle uses decimal), everything else IEEE double in the same
+    operation order, final pr rounded half-away to 8 dp. Pair
+    generation: [[_jaccard_pairs]]."""
+    n_docs = len(docs)
+    adj = {d["doc_id"]: [] for d in docs}
+    for a, b, _ in _jaccard_pairs(docs, t):
+        adj[a].append(b)
+        adj[b].append(a)
 
     deg = {i: len(v) for i, v in adj.items()}
     pr = {i: 1.0 / n_docs for i in adj}
@@ -1591,6 +1735,11 @@ def gen_graph_pagerank(docs, t=0.8, iters=10, damp=0.85):
 GENERATORS = {
     "corpus_delta": ("documents", gen_corpus_delta),
     "graph_pagerank": ("documents", gen_graph_pagerank),
+    "dedup_minhash_lsh": ("documents", gen_dedup_minhash_lsh),
+    "dedup_resolve": ("documents", gen_dedup_resolve),
+    "dedup_families": ("documents", gen_dedup_families),
+    "dedup_keep_best": ("documents", gen_dedup_keep_best),
+    "dedup_weights": ("documents", gen_dedup_weights),
     "pipeline_rag_index": ("documents", gen_pipeline_rag_index),
     "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
     "dedup_simhash": ("documents", gen_dedup_simhash),
