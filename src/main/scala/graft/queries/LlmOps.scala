@@ -912,7 +912,16 @@ object LlmOps {
     * unrolled DuckDB oracle).
     */
   def graph_pagerank(spark: SparkSession, dir: String): DataFrame =
-    Graph.pageRank(docs(spark, dir), Dedup.minhashLsh(docs(spark, dir)))
+    // edges from the recall-EXACT PPJoin arm, NOT minhash banding:
+    // pagerank's oracle pins deg and pr(8dp) exactly, and deg/pr are
+    // sensitive to every individual edge — the 25x density gate caught
+    // the 16x4 banding S-curve tail (P(miss|J=0.8) ~= 2.2e-4) dropping
+    // 4 of 1.65M edges and shifting deg/pr (SCALE.md round 9). The
+    // component-level consumers (dedup_resolve/families/weights/
+    // keep_best) stay on minhash: their family outputs are redundant
+    // to tail misses (verified identical to the exact fixtures at 25x).
+    Graph.pageRank(docs(spark, dir),
+        Dedup.ngramJaccard(docs(spark, dir), threshold = 0.8))
       .orderBy(col("doc_id"))
 
   /** BM25 ranked retrieval: top-10 docs for 4 fixed keyword queries
