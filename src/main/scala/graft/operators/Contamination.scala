@@ -48,14 +48,23 @@ object Contamination {
     * decontamination; semantics identical to [[evalOverlap]] when the
     * two relations partition one corpus.
     */
-  def overlapAgainst(train: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
-    val evalGrams = gramHashes(evalDocs, k).select(col("_h")).distinct()
+  def overlapAgainst(train: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame =
+    overlapAgainstGrams(train, evalGramRelation(evalDocs, k), k)
+
+  /** The distinct eval-gram fingerprint relation — exposed so the
+    * streaming gate can materialize it ONCE per drain (a stream-static
+    * broadcast join otherwise re-derives it every micro-batch).
+    */
+  private[graft] def evalGramRelation(evalDocs: DataFrame, k: Int): DataFrame =
+    gramHashes(evalDocs, k).select(col("_h")).distinct()
+
+  private[graft] def overlapAgainstGrams(train: DataFrame, evalGrams: DataFrame,
+      k: Int): DataFrame =
     gramHashes(train, k)
       .join(broadcast(evalGrams), "_h")
       .groupBy(col("doc_id"))
       // shingles() is distinct per doc, so this counts distinct grams
       .agg(count(lit(1)).as("n_shared_ngrams"))
-  }
 
   /** (doc_id, _h): the doc's distinct word-k-gram 64-bit fingerprints. */
   private def gramHashes(docs: DataFrame, k: Int): DataFrame =

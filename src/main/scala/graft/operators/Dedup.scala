@@ -293,10 +293,22 @@ object Dedup {
     *    202 k pairs. The explicit partition count pins the exchange
     *    against re-coalesce; it moves only 16-byte id pairs.
     */
-  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
-      docsHint: Long = 0L): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+  /** The (doc_id, sorted shingle fps) verify relation — exposed so the
+    * STREAMING drains can materialize it ONCE per drain
+    * (localCheckpoint) instead of re-running the corpus shingle pass
+    * inside every micro-batch's stream-static fetch-join (2 joins × N
+    * batches re-evaluations otherwise).
+    */
+  private[graft] def shingleRelation(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
       GraftFunctions.shingleFps(col("text"), k).as("_fps"))
+
+  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
+      docsHint: Long = 0L): DataFrame =
+    verifyJaccardOnRel(pairs, shingleRelation(docs, k), docsHint)
+
+  private[graft] def verifyJaccardOnRel(pairs: DataFrame, sh: DataFrame,
+      docsHint: Long = 0L): DataFrame = {
     // The spread takes the hinted width so the verify compute scales
     // with pair volume. The fetch joins themselves are left to the
     // planner: forcing a shuffle join here materializes an exchange

@@ -77,12 +77,26 @@ object Pq {
     */
   def trainCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
       iters: Int): DataFrame = {
+    if (iters == 0) return codebooks(corpus, m, ksub, dim)
+    val spark = corpus.sparkSession
     val subs = corpus
       .select(col("vec_id"), blocks(col("embedding"), m, dim).as("bs"))
       .select(col("vec_id"), col("bs.b").as("b"), col("bs.sub").as("_sub"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val Fp = 1048576.0 // 2^20 fixed-point scale for order-free means
-    var books = codebooks(corpus, m, ksub, dim)
+    // The books relation is m×ksub rows (≤ a few KB) — the classic
+    // driver-side k-means shape ([[Similarity.kmeansCentroids]]): each
+    // Lloyd round ends in ONE collect and the next round broadcasts a
+    // LOCAL relation. The old fully-lazy form nested every iteration's
+    // aggregate inside the next broadcast, so the final action replayed
+    // the whole chain as sequential broadcast jobs (~40 jobs for the
+    // 2-iter ivfpq build; this form runs ~1 job per round). Values are
+    // bit-identical: floats/doubles round-trip the driver exactly, and
+    // cent/cn2 are computed by the same kernels before the collect.
+    def localize(rel: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rel.collect(): _*), rel.schema)
+    var books = localize(codebooks(corpus, m, ksub, dim))
     var i = 0
     while (i < iters) {
       // _sub rides inside the argmin struct: it is constant within the
@@ -99,29 +113,20 @@ object Pq {
       // same truncate-then-sum arithmetic as the old posexplode +
       // per-dim sum (bit-identical centroids), without inflating the
       // corpus by sub-vector width before the partial aggregate
-      books = assigned
+      books = localize(assigned
         .groupBy(col("b"), col("cid"))
         .agg(graft.functions.GraftFunctions
           .vecMomentsFp(col("_sub"), Fp, dim / m, outer = false).as("_m"))
         .select(col("b"), col("cid"), expr(
           s"transform(_m.s1, s -> cast(cast(s as double) / (_m.n * ${Fp}D) as float))")
           .as("cent"))
-        .withColumn("cn2", dot(col("cent"), col("cent")))
+        .withColumn("cn2", dot(col("cent"), col("cent"))))
       i += 1
     }
-    // The trained artifact is m×ksub rows and every caller uses it at
-    // least twice (encode + query LUT) — persist AND materialize it so
-    // the Lloyd chain runs once and the corpus-sized `subs` cache can
-    // be released here rather than leak. OWNERSHIP: the returned
-    // relation is persisted; the caller should unpersist() it when
-    // done (sweeps training many configs otherwise accumulate cached
-    // books until LRU eviction).
-    if (iters > 0) {
-      val out = books.persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize while `subs` is still cached
-      subs.unpersist()
-      out
-    } else books
+    subs.unpersist()
+    // local relation: broadcasting/writing it costs no cluster job, and
+    // callers' unpersist() is a harmless no-op
+    books
   }
 
   /** The PQ index: (vec_id, codes array<int>[m], vnorm, rnorm). This

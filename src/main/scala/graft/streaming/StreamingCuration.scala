@@ -63,13 +63,22 @@ object StreamingCuration {
     val sinkName = s"graft_decontam_stream_${System.nanoTime()}"
     // Complete mode: the aggregate state (contaminated docs only) is
     // re-emitted per batch; the drained table is the final counts
-    StreamingEvents.withStreamingPartitions(spark) {
-      val q = contaminationStream(stream, docs.filter(evalPred), k)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally if (q.isActive) q.stop()
+    // the distinct eval-gram relation materializes ONCE per drain —
+    // a stream-static broadcast join re-derives its static subplan
+    // every micro-batch otherwise (3× the eval shingle pass)
+    val evalGrams = Contamination.evalGramRelation(docs.filter(evalPred), k)
+      .localCheckpoint()
+    // no timeouts/watermarks anywhere in this pipeline — skip the
+    // trailing no-data batch (see StreamingEvents.withoutNoDataBatches)
+    StreamingEvents.withoutNoDataBatches(spark, skip = true) {
+      StreamingEvents.withStreamingPartitions(spark) {
+        val q = Contamination.overlapAgainstGrams(stream, evalGrams, k)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally if (q.isActive) q.stop()
+      }
     }
     // decouple the result from the memory sink and drop the temp view:
     // repeated invocations in one session must not accumulate

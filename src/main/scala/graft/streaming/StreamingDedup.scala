@@ -62,19 +62,25 @@ object StreamingDedup {
     * removes it at JVM exit (tmp dirs are NOT otherwise reclaimed).
     */
   private def drainToParquet(spark: SparkSession,
-      out: DataFrame, prefix: String): DataFrame = {
+      out: DataFrame, prefix: String, hasTimeouts: Boolean = false): DataFrame = {
     val sinkDir = StreamingEvents.SinkJanitor.register(
       java.nio.file.Files.createTempDirectory(s"$prefix-sink"))
     val ckpt = java.nio.file.Files.createTempDirectory(s"$prefix-ckpt")
     try {
-      StreamingEvents.withStreamingPartitions(spark) {
-        val q = out.writeStream.format("parquet")
-          .option("path", sinkDir.toString)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally if (q.isActive) q.stop()
+      // the trailing no-data batch exists to fire timeouts / advance
+      // watermarks — a NoTimeout changelog pipeline emits everything
+      // in data batches, so skip it (one state-store commit cycle per
+      // drain saved); TTL'd pipelines keep it
+      StreamingEvents.withoutNoDataBatches(spark, skip = !hasTimeouts) {
+        StreamingEvents.withStreamingPartitions(spark) {
+          val q = out.writeStream.format("parquet")
+            .option("path", sinkDir.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally if (q.isActive) q.stop()
+        }
       }
     } finally StreamingEvents.rmTree(ckpt)
     spark.read.schema(out.schema).parquet(sinkDir.toString)
@@ -175,10 +181,16 @@ object StreamingDedup {
       pairStream: Dataset[(Long, Long)],
       staticDocs: DataFrame,
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame =
-    Dedup.verifyJaccard(pairStream.toDF("doc_a", "doc_b"), staticDocs, k)
+      threshold: Double = 0.8): DataFrame = {
+    // materialize the static verify relation ONCE per drain: a
+    // stream-static join re-evaluates its static subplan every
+    // micro-batch, so without this the full corpus shingle pass runs
+    // 2 joins × N batches times instead of once
+    val sh = Dedup.shingleRelation(staticDocs, k).localCheckpoint()
+    Dedup.verifyJaccardOnRel(pairStream.toDF("doc_a", "doc_b"), sh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** Drive the full incremental pipeline over the documents table in
     * `batches` micro-batches and return the drained result — the
@@ -201,7 +213,7 @@ object StreamingDedup {
       drainToParquet(spark,
         verifiedPairs(spark,
           candidatePairs(spark, stream, stateTtl = stateTtl), docs, threshold = threshold),
-        "graft-dedup")
+        "graft-dedup", hasTimeouts = stateTtl.isDefined)
     }
 
   /** Per-bucket SIDE-TAGGED member state for the cross-side pair
@@ -277,7 +289,11 @@ object StreamingDedup {
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
+      // both static relations materialize ONCE per drain (see
+      // verifiedPairs): the id side-tag join and the verify fetch-join
+      // would otherwise re-scan/re-shingle the snapshots per batch
       val oldIds = oldDocs.select(col("doc_id"), lit(true).as("_in_old"))
+        .localCheckpoint()
       val sigs = Dedup.bandBuckets(stream, k, bands, rowsPerBand)
         .select(col("band"), col("bucket"), col("doc_id"))
         .join(oldIds, Seq("doc_id"), "left")
@@ -289,8 +305,9 @@ object StreamingDedup {
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(emitCrossPairs(maxBucket))
         .dropDuplicates("_1", "_2")
-      val verified = Dedup.verifyJaccard(
-        pairs.toDF("doc_a", "doc_b"), newDocs, k)
+      val newSh = Dedup.shingleRelation(newDocs, k).localCheckpoint()
+      val verified = Dedup.verifyJaccardOnRel(
+        pairs.toDF("doc_a", "doc_b"), newSh)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a").as("retained_doc"), col("doc_b").as("added_doc"))
       val drainedPairs = drainToParquet(spark, verified, "graft-delta")

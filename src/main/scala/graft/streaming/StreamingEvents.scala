@@ -368,6 +368,30 @@ object StreamingEvents {
     }
   }
 
+  /** Run `body` with `spark.sql.streaming.noDataMicroBatches.enabled`
+    * off, restoring the previous value after. An AvailableNow drain
+    * whose pipeline arms NO timeouts gains nothing from the trailing
+    * zero-row micro-batch Spark otherwise appends (it exists to
+    * advance watermarks so timeouts fire and outer-join/append-mode
+    * aggregate results flush): inner-join matches and changelog
+    * emissions all happen in DATA batches, so the extra batch is one
+    * full state-store commit cycle of pure overhead per drain —
+    * measured 1.6 s (unsalted) to 9.5 s (salted, 16 partitions × 4
+    * join stores) on the attribution drains at sf0.1. Drains that DO
+    * arm ProcessingTimeTimeout (stateTtl set) keep the default: their
+    * timeouts fire in no-data batches.
+    */
+  private[streaming] def withoutNoDataBatches[T](spark: SparkSession, skip: Boolean)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if (!skip) body
+    else {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Exact-set variant for drains that need MORE partitions than the
     * session default (a salted skew drain's fan-out is pointless if
     * every salted sub-key hashes back onto the same few partitions).
@@ -437,7 +461,7 @@ object StreamingEvents {
           if (e.progress.name == sinkName) consumed.addAndGet(e.progress.numInputRows)
       }
       if (!selfTerminating) spark.streams.addListener(listener)
-      try {
+      try withoutNoDataBatches(spark, skip = selfTerminating) {
         val q = pipeline(stream)
           .writeStream.format("memory").queryName(sinkName)
           .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
@@ -623,17 +647,31 @@ object StreamingEvents {
     // key's probe work saturates a partition — the fan-out only helps
     // if the salted sub-keys actually land on DIFFERENT partitions, so
     // give them 4× headroom over the salt count (hash collisions leave
-    // ~37% of equal-count partitions empty)
-    val drainParts = if (nSalts > 1) math.min(32, 4 * nSalts) else 4
+    // ~37% of equal-count partitions empty). Round-9 A/B at sf0.1
+    // (salt=4, 32-core box): 16 partitions 16.9 s wall, 8 partitions
+    // 44 s, 32 partitions 49 s (per-task state-store work grows
+    // superlinearly past ~16 concurrent stateful tasks — allocation
+    // contention), so 4×nSalts stands; `spark.graft.stream.
+    // drainPartitions` overrides for deployments that know their key
+    // cardinality/core budget.
+    val drainParts = spark.conf.getOption("spark.graft.stream.drainPartitions")
+      .map(_.toInt).getOrElse(if (nSalts > 1) math.min(32, 4 * nSalts) else 4)
     try {
-      withExactStreamingPartitions(spark, drainParts) {
-        val q = joined.writeStream.format("parquet")
-          .option("path", sinkDir.toString)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally if (q.isActive) q.stop()
+      // skip the trailing no-data batch: the inner interval join emits
+      // every match in the DATA batch where it completes; the empty
+      // batch only evicts state we are about to discard with the
+      // checkpoint (its cost scales with partitions × join stores —
+      // the salted drain paid up to 9.5 s for it at sf0.1)
+      withoutNoDataBatches(spark, skip = true) {
+        withExactStreamingPartitions(spark, drainParts) {
+          val q = joined.writeStream.format("parquet")
+            .option("path", sinkDir.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally if (q.isActive) q.stop()
+        }
       }
     } finally {
       if (rocksDbState) prevProvider match {

@@ -9,12 +9,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * queryPlanning, commitOffsets) — the evidence for what the trigger
   * floor is actually made of (round-6 verdict task #7).
   *
-  * Usage: runMain graft.tools.StreamFloorProbe <sfDir> [name ...]
+  * Usage: runMain graft.tools.StreamFloorProbe <sfDir> [conf=value ...] [name ...]
+  * (args containing '=' are applied as runtime conf overrides — the
+  * A/B loop for drain knobs like the state-store provider.)
   */
 object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val (confs, rest) = args.drop(1).partition(_.contains("="))
+    val names = if (rest.nonEmpty) rest.toSeq
       else Seq("evt_attribution_stream", "evt_window_stream", "dedup_exact_stream")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -22,9 +25,33 @@ object StreamFloorProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     graft.GraftSession.tune(spark)
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[floor-probe] conf $k=$v")
+    }
     spark.sparkContext.setLogLevel("WARN")
+
+    // per-stage wall and task-time attribution: where addBatch goes
+    val stageLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s)
+          .getOrElse(-1L)
+        if (wall >= 200)
+          stageLines.add(f"stage=${si.stageId} wall=${wall}ms tasks=${si.numTasks} " +
+            f"exec=${si.taskMetrics.executorRunTime}ms " +
+            f"gc=${si.taskMetrics.jvmGCTime}ms " +
+            f"ser=${si.taskMetrics.resultSerializationTime}ms " +
+            f"deser=${si.taskMetrics.executorDeserializeTime}ms " +
+            si.name.take(110))
+      }
+    })
 
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.streams.addListener(new StreamingQueryListener {
@@ -49,11 +76,13 @@ object StreamFloorProbe {
 
     names.foreach { name =>
       batches.clear()
+      stageLines.clear()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[floor-probe] $name wall=$wall%.2f s rows=$n")
       batches.forEach(b => println(s"[floor-probe]   $b"))
+      stageLines.forEach(s => println(s"[floor-probe]   $s"))
     }
     spark.stop()
   }
