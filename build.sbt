@@ -49,4 +49,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m JIT code cache mid-bench, silently de-optimizing later
   // queries (observed: q01 1.7s -> 23s depending on run order).
   "-XX:ReservedCodeCacheSize=1g",
-)
+  // Tungsten page size for this single-JVM local session. The default
+  // heuristic (heap/cores-derived) lands at 64 MB here, so EVERY
+  // aggregate/join task allocates a 64 MB page up front — at the gate
+  // SFs most tasks hold KBs, and the dead 64 MB allocations are pure
+  // G1 churn (measured: sim_topk_pq cold GC 6.2 s -> 2.8 s, quality_
+  // classifier warm 7.7 -> 4.8 s with 2 MB pages; no query regressed).
+  // A cluster deployment with 100 MB-1 GB partitions keeps the Spark
+  // default (unset SPARK_GRAFT_PAGE_SIZE => remove the flag there);
+  // page chaining makes large per-task state correct either way, just
+  // with a few more page switches.
+  s"-Dspark.buffer.pageSize=${sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "2m")}",
+) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

@@ -90,6 +90,10 @@ object Audio {
     Multimodal.cachedMedia("audio", docs) {
       val spark = docs.sparkSession
       import spark.implicits._
+      // NOT spreadIds: the WAV build is header+copy (~μs/doc) — the
+      // id shuffle + fan-out costs more than the encode it would
+      // parallelize (measured +1.5 s at sf0.1); video's LZW encode is
+      // the one that warrants it
       docs.select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, encodeWav(synthSamples(id)))))
         .toDF("doc_id", "media")

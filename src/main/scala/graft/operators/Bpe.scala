@@ -402,11 +402,19 @@ object Bpe {
     val eosId = baseSyms.length + merges.length
 
     val L = seqLen.toLong
+    // Persisted: the encoded token stream feeds THREE subplans (the
+    // bucket-prefix aggregate, the 1-row total, and the pieces chain) —
+    // without this the bpeEncodeIds kernel (a full merge-table apply
+    // per document, the most expensive map work in the query) re-runs
+    // per subplan. The relation is output-sized (the tokens ARE the
+    // materialization), so persisting it is the same storage the pack
+    // itself is about to write.
     val enc = docs.select(id.cast("long").as("doc_id"),
         GraftFunctions.bpeEncodeIds(rtrim(text),
           merges.map(m => (m.left, m.right)), ids, eosId).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
       .withColumn("_bkt", floor(col("doc_id") / bucketSpan))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wb = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
     // window over the bucket relation only — cardinality = #buckets
     val bktPrev = enc.groupBy(col("_bkt")).agg(sum(col("n")).as("_btot"))

@@ -97,6 +97,24 @@ object Multimodal {
       build.localCheckpoint())
   }
 
+  /** The id column spread across the session's cores for a heavy
+    * per-id ENCODE stage. The synthetic builders' input is doc_id
+    * alone (8 B/row), but it arrives with the corpus scan's split
+    * count — a single-row-group parquet fixture means ONE task, so
+    * the whole render+encode pass serializes on one core. Hash-
+    * repartitioning just the ids is the guide §8 shape (shuffle the
+    * narrow key, parallelize the heavy payload work) at a cost of
+    * 8 bytes/row at ANY scale; deterministic key, so retries are
+    * safe (guide §2.5). Never shrinks existing parallelism.
+    */
+  private[graft] def spreadIds(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col("doc_id"))
+    val p = spark.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions >= p) ids
+    else ids.repartition(p, col("doc_id"))
+  }
+
   private[graft] def synthDims(docId: Long): (Int, Int) =
     ((16 + (docId % 17)).toInt, (16 + (docId % 13)).toInt)
 
@@ -181,6 +199,9 @@ object Multimodal {
   def withSyntheticImages(docs: DataFrame): DataFrame = cachedMedia("image", docs) {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NOT spreadIds: a 16×16 gray PNG encodes in ~0.1 ms — fan-out
+    // overhead beats the win (measured); the GIF build in
+    // Video.withSyntheticVideos is the expensive one that uses it
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>

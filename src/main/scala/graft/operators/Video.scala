@@ -194,7 +194,7 @@ object Video {
     Multimodal.cachedMedia("video", docs) {
       val spark = docs.sparkSession
       import spark.implicits._
-      docs.select(col("doc_id")).as[Long]
+      Multimodal.spreadIds(docs).as[Long]
         .mapPartitions(_.map { id =>
           val (w, h) = Multimodal.synthDims(id)
           val frames = (0 until nFrames(id)).map(f => synthFrame(id, f))

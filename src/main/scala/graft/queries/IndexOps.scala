@@ -132,9 +132,11 @@ object IndexOps {
       try {
         if (java.nio.file.Files.exists(p.resolve("_SUCCESS"))) false
         else {
+          val t0 = System.nanoTime()
           val df = build
           df.write.mode("overwrite").parquet(path)
           df.unpersist() // trained relations arrive persisted; release
+          System.err.println(f"[index-build] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
           catalogLock.synchronized {
             catalogFor(spark, dir).register(
               s"idx_$name", path, Nil,
@@ -281,7 +283,12 @@ object IndexOps {
     // wall for the full artifact set dropped ~3× at sf0.1.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // 6 threads = one per independent family chain (pq/ivf/lsh/sq8/
+    // opq/k3; ann_pq_celled sequences behind pq+ivf) — at 4, two
+    // chains queued behind the others for no reason; the builds are
+    // driver-latency-bound, not CPU-bound, so a thread per chain is
+    // the whole point of the overlap (guide §2.6).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val fPq = Future(ensurePqIndex(spark, dir))
