@@ -35,6 +35,41 @@ object GraftSession {
     spark
   }
 
+  /** Run `body` with AQE off, restoring the previous value after.
+    *
+    * For DRIVER-SIDE iteration loops (Lloyd rounds, gradient descent)
+    * whose per-iteration action is a bounded aggregate (≤ k rows, one
+    * tiny exchange): AQE can never improve that shape — nothing to
+    * coalesce or skew-split — but re-planning after the shuffle stage
+    * costs an extra scheduled job per collect, which the iteration
+    * count multiplies. Results are unchanged (AQE is physical-only;
+    * the aggregates are partition-order-free by construction).
+    */
+  def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    // depth-counted per session: concurrent training loops share one
+    // session conf (the standing-index build pool), so a naive
+    // save/set/restore pair can interleave and restore the WRONG
+    // previous value (leaving AQE off for the rest of the session).
+    // The first entrant saves, the last one restores.
+    aqeState.keySet.removeIf(s => s.sparkContext.isStopped) // no dead-session pins
+    val (lock, depth, saved) = aqeState.computeIfAbsent(spark,
+      _ => (new Object, new java.util.concurrent.atomic.AtomicInteger(0),
+        new java.util.concurrent.atomic.AtomicReference[String]("true")))
+    lock.synchronized {
+      if (depth.getAndIncrement() == 0) {
+        saved.set(spark.conf.get(key))
+        spark.conf.set(key, "false")
+      }
+    }
+    try body finally lock.synchronized {
+      if (depth.decrementAndGet() == 0) spark.conf.set(key, saved.get())
+    }
+  }
+  private val aqeState = new java.util.concurrent.ConcurrentHashMap[SparkSession,
+    (Object, java.util.concurrent.atomic.AtomicInteger,
+      java.util.concurrent.atomic.AtomicReference[String])]()
+
   def builder(master: String = "local[*]", app: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()

@@ -98,7 +98,10 @@ object Pq {
         java.util.Arrays.asList(rel.collect(): _*), rel.schema)
     var books = localize(codebooks(corpus, m, ksub, dim))
     var i = 0
-    while (i < iters) {
+    // AQE off for the Lloyd rounds (GraftSession.withoutAqe): each
+    // round's action is the m×ksub books collect — a bounded
+    // aggregate AQE can only add a re-planning job to.
+    graft.GraftSession.withoutAqe(spark) { while (i < iters) {
       // _sub rides inside the argmin struct: it is constant within the
       // (vec_id, b) group and (_dist, cid) is already a total order, so
       // the chosen row is unchanged — but the old re-join with `subs`
@@ -122,7 +125,7 @@ object Pq {
           .as("cent"))
         .withColumn("cn2", dot(col("cent"), col("cent"))))
       i += 1
-    }
+    } }
     subs.unpersist()
     // local relation: broadcasting/writing it costs no cluster job, and
     // callers' unpersist() is a harmless no-op

@@ -72,16 +72,10 @@ object QualityClassifier {
     val feats = features(docs, id, text, label, buckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
     feats.count()
-    // AQE off for the training loop only: every iteration's gradient
-    // is one exchange of <= dim partially-aggregated rows — a shape
-    // AQE can never improve (nothing to coalesce or skew-split) but
-    // turns into an extra scheduled job per collect (re-planning after
-    // the shuffle stage). ~2 jobs/iteration -> 1; results are
-    // partition-independent exact decimal sums either way.
+    // AQE off for the training loop only (GraftSession.withoutAqe):
+    // every iteration's gradient is one exchange of <= dim partially-
+    // aggregated rows; ~2 jobs/iteration -> 1.
     val spark = docs.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
     val dim = buckets + extraFeatures
     val w = Array.fill(dim)(JBigDecimal.ZERO.setScale(12))
     // Adagrad accumulator (exact decimal: sums of squared exact
@@ -91,7 +85,7 @@ object QualityClassifier {
     // features needs ~10x the iterations
     val gAcc = Array.fill(dim)(JBigDecimal.ZERO)
     var it = 0
-    try while (it < iters) {
+    graft.GraftSession.withoutAqe(spark) { while (it < iters) {
       val scaled = w.map(_.movePointRight(12).longValueExact)
       val grad = feats
         .withColumn("_m", GraftFunctions.sumBucketWeights(col("_bk"), scaled)
@@ -115,7 +109,7 @@ object QualityClassifier {
         }
       }
       it += 1
-    } finally spark.conf.set(aqeKey, aqePrev)
+    } }
     feats.unpersist()
     w.map(_.movePointRight(12).longValueExact)
   }

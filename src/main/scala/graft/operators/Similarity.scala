@@ -110,7 +110,9 @@ object Similarity {
     // non-64-dim embedding corpus the pre-moments form handled)
     val d = if (dim > 0) dim else cents.head._2.length
     var i = 0
-    while (i < iters) {
+    // AQE off for the Lloyd rounds (GraftSession.withoutAqe): each
+    // round's action is a <= k-row centroid collect.
+    graft.GraftSession.withoutAqe(spark) { while (i < iters) {
       // argmax cell id as an inline expression: struct(score, cid)
       // array_max — ties resolve to the highest cid, deterministically
       val scoreCols = cents.map { case (cid, c) =>
@@ -131,7 +133,7 @@ object Similarity {
         }
         .sortBy(_._1)
       i += 1
-    }
+    } }
     import spark.implicits._
     cents.toSeq.toDF("cid", "_cent")
       .withColumn("_cnorm", l2norm(col("_cent")))

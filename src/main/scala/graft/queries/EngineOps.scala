@@ -193,7 +193,14 @@ object EngineOps {
     val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
     def bucketize(table: String, name: String, key: String, cols: Seq[String]): Unit =
       if (!spark.catalog.tableExists(name)) {
+        // repartition on the bucket key BEFORE the bucketed write:
+        // Murmur3 hash partitioning == bucket hashing, so each task
+        // holds exactly one bucket — one file per bucket instead of
+        // (scan tasks × buckets) files at scale, and the write
+        // parallelizes across buckets instead of serializing on the
+        // scan's split count. Bucket contents are identical either way.
         Tables(spark, dir, table).select(cols.map(col): _*)
+          .repartition(8, col(key))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$name").saveAsTable(name)

@@ -111,7 +111,12 @@ class Engine(
                |CLUSTERED BY (`$key`) SORTED BY (`$sortKey`) INTO $nBuckets BUCKETS
                |LOCATION '${outDir.toString}'""".stripMargin)
         } else {
+          // repartition on the bucket key first: hash partitioning ==
+          // bucket hashing, so each task writes exactly its one bucket
+          // file — avoids the (scan tasks × buckets) small-file blowup
+          // at scale and parallelizes the write across buckets.
           Formats.readAuto(spark, resolvePath(e.tablePath))
+            .repartition(nBuckets, org.apache.spark.sql.functions.col(key))
             .write.mode("overwrite").format("parquet")
             .bucketBy(nBuckets, key).sortBy(sortKey)
             .option("path", outDir.toString)
