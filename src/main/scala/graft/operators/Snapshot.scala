@@ -71,8 +71,18 @@ object Snapshot {
     */
   def updatedBandIndex(prevIndex: DataFrame, oldDocs: DataFrame,
       newDocs: DataFrame, k: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val cls = classify(oldDocs, newDocs)
+      rowsPerBand: Int = 4): DataFrame =
+    updatedBandIndexOn(classify(oldDocs, newDocs), prevIndex, newDocs,
+      k, bands, rowsPerBand)
+
+  /** [[updatedBandIndex]] against an already-computed classification —
+    * [[deltaOnIndex]] needs the classification AGAIN for its final
+    * assemble, and the md5 full-outer join is a full-corpus pass worth
+    * expressing once per plan (the shared subtree also lets the
+    * exchange be reused instead of re-scanned).
+    */
+  private[graft] def updatedBandIndexOn(cls: DataFrame, prevIndex: DataFrame,
+      newDocs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val drop = cls.filter(col("status").isin("removed", "changed"))
       .select(col("doc_id"))
     val changed = newDocs.join(
@@ -98,11 +108,16 @@ object Snapshot {
       Seq("doc_id"), "left_anti")
     val retained = newDocs.join(oldDocs.select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val retainedIndex = updatedBandIndex(oldIndex, oldDocs, newDocs, k, bands, rowsPerBand)
+    // ONE classification subtree for both consumers (index maintenance
+    // + final assemble): the md5 full-outer join is a full-corpus pass,
+    // and expressing it once lets Spark reuse its exchange instead of
+    // re-digesting both snapshots.
+    val cls = classify(oldDocs, newDocs)
+    val retainedIndex = updatedBandIndexOn(cls, oldIndex, newDocs, k, bands, rowsPerBand)
     val pairs = Dedup.crossCorpusPairsOnIndex(retainedIndex, retained, added,
       k, bands, rowsPerBand, threshold)
       .select(col("corpus_doc").as("retained_doc"), col("new_doc").as("added_doc"))
-    assemble(classify(oldDocs, newDocs), pairs)
+    assemble(cls, pairs)
   }
 
   /** The md5-digest full-outer classification alone: (doc_id, status)
