@@ -44,6 +44,15 @@ object GraftSession {
     * costs an extra scheduled job per collect, which the iteration
     * count multiplies. Results are unchanged (AQE is physical-only;
     * the aggregates are partition-order-free by construction).
+    *
+    * SCOPE WARNING: the toggle is SESSION-WIDE — while any training
+    * loop holds it, every concurrent query on the same session (e.g.
+    * the non-training builds in the standing-index pool) plans without
+    * AQE coalescing/skew handling. Results are unaffected, but a
+    * concurrent query that NEEDS AQE for performance should run on
+    * `spark.newSession()` (independent runtime conf, shared state).
+    * The depth counter below only makes nested/concurrent *callers* of
+    * this method restore the right value — it does not scope the conf.
     */
   def withoutAqe[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"

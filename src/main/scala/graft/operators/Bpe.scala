@@ -409,8 +409,14 @@ object Bpe {
     // per subplan. The relation is output-sized (the tokens ARE the
     // materialization), so persisting it is the same storage the pack
     // itself is about to write.
-    val enc = docs.select(id.cast("long").as("doc_id"),
-        GraftFunctions.bpeEncodeIds(rtrim(text),
+    // spread before the encode kernel (the most expensive map work in
+    // the query): a below-core-count scan would run the one persisted
+    // encode pass on a single task (Multimodal.spreadRows — no-op at
+    // real split counts); output is partitioning-invariant (spec)
+    val enc = Multimodal.spreadRows(
+        docs.select(id.cast("long").as("doc_id"), rtrim(text).as("_txt")))
+      .select(col("doc_id"),
+        GraftFunctions.bpeEncodeIds(col("_txt"),
           merges.map(m => (m.left, m.right)), ids, eosId).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
       .withColumn("_bkt", floor(col("doc_id") / bucketSpan))
@@ -434,8 +440,15 @@ object Bpe {
       .withColumn("piece", slice(col("ids"),
         (col("start") - col("off") + 1).cast("int"),
         (least((col("seq_id") + 1) * L, col("off") + col("n")) - col("start")).cast("int")))
-    pieces.groupBy(col("seq_id"))
+    val packed = pieces.groupBy(col("seq_id"))
       .agg(sort_array(collect_list(struct(col("start"), col("piece")))).as("_ps"))
       .select(col("seq_id"), flatten(col("_ps").getField("piece")).as("token_ids"))
+      // eager: materialize the pack, then RELEASE the token-stream
+      // cache — a lazy return would pin the output-sized `enc` blocks
+      // for the session's lifetime (round-9 advice; mirrors the
+      // trainedFor/vocabRel eager-then-release lifecycle)
+      .localCheckpoint(true)
+    enc.unpersist()
+    packed
   }
 }

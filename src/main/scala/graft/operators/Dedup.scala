@@ -265,8 +265,19 @@ object Dedup {
     */
   private[graft] def bandBuckets(
       docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame =
-    docs.select(col("doc_id"), GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
-      .withColumn("_minhash", minhashCol(bands * rowsPerBand))
+    bandBucketsOnRel(
+      docs.select(col("doc_id"), GraftFunctions.shingleFps(col("text"), k).as("_fps0")),
+      bands, rowsPerBand)
+
+  /** [[bandBuckets]] over an already-shingled (doc_id, _fps0) relation —
+    * the minhash/band expressions are literally the same, so a caller
+    * that persists the shingle relation ONCE (the most expensive map
+    * work in every pair operator) can derive banding AND the exact
+    * verify from one corpus pass instead of re-shingling per subplan.
+    */
+  private[graft] def bandBucketsOnRel(
+      sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.withColumn("_minhash", minhashCol(bands * rowsPerBand))
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}),
@@ -348,9 +359,16 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame =
     collapsedPairs(docs, k, threshold, "jaccard", "doc_a", "doc_b",
       directional = false, maxGroup = maxBucket) { (reps, est) =>
-      val sigs = bandBuckets(reps, k, bands, rowsPerBand)
-      verifyJaccard(candidatePairs(sigs, Seq("band", "bucket"), maxBucket, est),
-        reps, k, est)
+      // ONE persisted shingle pass feeds banding AND the exact verify
+      // (guide §2.4/§5): unshared, the fused shingle kernel — the
+      // dominant map cost — re-ran per subplan (banding + two verify
+      // fetch sides = 3 full corpus passes).
+      val sh = reps.select(col("doc_id"),
+        GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sigs = bandBucketsOnRel(sh, bands, rowsPerBand)
+      verifyJaccardOnRel(candidatePairs(sigs, Seq("band", "bucket"), maxBucket, est),
+        sh.select(col("doc_id"), col("_fps0").as("_fps")), est)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     }
@@ -366,14 +384,23 @@ object Dedup {
     */
   def crossCorpusPairs(corpus: DataFrame, newDocs: DataFrame, k: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val cb = bandBuckets(corpus, k, bands, rowsPerBand)
+    // one persisted shingle pass per side: banding and the verify
+    // fetch-joins all derive from it (see minhashLsh — same §2.4 share)
+    val cSh = corpus.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSh = newDocs.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = bandBucketsOnRel(cSh, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val nb = bandBuckets(newDocs, k, bands, rowsPerBand)
+    val nb = bandBucketsOnRel(nSh, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cands = cb.join(nb, Seq("band", "bucket"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cands, corpus.unionByName(newDocs), k)
+    verifyJaccardOnRel(cands,
+      cSh.unionByName(nSh).select(col("doc_id"), col("_fps0").as("_fps")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("corpus_doc"), col("doc_b").as("new_doc"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -393,13 +420,22 @@ object Dedup {
   def crossCorpusPairsOnIndex(corpusIndex: DataFrame, corpusDocs: DataFrame,
       newDocs: DataFrame, k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // the new side's one persisted shingle pass feeds its banding and
+    // the verify; the verify relation is the persisted union, so the
+    // two fetch-join sides share one corpus shingle pass too
+    val nSh = newDocs.select(col("doc_id"),
+      GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cb = corpusIndex.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val nb = bandBuckets(newDocs, k, bands, rowsPerBand)
+    val nb = bandBucketsOnRel(nSh, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cands = cb.join(nb, Seq("band", "bucket"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cands, corpusDocs.unionByName(newDocs), k)
+    val vSh = shingleRelation(corpusDocs, k)
+      .unionByName(nSh.select(col("doc_id"), col("_fps0").as("_fps")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardOnRel(cands, vSh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("corpus_doc"), col("doc_b").as("new_doc"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -621,9 +657,13 @@ object Dedup {
     // fingerprint, not the shingle string: 8-byte keys, exact up to
     // 2^-64-probability fingerprint collisions per shingle pair. The
     // fused ShingleFps kernel means shingle STRINGS never materialize
-    // anywhere in this operator.
+    // anywhere in this operator. Persisted: the histogram aggregate,
+    // the prefix pass and both verify fetch sides all consume it —
+    // unshared, the shingle kernel (the dominant map cost) re-ran 4×
+    // over the full corpus per call (guide §2.4/§5).
     val sh = docs.select(col("doc_id"),
       GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), explode(col("_fps0")).as("h"))
     // deterministic occurrence sample: (doc_id, h) is unique per
     // occurrence (shingles are per-doc distinct), so hashing the pair
@@ -649,8 +689,8 @@ object Dedup {
     val prefixes = sh.select(col("doc_id"),
       explode(GraftFunctions.freqPrefix(col("_fps0"), keys, vals, threshold))
         .as("_block"))
-    verifyJaccard(candidatePairs(prefixes, Seq("_block"), docsHint = docsHint),
-      docs, k, docsHint)
+    verifyJaccardOnRel(candidatePairs(prefixes, Seq("_block"), docsHint = docsHint),
+      sh.select(col("doc_id"), col("_fps0").as("_fps")), docsHint)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -692,9 +732,12 @@ object Dedup {
   private def containmentDistinct(docs: DataFrame, docsHint: Long, k: Int,
       threshold: Double, histLimit: Int, bloomSemiFilterDocs: Long): DataFrame = {
     // fused fp arrays — shingle strings never materialize (see
-    // ngramJaccardDistinct)
+    // ngramJaccardDistinct). Persisted: histogram, probe prefixes, the
+    // positional index side and both verify fetch sides all consume it
+    // — 5 full shingle passes otherwise (guide §2.4/§5).
     val sh = docs.select(col("doc_id"),
       GraftFunctions.shingleFps(col("text"), k).as("_fps0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), explode(col("_fps0")).as("h"))
     val top = ex
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
@@ -966,11 +1009,26 @@ object Dedup {
     * instead. Docs with ≤ w words contribute their whole text as one
     * window.
     */
+  /** Spread a (doc_id, …) relation across the session's cores when its
+    * scan has FEWER splits than that (the Multimodal.spreadIds shape,
+    * guide §8): the span operators' window kernels generate O(chars)
+    * rows per pass, and a single-row-group input serializes every pass
+    * onto one core. The exchange carries the projected doc rows once;
+    * at 100 TB scans have thousands of real splits, so the condition
+    * self-disables and the repartition never runs — scale-adaptive,
+    * not a fixture-tuned constant.
+    */
+  private def spreadDocs(d: DataFrame): DataFrame = Multimodal.spreadRows(d)
+
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 10): DataFrame = {
-    val t = rtrim(text)
+    // spread before the window kernel: three consumers (corpus span
+    // count, dup membership, per-doc window count) all re-run it, and
+    // a below-core-count scan serializes them (see spreadDocs)
+    val base = spreadDocs(docs.select(id.as("doc_id"), rtrim(text).as("_t")))
+    val t = col("_t")
     // fused kernel: identical fp multiset, no span strings materialized
-    val spans = docs
-      .select(id.as("doc_id"), explode(GraftFunctions.shingleFps(t, w)).as("_h"))
+    val spans = base
+      .select(col("doc_id"), explode(GraftFunctions.shingleFps(t, w)).as("_h"))
     // spans are distinct within a doc, so count(*) == #docs containing
     val shared = spans.groupBy(col("_h"))
       .agg(count(lit(1)).as("_nd"))
@@ -980,7 +1038,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
     // length equals the string form's ALWAYS (string-exact dedup keeps
     // collision duplicates), so the count is identical, not just close
-    docs.select(id.as("doc_id"), size(GraftFunctions.shingleFps(t, w)).as("n_spans"))
+    base.select(col("doc_id"), size(GraftFunctions.shingleFps(t, w)).as("n_spans"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("dup_span_frac",
@@ -1005,15 +1063,20 @@ object Dedup {
     * because the OUTPUT is the rewritten corpus.
     */
   def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column, w: Int = 5): DataFrame = {
-    val t = rtrim(text)
-    val wins = docs.select(id.as("doc_id"),
+    // spread before the per-doc window/word explodes: the doc relation
+    // is consumed three times (windows ×1, words ×1, final count ×1),
+    // all serialized on one task at below-core-count scans; the
+    // identical repartition subtrees share ONE exchange (ReuseExchange)
+    val base = spreadDocs(docs.select(id.as("doc_id"), rtrim(text).as("_t")))
+    val t = col("_t")
+    val wins = base.select(col("doc_id"),
       posexplode(GraftFunctions.shinglesPos(t, w)).as(Seq("pos", "_h")))
     val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1).select(col("_h"))
     val covered = wins.join(dup, "_h")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("wp"))
       .distinct()
-    val words = docs.select(id.as("doc_id"),
+    val words = base.select(col("doc_id"),
       posexplode(split(t, " ")).as(Seq("wp", "_word")))
     val kept = words.join(covered, Seq("doc_id", "wp"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
@@ -1021,7 +1084,7 @@ object Dedup {
         md5(concat_ws(" ",
           expr("transform(array_sort(collect_list(struct(wp, _word))), s -> s._word)")))
           .as("cleaned_md5"))
-    docs.select(id.as("doc_id"), size(split(t, " ")).as("n_words"))
+    base.select(col("doc_id"), size(split(t, " ")).as("n_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .withColumn("n_removed", (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("int"))
       .withColumn("cleaned_md5", coalesce(col("cleaned_md5"), md5(lit(""))))
@@ -1066,17 +1129,22 @@ object Dedup {
     */
   def removeDuplicatedCharSpans(docs: DataFrame, id: Column, text: Column,
       L: Int = 20): DataFrame = {
-    val t = rtrim(text)
+    // spread before the O(chars) window kernels: the wins relation is
+    // evaluated twice (dup aggregate + dup-position probe) and the
+    // rebuild once — on a below-core-count scan all three serialized
+    // on one task; the three identical repartition subtrees collapse
+    // to ONE exchange (ReuseExchange), so the doc rows move once
+    val base = spreadDocs(docs.select(id.as("doc_id"), rtrim(text).as("_t")))
     // zip the two hash arrays BEFORE exploding: each window row then
     // carries 16 bytes, not a reference to the whole per-doc array (a
     // first cut kept the second array alongside posexplode — Generate
     // copies retained child columns into EVERY output row, ~7 KB per
     // window, measured 200× slower at 50 k ScaleData docs)
-    val wins = docs
-      .select(id.as("doc_id"),
+    val wins = base
+      .select(col("doc_id"),
         posexplode(arrays_zip(
-          GraftFunctions.charWindows(t, L).as("h1"),
-          GraftFunctions.charWindows(t, L, 0x9E3779B97F4A7C15L).as("h2")))
+          GraftFunctions.charWindows(col("_t"), L).as("h1"),
+          GraftFunctions.charWindows(col("_t"), L, 0x9E3779B97F4A7C15L).as("h2")))
           .as(Seq("pos", "_hs")))
       .select(col("doc_id"), col("pos"),
         col("_hs.h1").as("_h"), col("_hs.h2").as("_h2"))
@@ -1091,7 +1159,7 @@ object Dedup {
     val dupPos = wins.join(dup, Seq("_h", "_h2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
-    docs.select(id.as("doc_id"), t.as("_t"))
+    base
       .join(dupPos, Seq("doc_id"), "left")
       .withColumn("_cleaned", GraftFunctions.stripSpans(col("_t"),
         coalesce(col("_ps"), expr("array()").cast("array<int>")), L))

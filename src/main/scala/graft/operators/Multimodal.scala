@@ -107,12 +107,24 @@ object Multimodal {
     * 8 bytes/row at ANY scale; deterministic key, so retries are
     * safe (guide §2.5). Never shrinks existing parallelism.
     */
-  private[graft] def spreadIds(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val ids = docs.select(col("doc_id"))
-    val p = spark.sparkContext.defaultParallelism
-    if (ids.rdd.getNumPartitions >= p) ids
-    else ids.repartition(p, col("doc_id"))
+  private[graft] def spreadIds(docs: DataFrame): DataFrame =
+    spreadRows(docs.select(col("doc_id")))
+
+  /** Full-row sibling of [[spreadIds]] (guide §8): hash-spread a
+    * relation across the session's cores BEFORE a heavy per-row kernel
+    * (media encode/decode, span windows, langid/quality scoring, BPE
+    * encode) when — and only when — its scan has fewer splits than
+    * cores. A single-row-group gate fixture serializes every kernel
+    * pass onto one task otherwise; at 100 TB scans have thousands of
+    * real splits, so the condition self-disables and no exchange is
+    * added — scale-adaptive, never a fixture-tuned constant. Multiple
+    * consumers of the same spread relation collapse to ONE exchange
+    * (ReuseExchange), so the rows move at most once per query.
+    */
+  private[graft] def spreadRows(d: DataFrame, key: String = "doc_id"): DataFrame = {
+    val p = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions >= p) d
+    else d.repartition(p, col(key))
   }
 
   private[graft] def synthDims(docId: Long): (Int, Int) =

@@ -191,6 +191,9 @@ object EngineOps {
     // table names carry the source-dir key: one session touching two
     // scale factors must not silently reuse the other's bucketed copy
     val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // one constant for BOTH the repartition and bucketBy below: the
+    // one-file-per-bucket property needs the two counts equal
+    val nBuckets = 8
     def bucketize(table: String, name: String, key: String, cols: Seq[String]): Unit =
       if (!spark.catalog.tableExists(name)) {
         // repartition on the bucket key BEFORE the bucketed write:
@@ -200,9 +203,9 @@ object EngineOps {
         // parallelizes across buckets instead of serializing on the
         // scan's split count. Bucket contents are identical either way.
         Tables(spark, dir, table).select(cols.map(col): _*)
-          .repartition(8, col(key))
+          .repartition(nBuckets, col(key))
           .write.mode("overwrite").format("parquet")
-          .bucketBy(8, key).sortBy(key)
+          .bucketBy(nBuckets, key).sortBy(key)
           .option("path", s"$base/$name").saveAsTable(name)
       }
     val liName = s"li_bucketed_$dirKey"

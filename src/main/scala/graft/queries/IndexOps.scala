@@ -136,7 +136,10 @@ object IndexOps {
           val df = build
           df.write.mode("overwrite").parquet(path)
           df.unpersist() // trained relations arrive persisted; release
-          System.err.println(f"[index-build] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          // per-artifact build timing, opt-in (round-9 advice: don't
+          // spam stderr on every build by default)
+          if (spark.conf.getOption("spark.graft.index.logBuilds").contains("true"))
+            System.err.println(f"[index-build] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
           catalogLock.synchronized {
             catalogFor(spark, dir).register(
               s"idx_$name", path, Nil,
@@ -256,15 +259,26 @@ object IndexOps {
     val emb = Tables(spark, dir, "embeddings")
     val b1 = ensure(spark, dir, "ann_opq_transform", "embeddings")(
       Opq.transformRelation(emb, m = 8, dim = 64))
-    def transformed = {
+    // ONE persisted transformed-corpus relation shared by the books
+    // training and the encode (guide §2.4: the rotation apply — a full
+    // corpus map — ran once per consumer). Built lazily so the warm
+    // path (both artifacts present) still reads nothing; unpersisted
+    // after the chain, matching the trainCodebooks subs lifecycle.
+    var cached: Option[DataFrame] = None
+    def transformed = cached.getOrElse {
       val (flat, perm) = Opq.transformFrom(load(spark, dir, "ann_opq_transform"))
-      Opq.applyTransform(emb, flat, perm, 64)
+      val t = Opq.applyTransform(emb, flat, perm, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached = Some(t)
+      t
     }
-    val b2 = ensure(spark, dir, "ann_opq_books", "embeddings")(
-      Pq.trainCodebooks(transformed, m = 8, ksub = 16, dim = 64, iters = 2))
-    val b3 = ensure(spark, dir, "ann_opq_coded", "embeddings")(
-      Pq.encode(transformed, load(spark, dir, "ann_opq_books"), m = 8, dim = 64))
-    b1 || b2 || b3
+    try {
+      val b2 = ensure(spark, dir, "ann_opq_books", "embeddings")(
+        Pq.trainCodebooks(transformed, m = 8, ksub = 16, dim = 64, iters = 2))
+      val b3 = ensure(spark, dir, "ann_opq_coded", "embeddings")(
+        Pq.encode(transformed, load(spark, dir, "ann_opq_books"), m = 8, dim = 64))
+      b1 || b2 || b3
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Build-if-absent the extra artifacts sim_recall_report's arms ride

@@ -21,6 +21,16 @@ object LlmOps {
     Tables(spark, dir, "documents")
   }
 
+  /** [[docs]] spread across the session's cores when the scan has
+    * fewer splits (Multimodal.spreadRows, guide §8) — for queries whose
+    * dominant cost is a heavy per-row kernel (langid/quality scoring,
+    * redaction, BPE encode): a single-row-group gate fixture otherwise
+    * serializes the kernel onto one task. Self-disables at real split
+    * counts; results are row-identical (per-row ops + final orderBy).
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.spreadRows(docs(spark, dir))
+
   def text_token_count(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTokenCounts(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
@@ -37,12 +47,12 @@ object LlmOps {
       .orderBy(col("doc_id"))
 
   def text_langid(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.withLangId(docs(spark, dir), col("text"))
+    TextAnalysis.withLangId(docsSpread(spark, dir), col("text"))
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("lang_score"))
       .orderBy(col("doc_id"))
 
   def text_redact(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.withRedaction(docs(spark, dir), col("text"))
+    TextAnalysis.withRedaction(docsSpread(spark, dir), col("text"))
       .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
         col("n_email"), col("n_url"), col("n_ipv4"), col("n_phone"))
       .orderBy(col("doc_id"))
@@ -151,7 +161,7 @@ object LlmOps {
       .orderBy(col("doc_id"), col("rank"))
 
   def text_gopher(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.withGopherRules(docs(spark, dir), col("text"))
+    TextAnalysis.withGopherRules(docsSpread(spark, dir), col("text"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("alpha_word_frac"), col("n_stopwords"), col("symbol_word_ratio"),
         col("pass_word_count"), col("pass_mean_word_len"), col("pass_alpha_frac"),
@@ -293,7 +303,7 @@ object LlmOps {
   }
 
   def quality_floor(spark: SparkSession, dir: String): DataFrame =
-    floorByLang(TextAnalysis.withQuality(docs(spark, dir), col("text"))
+    floorByLang(TextAnalysis.withQuality(docsSpread(spark, dir), col("text"))
       .select(col("doc_id"), col("lang"), col("quality_score")))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("p10_quality"))
       .orderBy(col("doc_id"))
@@ -306,7 +316,7 @@ object LlmOps {
     * actually runs; the oracle chains the same three verified stages.
     */
   def pipeline_curate(spark: SparkSession, dir: String): DataFrame = {
-    val normed = TextAnalysis.withNormalized(docs(spark, dir), col("text"))
+    val normed = TextAnalysis.withNormalized(docsSpread(spark, dir), col("text"))
     val q = TextAnalysis.withQuality(normed, col("text"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
         size(split(col("normalized"), " ")).as("_ntok"))
@@ -687,7 +697,10 @@ object LlmOps {
   def bpe_token_count(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val merges = Bpe.trainedFor(docs, col("text"), nMerges = 24, corpusKey = dir).merges
-    Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+    // spread before the per-doc BPE encode (the whole query's cost is
+    // this one kernel pass — single-task at below-core-count scans)
+    Bpe.tokenCounts(Multimodal.spreadRows(docs.select(col("doc_id"), col("text"))),
+      col("doc_id"), col("text"), merges)
       .orderBy(col("doc_id"))
   }
 
@@ -939,7 +952,7 @@ object LlmOps {
     Bm25.rrfTopK(docs(spark, dir), Bm25.defaultQueries, 10)
 
   def pipeline_clean(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
     val scored = TextAnalysis.withQuality(
       TextAnalysis.withLangId(d, col("text")), col("text"))
@@ -972,7 +985,7 @@ object LlmOps {
     * its training set.
     */
   def pipeline_report(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
     val isEval = Sampling.bucket(col("doc_id"), 100) >= 98
     val scored = TextAnalysis.withQuality(
       TextAnalysis.withLangId(d, col("text")), col("text"))

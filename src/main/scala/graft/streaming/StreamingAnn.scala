@@ -28,9 +28,9 @@ object StreamingAnn {
       k: Int = 5, batches: Int = 2): DataFrame = {
     val queries = corpus.filter(col("vec_id") < maxQuery)
       .select(col("vec_id"), col("embedding"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("_ce"), Similarity.l2norm(col("embedding")).as("_cn"))
-      .localCheckpoint() // static side computed once, not per trigger
+    val c = StreamingEvents.materializeStatic( // static side computed
+      corpus.select(col("vec_id").as("neighbor_id"), // once, not per trigger
+        col("embedding").as("_ce"), Similarity.l2norm(col("embedding")).as("_cn")))
     val drained = StreamingEvents.drain(spark, queries, batches, "vec_id", "ann-topk") {
       stream =>
         val q = stream.select(col("vec_id").as("query_id"),

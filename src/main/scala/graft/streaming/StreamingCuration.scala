@@ -66,8 +66,8 @@ object StreamingCuration {
     // the distinct eval-gram relation materializes ONCE per drain —
     // a stream-static broadcast join re-derives its static subplan
     // every micro-batch otherwise (3× the eval shingle pass)
-    val evalGrams = Contamination.evalGramRelation(docs.filter(evalPred), k)
-      .localCheckpoint()
+    val evalGrams = StreamingEvents.materializeStatic(
+      Contamination.evalGramRelation(docs.filter(evalPred), k))
     // no timeouts/watermarks anywhere in this pipeline — skip the
     // trailing no-data batch (see StreamingEvents.withoutNoDataBatches)
     StreamingEvents.withoutNoDataBatches(spark, skip = true) {

@@ -185,8 +185,9 @@ object StreamingDedup {
     // materialize the static verify relation ONCE per drain: a
     // stream-static join re-evaluates its static subplan every
     // micro-batch, so without this the full corpus shingle pass runs
-    // 2 joins × N batches times instead of once
-    val sh = Dedup.shingleRelation(staticDocs, k).localCheckpoint()
+    // 2 joins × N batches times instead of once (strategy per
+    // spark.graft.stream.staticSide — see materializeStatic)
+    val sh = StreamingEvents.materializeStatic(Dedup.shingleRelation(staticDocs, k))
     Dedup.verifyJaccardOnRel(pairStream.toDF("doc_a", "doc_b"), sh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -292,8 +293,8 @@ object StreamingDedup {
       // both static relations materialize ONCE per drain (see
       // verifiedPairs): the id side-tag join and the verify fetch-join
       // would otherwise re-scan/re-shingle the snapshots per batch
-      val oldIds = oldDocs.select(col("doc_id"), lit(true).as("_in_old"))
-        .localCheckpoint()
+      val oldIds = StreamingEvents.materializeStatic(
+        oldDocs.select(col("doc_id"), lit(true).as("_in_old")))
       val sigs = Dedup.bandBuckets(stream, k, bands, rowsPerBand)
         .select(col("band"), col("bucket"), col("doc_id"))
         .join(oldIds, Seq("doc_id"), "left")
@@ -305,7 +306,8 @@ object StreamingDedup {
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(emitCrossPairs(maxBucket))
         .dropDuplicates("_1", "_2")
-      val newSh = Dedup.shingleRelation(newDocs, k).localCheckpoint()
+      val newSh = StreamingEvents.materializeStatic(
+        Dedup.shingleRelation(newDocs, k))
       val verified = Dedup.verifyJaccardOnRel(
         pairs.toDF("doc_a", "doc_b"), newSh)
         .filter(col("jaccard") >= threshold)

@@ -407,6 +407,37 @@ object StreamingEvents {
     }
   }
 
+  /** Materialize a stream-static join's STATIC side once per drain —
+    * without this the static subplan re-evaluates every micro-batch
+    * (measured: the corpus shingle pass ran 2 joins × 3 batches = 6
+    * times per dedup drain). Strategy is `spark.graft.stream.staticSide`:
+    *
+    *  - `localCheckpoint` (default): cheapest — but lineage is
+    *    truncated and the blocks are UNREPLICATED, so on an executor
+    *    loss mid-drain the query fails instead of recomputing. Right
+    *    for local mode and the gate; wrong under dynamic allocation.
+    *  - `persist`: MEMORY_AND_DISK_2 (2 replicas, eagerly built) —
+    *    survives a single executor loss; lineage kept, so even a double
+    *    loss recomputes instead of failing. The cluster deploy choice.
+    *  - `checkpoint`: reliable checkpoint to the sc checkpoint dir
+    *    (must be set; shared FS) — survives any loss, costs a write.
+    */
+  private[graft] def materializeStatic(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.sparkSession.conf
+      .getOption("spark.graft.stream.staticSide")
+      .getOrElse("localCheckpoint") match {
+      case "localCheckpoint" => df.localCheckpoint()
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+        p.count() // eager: the first micro-batch must not pay the build
+        p
+      case "checkpoint" => df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.stream.staticSide: unknown strategy '$other' " +
+          "(expected localCheckpoint | persist | checkpoint)")
+    }
+
   /** Stage `prepared` as `batches` parquet files, stream them one per
     * trigger through `pipeline`, drain, decouple, return.
     *

@@ -633,6 +633,14 @@ class LlmOpsSpec extends AnyFunSuite {
       col("text"), nMerges = 3, seqLen = L, bucketSpan = 2)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
     assert(alt.toSeq == packed.toSeq, "bucketSpan and partitioning do not change output")
+    // lifecycle: the encoded-token-stream persist must be RELEASED once
+    // the pack materializes — a pinned InMemoryRelation per packIds call
+    // accumulates output-sized caches across a long session (r9 advice)
+    spark.catalog.clearCache()
+    operators.Bpe.packIds(spark, docs, col("doc_id"), col("text"),
+      nMerges = 3, seqLen = L).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "packIds must not leave a pinned cache entry behind")
   }
 
   test("dsir weights rank target-like docs above off-domain docs") {

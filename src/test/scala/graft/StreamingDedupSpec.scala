@@ -125,4 +125,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 20L), (10L, 30L), (20L, 30L)))
     assert(out.length == 3, s"each pair exactly once, got ${out.toList}")
   }
+
+  test("static-side strategies (localCheckpoint/persist/checkpoint) drain identically") {
+    // spark.graft.stream.staticSide picks how stream-static join static
+    // sides materialize: localCheckpoint (local default, fastest,
+    // unreplicated), persist MEMORY_AND_DISK_2 (cluster-safe), reliable
+    // checkpoint. All three must produce the same drained pair set.
+    val docs = Tables(spark, sfDir, "documents")
+    val key = "spark.graft.stream.staticSide"
+    def drained(): Set[(Long, Long, Double)] =
+      pairSet(StreamingDedup.runIncremental(spark, docs, batches = 3).collect())
+    val base = drained() // default = localCheckpoint
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-test")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    try {
+      for (mode <- Seq("persist", "checkpoint")) {
+        spark.conf.set(key, mode)
+        assert(drained() == base, s"staticSide=$mode diverged from default")
+      }
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException](drained())
+    } finally {
+      spark.conf.unset(key)
+      graft.streaming.StreamingEvents.rmTree(ckDir)
+    }
+  }
 }
