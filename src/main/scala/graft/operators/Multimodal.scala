@@ -108,7 +108,10 @@ object Multimodal {
     * safe (guide §2.5). Never shrinks existing parallelism.
     */
   private[graft] def spreadIds(docs: DataFrame): DataFrame =
-    spreadRows(docs.select(col("doc_id")))
+    // ids-only: the exchange moves 8 B/row, and the downstream media
+    // encode is expensive at ANY corpus size — no size gate (measured
+    // a win even at sf0.1, round 9)
+    spreadRows(docs.select(col("doc_id")), minBytesPerCore = 0L)
 
   /** Full-row sibling of [[spreadIds]] (guide §8): hash-spread a
     * relation across the session's cores BEFORE a heavy per-row kernel
@@ -120,10 +123,21 @@ object Multimodal {
     * added — scale-adaptive, never a fixture-tuned constant. Multiple
     * consumers of the same spread relation collapse to ONE exchange
     * (ReuseExchange), so the rows move at most once per query.
+    *
+    * `minBytesPerCore`: below ~32 KB of (estimated) input per core the
+    * exchange + 32-way task fan-out costs MORE than the serialized
+    * kernel pass it parallelizes (measured: the span family regressed
+    * 0.6-1.6 s at sf0.1's 0.6 MB corpus while winning 3.6× at 10×'s
+    * 5.8 MB) — so tiny inputs keep their original single-task plan.
+    * Both plans produce identical rows; the gate only picks the
+    * cheaper one, the same contract as collapsedPairs' density probe.
     */
-  private[graft] def spreadRows(d: DataFrame, key: String = "doc_id"): DataFrame = {
+  private[graft] def spreadRows(d: DataFrame, key: String = "doc_id",
+      minBytesPerCore: Long = 32L << 10): DataFrame = {
     val p = d.sparkSession.sparkContext.defaultParallelism
     if (d.rdd.getNumPartitions >= p) d
+    else if (minBytesPerCore > 0 &&
+      d.queryExecution.optimizedPlan.stats.sizeInBytes < p.toLong * minBytesPerCore) d
     else d.repartition(p, col(key))
   }
 
